@@ -1,0 +1,97 @@
+"""Relational BM25 — the lexical lane without a sidecar index.
+
+The reference maintains a Tantivy BM25 index
+(crates/mnemo-core/src/search/tantivy_index.rs:119-180, SURVEY §2.3
+A6). Spark-first design: BM25 is just three aggregations over the
+corpus — document frequency, average doc length, per-(doc,term) term
+frequency — so it's computed relationally per query batch and Catalyst
+plans it. Corpus stats are tiny (one row per query term + one global
+row) and broadcast into the scoring join.
+
+Scale notes (100 TB): the expensive stage is the explode(tokens) →
+groupBy(doc,term) map-side-combinable aggregation; it shuffles once on
+(doc_id). df/avgdl are per-corpus scalars — compute once per corpus
+snapshot, persist, and reuse across query batches (the reference
+caches them inside Tantivy the same way). Filtering explode output to
+query terms FIRST keeps the shuffle proportional to matching tokens,
+not corpus tokens.
+
+Scoring: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson-Sparck Jones,
+the same form Tantivy/Lucene use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.text import tokens
+
+ROUND_DP = 6  # all ranked scores are rounded before ordering so that
+# rank ties break identically in Spark and the DuckDB oracle (SURVEY
+# §7 "RRF rank ties" — deterministic tiebreak score desc, id asc).
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every doc containing ≥1 query term. → (id, bm25)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_tok")
+    )
+    lens = toks.select("_id", F.size("_tok").alias("_dl"))
+    stats = lens.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+
+    term_lit = F.array(*[F.lit(t) for t in query_terms])
+    # keep only query-term occurrences before the shuffle
+    hits = toks.select(
+        "_id", F.explode(F.filter("_tok", lambda t: F.array_contains(term_lit, t))).alias("_term")
+    )
+    tf = hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf"))
+    df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
+
+    scored = (
+        tf.join(F.broadcast(df_), "_term")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+        .groupBy("_id")
+        .agg(F.round(F.sum("_contrib"), ROUND_DP).alias("bm25"))
+    )
+    return scored.select(F.col("_id").alias(id_col), "bm25")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k by BM25, deterministic tiebreak (score desc, id asc)."""
+    scored = bm25_score(docs, query_terms, id_col, text_col, k1, b)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "bm25", "rank")
+    )

@@ -1,0 +1,146 @@
+"""Hash-chain operators (reference W7/A9, hash.rs, remember.rs:100-111).
+
+Three forms:
+- `chain_heads`: per-partition chain head via a JVM-side ordered
+  aggregate fold — the verification primitive (matches DuckDB
+  list_reduce exactly; used by the oracle-gated query).
+- `assign_chain`: per-row prev_hash/chain_hash assignment — the one
+  inherently sequential operator. applyInPandas per chain key keeps it
+  parallel ACROSS agents and sequential within, the same concurrency
+  contract as the reference (DuckDB connection mutex serializes
+  writers; remember.rs:104-107 documents the race this avoids).
+- `verify_chain`: recompute and diff stored chain columns, reporting
+  the first break per chain (A9; audit-tamper detection —
+  bench/audit_tamper in the reference detects 100% of single-byte
+  mutations / deletes / reorders, and so does this: any such edit
+  changes every downstream chain_hash).
+
+Scale: chains shard by (agent_id[, thread_id]) — thousands of
+independent chains at 100 TB; skew only if one agent dominates, in
+which case chain assignment is still O(rows-of-that-agent) sequential
+work, identical to the reference's serialization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.hashing import chain_head_agg
+
+
+def chain_heads(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    hash_col: str,
+) -> DataFrame:
+    """Fold each chain's ordered hashes to its head hash.
+
+    head = fold(h1..hn): acc₀=h1, acc=sha256(hᵢ ‖ acc). JVM-side:
+    sort_array(collect_list(struct(order..., hash))) then aggregate.
+    """
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(hash_col)))
+        ),
+        lambda s: s[hash_col],
+    )
+    return df.groupBy(*part_cols).agg(
+        F.count("*").alias("chain_len"),
+        chain_head_agg(ordered).alias("chain_head"),
+    )
+
+
+def assign_chain(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    hash_col: str,
+    prev_head: DataFrame | None = None,
+) -> DataFrame:
+    """Assign prev_hash / chain_hash to every row (reference W7).
+
+    prev_hash(row₁) = carried-in head (cross-batch handoff via
+    `prev_head`: part_cols + 'chain_head') or '' genesis;
+    chain_hash = sha256(content_hash ‖ prev_hash); next row's
+    prev_hash = this chain_hash.
+    """
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    if prev_head is not None:
+        df = df.join(
+            F.broadcast(prev_head.withColumnRenamed("chain_head", "_carry")),
+            part_cols,
+            "left",
+        )
+    else:
+        df = df.withColumn("_carry", F.lit(None).cast("string"))
+
+    out_fields = df.schema.fields
+    schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+                  if f.name != "_carry")
+        + ", prev_hash string, chain_hash string"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        carry = pdf["_carry"].iloc[0]
+        prev = carry if isinstance(carry, str) and carry else ""
+        prevs, chains = [], []
+        for h in pdf[hash_col]:
+            prevs.append(prev)
+            link = hashlib.sha256((h + prev).encode()).hexdigest()
+            chains.append(link)
+            prev = link
+        pdf = pdf.drop(columns=["_carry"])
+        pdf["prev_hash"] = prevs
+        pdf["chain_hash"] = chains
+        return pdf
+
+    return df.groupBy(*part_cols).applyInPandas(fold, schema=schema)
+
+
+def verify_chain(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    hash_col: str = "content_hash",
+    prev_col: str = "prev_hash",
+    chain_col: str = "chain_hash",
+) -> DataFrame:
+    """Recompute the chain and report the first break per chain key.
+
+    → part_cols + (n_rows, n_breaks, first_break_at). A pristine chain
+    has n_breaks = 0. Detects value tampering, deletion, and reorder:
+    all shift some recomputed link off its stored value.
+    """
+    recomputed = assign_chain(
+        df.select(*part_cols, *order_cols, hash_col).withColumnRenamed(
+            hash_col, "_h"
+        ),
+        part_cols,
+        order_cols,
+        "_h",
+    ).select(
+        *part_cols,
+        *order_cols,
+        F.col("prev_hash").alias("_expect_prev"),
+        F.col("chain_hash").alias("_expect_chain"),
+    )
+    joined = df.join(recomputed, [*part_cols, *order_cols])
+    bad = (F.col(prev_col) != F.col("_expect_prev")) | (
+        F.col(chain_col) != F.col("_expect_chain")
+    )
+    return joined.groupBy(*part_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(bad.cast("long")).alias("n_breaks"),
+        F.min(F.when(bad, F.struct(*[F.col(c) for c in order_cols]))).alias(
+            "first_break_at"
+        ),
+    )

@@ -1,0 +1,186 @@
+"""Corpus deduplication — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators (BASELINE.json north star) plus the
+reference's own near-duplicate detection (J5, query/conflict.rs;
+semantic dedup stage of the reflection pass, reflection.rs:147-301).
+
+Cross-engine hash primitive: md5 hex strings. MinHash uses the
+lexicographic minimum of md5(shingle ‖ '#' ‖ seed) — a valid min-wise
+permutation family that is bit-identical in Spark and DuckDB (no
+integer-conversion portability hazards).
+
+Scale notes (100 TB):
+- exact: one groupBy(md5) shuffle; md5 keys distribute uniformly.
+- minhash: explode(shingles) → groupBy(doc, seed) min — map-side
+  combinable, one shuffle on doc_id; band keys then bucket-join
+  candidate pairs (the LSH trick: only co-banded docs are compared,
+  never the full cross product).
+- simhash: explode(tokens) × bit positions → groupBy(doc) — same
+  single-shuffle shape; near-dups collide on the signature key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.text import shingles, tokens
+
+ROUND_DP = 6
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content hash. → one row per group
+    with >1 member: (content_md5, keep_id, dup_count, member_ids)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, shingle) distinct rows."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(shingles(tokens(text_col), shingle_k))).alias(
+                "_sh"
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, min(md5(shingle#s)).
+
+    → (_id, seed, minhash) long-form — band construction and the
+    oracle both consume this shape.
+    """
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    seeded = sh.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "_sh",
+    ).withColumn("_h", F.md5(F.concat_ws("#", "_sh", F.col("seed").cast("string"))))
+    return seeded.groupBy("_id", "seed").agg(F.min("_h").alias("minhash"))
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band key. → (id_a, id_b,
+    n_bands) with id_a < id_b. rows-per-band r = num_hashes/bands."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_k, id_col, text_col)
+    band = (
+        sig.withColumn("band", (F.col("seed") / r).cast("int"))
+        .groupBy("_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    a = band.select(F.col("_id").alias("id_a"), "band", "band_key")
+    b = band.select(F.col("_id").alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
+
+    Inverted-index self-join on shingle (never a cross product):
+    |A∩B| from the join, |A|,|B| from per-doc distinct counts.
+    → (id_a, id_b, jaccard ≥ threshold).
+    """
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    inter = (
+        sh.select(F.col("_id").alias("id_a"), "_sh")
+        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+                ROUND_DP,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16  # one bit per md5 hex digit's high bit
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over tokens (tf-weighted via explode).
+
+    Bit p of token t = high bit of hex digit p of md5(t) (digit ≥ '8').
+    signature bit p = 1 iff Σ_tokens (±1) > 0. → (id, simhash) as a
+    bit-string; near-dups share long signature prefixes/equality.
+    """
+    tok = docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+    tok = tok.withColumn("_md5", F.md5("_t"))
+    bits = tok.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("p"),
+        "_md5",
+    ).withColumn(
+        "_contrib",
+        F.when(F.substring(F.col("_md5"), F.col("p"), 1).isin(*"89abcdef"), 1).otherwise(-1),
+    )
+    agg = bits.groupBy("_id", "p").agg(F.sum("_contrib").alias("_s"))
+    return (
+        agg.withColumn("_bit", F.when(F.col("_s") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "_bit"))),
+                    lambda s: s["_bit"],
+                ),
+            ).alias("simhash")
+        )
+        .select(F.col("_id").alias(id_col), "simhash")
+    )

@@ -1,0 +1,93 @@
+"""Graph expansion / causality traversal (reference J3/J4/J7,
+recall.rs:479-555 graph lane, query/causality.rs).
+
+The reference BFS-walks a relations table ≤2 hops with 0.5/hop decay
+and a seen-set. Spark-first: a fixed-depth BFS is N self-joins on the
+edges DataFrame — each hop one equi-join (shuffle on the join key; at
+scale pre-partition/bucket edges by src so hops co-locate), dedup by
+min-hop (`groupBy(id).min(hop)`) instead of a driver-side seen-set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+
+
+def expand(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 2,
+    decay: float = 0.5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+    bidirectional: bool = False,
+) -> DataFrame:
+    """BFS from seed ids along edges, ≤ `hops`, score = decay^hop.
+
+    → (id, hop, score) with hop = min hop reaching the node; seeds
+    themselves are hop 0 / score 1. Mirrors the reference's dedup-by-
+    first-visit and per-hop decay (recall.rs:479-555).
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    if bidirectional:
+        e = e.unionByName(
+            edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+        ).distinct()
+
+    frontier = seeds.select(F.col(seed_col).alias("_id")).distinct().withColumn(
+        "hop", F.lit(0)
+    )
+    layers = [frontier]
+    for h in range(1, hops + 1):
+        frontier = (
+            frontier.join(e, frontier["_id"] == e["_s"])
+            .select(F.col("_d").alias("_id"))
+            .distinct()
+            .withColumn("hop", F.lit(h))
+        )
+        layers.append(frontier)
+
+    all_nodes = layers[0]
+    for l in layers[1:]:
+        all_nodes = all_nodes.unionByName(l)
+    return (
+        all_nodes.groupBy("_id")
+        .agg(F.min("hop").alias("hop"))
+        .withColumn("score", F.round(F.pow(F.lit(decay), F.col("hop")), ROUND_DP))
+        .select(F.col("_id").alias(seed_col), "hop", "score")
+    )
+
+
+def trace_causality(
+    events: DataFrame,
+    root_ids: DataFrame,
+    max_depth: int = 4,
+    id_col: str = "id",
+    parent_col: str = "parent_event_id",
+    direction: str = "down",
+) -> DataFrame:
+    """Walk the event DAG from roots (reference J7, causality.rs).
+
+    direction 'down' follows children (parent_col == frontier id),
+    'up' follows ancestors. → (id, depth). Traverses THROUGH
+    non-matching nodes like the reference; event_type output filters
+    compose on top of the result.
+    """
+    edges = events.select(F.col(id_col).alias("_id"), F.col(parent_col).alias("_p"))
+    if direction == "down":
+        e = edges.select(F.col("_p").alias("_s"), F.col("_id").alias("_d"))
+    else:
+        e = edges.select(F.col("_id").alias("_s"), F.col("_p").alias("_d"))
+    return expand(
+        e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()),
+        root_ids,
+        hops=max_depth,
+        decay=1.0,
+        src_col="_s",
+        dst_col="_d",
+        seed_col=id_col,
+    ).select(id_col, F.col("hop").alias("depth"))

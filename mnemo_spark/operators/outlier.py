@@ -1,0 +1,80 @@
+"""Embedding baseline + z-score outlier detection (reference A3/A4,
+anomaly/outlier.rs:1-251, storage table embedding_baseline).
+
+The reference keeps per-agent (μ, diagonal covariance, n) and gates
+writes at 3σ. Spark-first: positional explode → one groupBy over
+(group, dim) with map-side combine → broadcast the (tiny) baseline
+back into a z-score projection. Two shuffles total, both on keys with
+group×dim cardinality — independent of corpus size growth per group.
+
+z(v) = sqrt( meanᵢ (vᵢ−μᵢ)² / max(varᵢ, 1e-6) )   (variance floor
+1e-6 and the 3σ default threshold are the reference's constants,
+anomaly/outlier.rs:1-60.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+VAR_FLOOR = 1e-6
+DEFAULT_SIGMA = 3.0
+
+
+def _positional(df: DataFrame, group_col: str, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """(group, id, pos ∈ 1..dim, val) — 1-based positions to match
+    DuckDB list indexing in the oracle."""
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("pos"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        group_col, id_col, "pos", F.element_at("_v", F.col("pos")).alias("val")
+    )
+
+
+def embedding_baseline(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group per-dimension (mean, floored variance, n)."""
+    pos = _positional(df, group_col, id_col, vec_col, dim)
+    return pos.groupBy(group_col, "pos").agg(
+        F.avg("val").alias("mu"),
+        F.greatest(F.var_pop("val"), F.lit(VAR_FLOOR)).alias("var"),
+        F.count("*").alias("n"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sigma: float = DEFAULT_SIGMA,
+) -> DataFrame:
+    """Rows whose z-score vs their group baseline exceeds sigma.
+
+    → (group, id, zscore) — the quarantine candidate set (the
+    reference flips `quarantined=true` on these at write time;
+    query/poisoning.rs:10-40).
+    """
+    base = embedding_baseline(df, group_col, id_col, vec_col, dim)
+    pos = _positional(df, group_col, id_col, vec_col, dim)
+    z = (
+        pos.join(F.broadcast(base), [group_col, "pos"])
+        .groupBy(group_col, id_col)
+        .agg(
+            F.round(
+                F.sqrt(F.avg((F.col("val") - F.col("mu")) ** 2 / F.col("var"))),
+                ROUND_DP,
+            ).alias("zscore")
+        )
+    )
+    return z.filter(F.col("zscore") > sigma)

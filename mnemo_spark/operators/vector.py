@@ -1,0 +1,160 @@
+"""Dense vector retrieval (reference J5/J6, index/usearch.rs).
+
+The reference serves single-query ANN from an in-process USearch HNSW
+graph. A batch Spark engine inverts that: queries arrive as a
+DataFrame, the corpus is the big side, and top-k is an exact
+brute-force ranked join — embarrassingly parallel, no index to build
+or keep consistent (SURVEY §4: "an algorithm choice, not a planner
+concern").
+
+Physical strategy at scale:
+- `topk_cosine`: broadcast the (small) query side into a crossJoin;
+  each corpus partition computes its local scores, a per-query
+  row_number window takes the global top-k. One shuffle of
+  candidate-sized data on query_id. For very large k·|Q|, swap the
+  window for a per-partition `limit` + re-rank (AQE handles the rest).
+- `lsh_sign_bucket` / `ann_lsh_topk`: the 100-TB path. Signed random
+  hyperplanes (deterministic literals) give each vector an H-bit
+  bucket; candidates co-bucket with the query, so the crossJoin
+  becomes an equi-join on bucket — shuffle-friendly, prunes the
+  corpus ~2^H-fold at some recall cost. Same contract as the
+  reference's approximate HNSW.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.similarity import cosine, dot
+
+ROUND_DP = 6
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine per query. → (query_id, vec_id, cos_sim, rank)."""
+    joined = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(corpus_vec), F.col(query_vec)), ROUND_DP).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_sign_bucket(vec, hyperplanes: list[list[float]]):
+    """H-bit sign-LSH bucket of a vector column as a bit-string.
+
+    hyperplanes are plain Python literals (deterministic, shared with
+    the SQL oracle) — each contributes one bit: 1 iff dot(v, h) > 0.
+    """
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in h])) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for h in hyperplanes
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    hyperplanes: list[list[float]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    The crossJoin of `topk_cosine` becomes an equi-join on bucket —
+    the join Spark shuffles/broadcasts by key, so corpus partitions
+    holding other buckets are never scored.
+    """
+    c = corpus.withColumn("_bucket", lsh_sign_bucket(F.col(corpus_vec), hyperplanes))
+    q = queries.withColumn("_bucket", lsh_sign_bucket(F.col(query_vec), hyperplanes))
+    joined = c.join(F.broadcast(q), "_bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(corpus_vec), F.col(query_vec)), ROUND_DP).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (i<j) with cosine ≥ threshold (reference J5).
+
+    The reference bounds this with ANN top-20 per record
+    (query/conflict.rs:84-151); here the exact form self-joins within
+    an optional group (the reference scopes to same agent — at scale
+    ALWAYS pass group_col or pre-bucket with LSH so the self-join is
+    per-partition, never global).
+    """
+    a = vectors.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = vectors.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    on = [group_col] if group_col else None
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), ROUND_DP))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            *( [group_col] if group_col else [] ), "id_a", "id_b", "cos_sim"
+        )
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """k-NN majority-vote classification. → (query_id, pred_label, votes)."""
+    nn = topk_cosine(corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec)
+    votes = (
+        nn.join(corpus.select(corpus_id, label_col), corpus_id)
+        .groupBy(query_id, label_col)
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("votes"), F.asc(label_col))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(query_id, F.col(label_col).alias("pred_label"), "votes")
+    )

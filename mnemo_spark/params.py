@@ -1,0 +1,62 @@
+"""Shared query parameters — single source of truth for BOTH the Spark
+queries and their DuckDB oracle SQL, so constants can never drift.
+
+LSH hyperplanes are deterministic ±1 literals (seeded PRNG, embedded
+as literals on both sides) — sign-random-projection LSH for cosine.
+"""
+
+from __future__ import annotations
+
+import random
+
+EMBEDDING_DIM = 64
+
+# retrieval
+BM25_QUERY_TERMS = ["spark", "join", "window", "query"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+RRF_K = 30
+RRF_WEIGHTS = {"bm25": 6.0, "length": 1.0}  # reference's tuned [6,1,0,0]
+RRF_LIMIT = 20
+
+VECTOR_QUERY_IDS = [0, 1, 2]
+KNN_QUERY_IDS = [5, 6, 7, 8, 9]
+VECTOR_TOPK = 10
+KNN_K = 10
+
+LSH_NUM_PLANES = 8
+
+
+def _hyperplanes(num: int = LSH_NUM_PLANES, dim: int = EMBEDDING_DIM, seed: int = 42):
+    rng = random.Random(seed)
+    return [[float(rng.choice((-1.0, 1.0))) for _ in range(dim)] for _ in range(num)]
+
+
+LSH_HYPERPLANES: list[list[float]] = _hyperplanes()
+
+# temporal / lifecycle
+SESSION_GAP_MINUTES = 30.0
+DECAY_HALF_LIFE_HOURS = 168.0
+AS_OF_TS = "2024-01-15 00:00:00"
+INCREMENTAL_WATERMARK = "2024-01-25 00:00:00"
+
+# outliers
+ZSCORE_SIGMA = 1.05  # synthetic embeddings are well-concentrated; the
+# reference's 3.0 default is exposed on the operator — this query
+# threshold is chosen to exercise a non-empty result set.
+
+# dedup / text
+JACCARD_SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.05
+JACCARD_MAX_DOC_ID = 200
+MINHASH_NUM = 12
+MINHASH_BANDS = 4
+DEDUP_PREFIX_TOKENS = 5
+FINGERPRINT_K = 5
+
+# evidence budget
+EVIDENCE_BAR = 1.5
+EVIDENCE_MAX = 15
+TOKEN_BUDGET = 400

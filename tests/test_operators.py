@@ -1,0 +1,157 @@
+"""Operator-level unit tests (reference test model: SURVEY.md §5 —
+RRF math, decay monotonicity, chain verification catching mutations,
+deterministic tiebreaks)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.similarity import cosine
+from mnemo_spark.functions.text import shingles, token_estimate, tokens
+from mnemo_spark.operators.chain import assign_chain, chain_heads, verify_chain
+from mnemo_spark.operators.rrf import rrf_fuse
+from mnemo_spark.operators.window_ops import (
+    evidence_budget_prefix,
+    sessionize,
+    token_budget_pack,
+)
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("Hello, World! 42 foo bar",)], ["text"])
+    row = df.select(
+        tokens("text").alias("t"), shingles(tokens("text"), 3).alias("s")
+    ).first()
+    assert row["t"] == ["hello", "world", "42", "foo", "bar"]
+    assert row["s"] == ["hello world 42", "world 42 foo", "42 foo bar"]
+    short = spark.createDataFrame([("one two",)], ["text"])
+    assert short.select(shingles(tokens("text"), 3).alias("s")).first()["s"] == []
+
+
+def test_token_estimate(spark):
+    df = spark.createDataFrame([("abcde",), ("",)], ["text"])
+    vals = [r[0] for r in df.select(token_estimate("text")).collect()]
+    assert vals == [2, 0]
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"]
+    )
+    vals = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0)
+
+
+def test_rrf_fusion_math(spark):
+    """RRF: doc ranked 1st in both lanes scores 2/(k+1) (reference
+    query/retrieval.rs:48-132 unit tests)."""
+    lane1 = spark.createDataFrame([(1, 10.0), (2, 5.0)], ["doc_id", "score"])
+    lane2 = spark.createDataFrame([(1, 3.0), (3, 2.0)], ["doc_id", "score"])
+    out = rrf_fuse({"a": lane1, "b": lane2}, rrf_k=60).collect()
+    by_id = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert by_id[1] == pytest.approx(2 / 61, abs=1e-6)
+    assert by_id[2] == pytest.approx(1 / 62, abs=1e-6)
+    assert out[0]["doc_id"] == 1  # best fused rank
+
+
+def test_rrf_weighted(spark):
+    lane1 = spark.createDataFrame([(1, 10.0)], ["doc_id", "score"])
+    lane2 = spark.createDataFrame([(2, 10.0)], ["doc_id", "score"])
+    out = rrf_fuse({"a": lane1, "b": lane2}, weights={"a": 6.0, "b": 1.0}, rrf_k=30)
+    rows = {r["doc_id"]: r["rrf_score"] for r in out.collect()}
+    assert rows[1] == pytest.approx(6 / 31, abs=1e-6)
+    assert rows[2] == pytest.approx(1 / 31, abs=1e-6)
+
+
+def _chain_df(spark):
+    rows = [
+        ("a", 1, "h1"),
+        ("a", 2, "h2"),
+        ("a", 3, "h3"),
+        ("b", 1, "x1"),
+    ]
+    return spark.createDataFrame(rows, ["agent", "seq", "h"])
+
+
+def test_assign_chain_sequential_fold(spark):
+    out = assign_chain(_chain_df(spark), ["agent"], ["seq"], "h")
+    rows = {(r["agent"], r["seq"]): r for r in out.collect()}
+    assert rows[("a", 1)]["prev_hash"] == ""
+    link1 = hashlib.sha256(b"h1").hexdigest()
+    assert rows[("a", 1)]["chain_hash"] == link1
+    assert rows[("a", 2)]["prev_hash"] == link1
+    link2 = hashlib.sha256(("h2" + link1).encode()).hexdigest()
+    assert rows[("a", 2)]["chain_hash"] == link2
+    assert rows[("b", 1)]["chain_hash"] == hashlib.sha256(b"x1").hexdigest()
+
+
+def test_chain_heads_matches_assign_chain(spark):
+    """The aggregate fold and the sequential fold agree on the head."""
+    assigned = assign_chain(_chain_df(spark), ["agent"], ["seq"], "h")
+    last = assigned.filter((F.col("agent") == "a") & (F.col("seq") == 3)).first()
+    heads = {r["agent"]: r["chain_head"] for r in
+             chain_heads(_chain_df(spark), ["agent"], ["seq"], "h").collect()}
+    assert heads["a"] == last["chain_hash"]
+    assert heads["b"] == hashlib.sha256(b"x1").hexdigest()
+
+
+def test_verify_chain_detects_tamper(spark):
+    """Audit-tamper conformance (reference: 100% single-byte mutation
+    detection, bench/audit_tamper)."""
+    assigned = assign_chain(_chain_df(spark), ["agent"], ["seq"], "h")
+    clean = verify_chain(
+        assigned.withColumnRenamed("h", "content_hash"),
+        ["agent"],
+        ["seq"],
+    )
+    assert all(r["n_breaks"] == 0 for r in clean.collect())
+
+    tampered = assigned.withColumn(
+        "h", F.when((F.col("agent") == "a") & (F.col("seq") == 2), "EVIL").otherwise(F.col("h"))
+    )
+    bad = verify_chain(
+        tampered.withColumnRenamed("h", "content_hash"), ["agent"], ["seq"]
+    ).filter(F.col("agent") == "a").first()
+    assert bad["n_breaks"] >= 1
+    assert bad["first_break_at"]["seq"] == 2
+
+
+def test_evidence_budget_is_prefix(spark):
+    """W8 invariant: selection is a prefix of the ranking, never a
+    reorder (reference query/evidence.rs property test)."""
+    rows = [(i, 0.5) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["rank", "suff"])
+    out = evidence_budget_prefix(df, "suff", bar=1.5, max_evidence=10)
+    kept = sorted(r["rank"] for r in out.collect())
+    assert kept == [1, 2, 3]  # cum_before: 0, .5, 1.0 < 1.5; rank4 has 1.5
+
+    capped = evidence_budget_prefix(df, "suff", bar=100.0, max_evidence=4)
+    assert sorted(r["rank"] for r in capped.collect()) == [1, 2, 3, 4]
+
+
+def test_token_budget_pack_prefix(spark):
+    df = spark.createDataFrame([(1, 100), (2, 200), (3, 150)], ["rank", "cost"])
+    out = token_budget_pack(df, "cost", budget=320)
+    assert sorted(r["rank"] for r in out.collect()) == [1, 2]
+
+
+def test_sessionize_gap(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 10)),
+        (1, datetime(2024, 1, 1, 2, 0)),
+        (2, datetime(2024, 1, 1, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "user_id", "ts", gap_minutes=30)
+    sess = {(r["user_id"], r["ts"].minute, r["ts"].hour): r["session_id"] for r in out.collect()}
+    assert sess[(1, 0, 0)] == 1
+    assert sess[(1, 10, 0)] == 1
+    assert sess[(1, 0, 2)] == 2
+    assert sess[(2, 0, 0)] == 1

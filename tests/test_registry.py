@@ -1,0 +1,43 @@
+"""Registry smoke tests: every oracle-gated query runs at sf0.001 and
+returns a stable schema. (Full value-level oracle comparison lives in
+tools/check_oracle.py — run separately, it needs DuckDB.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from mnemo_spark.registry import ORACLE, QUERIES
+
+EXPECT_NONEMPTY = {
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "top_orders_per_priority",
+    "filtered_scan_orders",
+    "semi_join_customers_with_orders",
+    "bm25_topk_docs",
+    "rrf_hybrid_docs",
+    "vector_topk",
+    "knn_label_vote",
+    "event_chain_heads",
+    "sessionize_events",
+    "current_fact_latest_event",
+    "decay_scores_events",
+    "lang_id_docs",
+    "token_stats_docs",
+}
+
+
+def test_every_query_has_oracle():
+    missing = set(QUERIES) - set(ORACLE)
+    # non-SQL-expressible ops may legitimately omit the oracle; keep
+    # the list explicit so drift is visible
+    assert missing == set(), f"queries without oracle SQL: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    rows = df.collect()
+    assert df.columns, name
+    if name in EXPECT_NONEMPTY:
+        assert len(rows) > 0, f"{name} unexpectedly empty"
