@@ -33,6 +33,12 @@ BENCH_QUERIES = [
     "zscore_outliers_embeddings",
     "lang_id_docs",
     "token_stats_docs",
+    "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "graph_expand_2hop",
+    "assign_chain_events",
+    "rollup_revenue",
 ]
 
 

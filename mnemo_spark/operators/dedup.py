@@ -60,6 +60,28 @@ def _shingle_rows(
     )
 
 
+def _minhash_wide(
+    docs: DataFrame, num_hashes: int, shingle_k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Wide MinHash signature: (_id, _m0.._m{n-1}).
+
+    Shape chosen for scale: explode shingles ONCE (tokenization runs
+    once per doc), then num_hashes `min(md5(shingle#seed))` aggregates
+    in a single codegen'd hash aggregation — partial min is map-side
+    combined, so the only shuffled rows are |docs| pre-combined
+    signatures. (A pure-projection variant with
+    array_min(transform(...)) is 10-100x slower: higher-order
+    functions are interpreted, and projection collapse re-evaluates
+    the shingle subtree once per seed.)
+    """
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("_sh"), F.lit(str(s))))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 12,
@@ -69,16 +91,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for seed s, min(md5(shingle#s)).
 
-    → (_id, seed, minhash) long-form — band construction and the
-    oracle both consume this shape.
+    -> (_id, seed, minhash) long-form (docs with no shingles yield no
+    rows).
     """
-    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
-    seeded = sh.select(
+    wide = _minhash_wide(docs, num_hashes, shingle_k, id_col, text_col)
+    return wide.select(
         "_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "_sh",
-    ).withColumn("_h", F.md5(F.concat_ws("#", "_sh", F.col("seed").cast("string"))))
-    return seeded.groupBy("_id", "seed").agg(F.min("_h").alias("minhash"))
+        F.posexplode(F.array(*[F.col(f"_m{s}") for s in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
+    )
 
 
 def minhash_band_pairs(
@@ -90,14 +112,31 @@ def minhash_band_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band key. → (id_a, id_b,
-    n_bands) with id_a < id_b. rows-per-band r = num_hashes/bands."""
+    n_bands) with id_a < id_b. rows-per-band r = num_hashes/bands.
+
+    Band keys are computed inside the same projection as the
+    signature; the ONLY shuffle is the equi-join on (band, band_key).
+    """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, shingle_k, id_col, text_col)
-    band = (
-        sig.withColumn("band", (F.col("seed") / r).cast("int"))
-        .groupBy("_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    wide = _minhash_wide(docs, num_hashes, shingle_k, id_col, text_col)
+    band = wide.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.sort_array(
+                                F.array(*[F.col(f"_m{b * r + i}") for i in range(r)])
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
     )
     a = band.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band.select(F.col("_id").alias("id_b"), "band", "band_key")

@@ -56,7 +56,8 @@ MINHASH_BANDS = 4
 DEDUP_PREFIX_TOKENS = 5
 FINGERPRINT_K = 5
 
-# evidence budget
-EVIDENCE_BAR = 1.5
+# evidence budget (bm25 top scores ≈ 1.6 on the synthetic corpus →
+# a bar of 8 keeps a ~5-doc prefix)
+EVIDENCE_BAR = 8.0
 EVIDENCE_MAX = 15
 TOKEN_BUDGET = 400

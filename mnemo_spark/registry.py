@@ -686,3 +686,547 @@ def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace words, regex tokens,
     ceil(chars/4) BPE estimate (reference F13)."""
     return token_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (exact / MinHash-LSH / n-gram Jaccard / SimHash) — the
+# training-data-pipeline operators (BASELINE.json) + reference J5 analog
+# ---------------------------------------------------------------------------
+
+from mnemo_spark.functions.text import shingles, token_estimate, tokens  # noqa: E402
+from mnemo_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_band_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from mnemo_spark.operators.textquality import fingerprint_mink, quality_scores  # noqa: E402
+
+_PFX = P.DEDUP_PREFIX_TOKENS
+_PFX_COLS = ", ".join(f"toks[{i}]" for i in range(1, _PFX + 1))
+
+
+@query(
+    "exact_dedup_prefix",
+    f"""
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    k AS (SELECT doc_id, md5(concat_ws(' ', {_PFX_COLS})) AS content_md5 FROM tok)
+    SELECT content_md5, min(doc_id) AS keep_id, count(*) AS dup_count,
+           string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id) AS member_ids
+    FROM k GROUP BY content_md5 HAVING count(*) > 1
+    """,
+)
+def exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (SURVEY: hash-groupBy dedup), keyed
+    on the first-5-token prefix so the synthetic corpus yields groups.
+    One groupBy shuffle on the md5 key — uniform distribution at any
+    scale."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "_pfx", F.concat_ws(" ", F.slice(tokens("text"), 1, _PFX))
+    )
+    out = exact_dedup(keyed, id_col="doc_id", text_col="_pfx")
+    return out.select(
+        "content_md5",
+        "keep_id",
+        "dup_count",
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), "|").alias(
+            "member_ids"
+        ),
+    )
+
+
+_MINHASH_R = P.MINHASH_NUM // P.MINHASH_BANDS
+
+
+@query(
+    "minhash_near_dup_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - {P.JACCARD_SHINGLE_K - 2}, 1)),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
+           FROM tok),
+    e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    seeded AS (SELECT doc_id, t.seed, md5(concat(s, '#', t.seed::VARCHAR)) AS h
+               FROM e, range(0, {P.MINHASH_NUM}) t(seed)),
+    sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    band AS (SELECT doc_id, CAST(seed // {_MINHASH_R} AS INT) AS band,
+                    md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+             FROM sig GROUP BY doc_id, CAST(seed // {_MINHASH_R} AS INT)),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, count(*) AS n_bands FROM pairs GROUP BY id_a, id_b
+    """,
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (shingle → minhash → band →
+    bucket-join): only co-banded docs are ever compared — the 100-TB
+    dedup path. Hash family: lexicographic min of md5(shingle#seed)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_band_pairs(
+        docs, P.MINHASH_NUM, P.MINHASH_BANDS, P.JACCARD_SHINGLE_K
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - {P.JACCARD_SHINGLE_K - 2}, 1)),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
+           FROM tok),
+    e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM e a JOIN e b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard via inverted-index self-join (never a
+    cross product); finds the corpus's planted near-duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, 0.5, P.JACCARD_SHINGLE_K)
+
+
+@query(
+    "simhash_docs",
+    """
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+                 FROM documents),
+    b AS (SELECT doc_id, p.i,
+                 CASE WHEN substr(md5(t), p.i, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END AS c
+          FROM tok, range(1, 17) p(i)),
+    agg AS (SELECT doc_id, i, sum(c) AS s FROM b GROUP BY doc_id, i)
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+    FROM agg GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit tf-weighted SimHash signature per doc; near-dups collide
+    on the signature (91 collision groups in this corpus)."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_scores_docs",
+    r"""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             len(text) AS n_chars_m,
+             len(text) - len(translate(text, '.,!?;:''"()[]{}', '')) AS punct
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_chars_m, len(toks) AS n_tokens, punct,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS stop_hits,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_tok
+      FROM s),
+    r AS (
+      SELECT doc_id, n_chars_m, n_tokens,
+             CASE WHEN n_chars_m > 0 THEN CAST(punct AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+             mean_tok
+      FROM m)
+    SELECT doc_id, n_chars_m, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(mean_tok, 6) AS mean_token_len,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 5.0, 1.0) * 0.3
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+                 + CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.1,
+                 6) AS quality
+    FROM r
+    """,
+)
+def quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality gate: length/punct/stopword features +
+    composite score (pipeline text-analysis operator)."""
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "fingerprint_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - {P.JACCARD_SHINGLE_K - 2}, 1)),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
+           FROM tok),
+    h AS (SELECT doc_id, list_distinct(list_transform(shs, s -> md5(s))) AS hs FROM sh)
+    SELECT doc_id,
+           array_to_string(list_slice(list_sort(hs), 1, {P.FINGERPRINT_K}), '|') AS fingerprint
+    FROM h
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k document fingerprint: k smallest md5(shingle) values —
+    winnowing-family sketch, order-stable across engines."""
+    return fingerprint_mink(
+        _t(spark, sf_dir, "documents"), P.FINGERPRINT_K, P.JACCARD_SHINGLE_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph expansion, budgets, as-of, profiles, rollup/pivot, multimodal
+# (J3/J7, W8/W9, P2, A2/A8, streaming-batch analogs, binary plumbing)
+# ---------------------------------------------------------------------------
+
+from mnemo_spark.operators.graph import expand  # noqa: E402
+from mnemo_spark.operators.window_ops import (  # noqa: E402
+    evidence_budget_prefix,
+    token_budget_pack,
+)
+
+
+@query(
+    "graph_expand_2hop",
+    """
+    WITH e AS (
+      SELECT 'n' || c_nationkey::VARCHAR AS src, 'c' || c_custkey::VARCHAR AS dst
+      FROM customer
+      UNION ALL
+      SELECT 'c' || o_custkey::VARCHAR, 'o' || o_orderkey::VARCHAR FROM orders),
+    seeds AS (SELECT 'n' || n_nationkey::VARCHAR AS id FROM nation WHERE n_regionkey = 0),
+    h0 AS (SELECT id, 0 AS hop FROM seeds),
+    h1 AS (SELECT DISTINCT e.dst AS id, 1 AS hop FROM e JOIN h0 ON e.src = h0.id),
+    h2 AS (SELECT DISTINCT e.dst AS id, 2 AS hop FROM e JOIN h1 ON e.src = h1.id),
+    u AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+    SELECT id, min(hop) AS hop, round(pow(0.5, min(hop)), 6) AS score
+    FROM u GROUP BY id
+    """,
+)
+def graph_expand_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS with 0.5/hop decay and min-hop dedup (SURVEY J3 — the
+    reference's relations expansion) over a derived nation→customer→
+    order edge list. Each hop is one equi-join; at scale edges are
+    pre-partitioned by src so hops co-locate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("dst"),
+    )
+    e2 = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    seeds = n.filter(F.col("n_regionkey") == 0).select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id")
+    )
+    return expand(e1.unionByName(e2), seeds, hops=2, decay=0.5)
+
+
+@query(
+    "evidence_budget_docs",
+    f"""
+    WITH {_BM25_CTES},
+    ranked AS (SELECT doc_id, bm25,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+               FROM scored),
+    cum AS (SELECT doc_id, bm25, rank,
+                   coalesce(sum(bm25) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cb
+            FROM ranked)
+    SELECT doc_id, bm25, rank FROM cum
+    WHERE cb < {P.EVIDENCE_BAR} AND rank <= {P.EVIDENCE_MAX}
+    """,
+)
+def evidence_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-budget prefix (SURVEY W8, query/evidence.rs): smallest
+    ranked prefix whose cumulative sufficiency reaches the bar; the
+    documented invariant — a prefix, never a reorder."""
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, P.BM25_QUERY_TERMS, 10**9, k1=P.BM25_K1, b=P.BM25_B)
+    return evidence_budget_prefix(ranked, "bm25", P.EVIDENCE_BAR, P.EVIDENCE_MAX)
+
+
+@query(
+    "token_budget_pack_docs",
+    f"""
+    WITH {_BM25_CTES},
+    ranked AS (SELECT s.doc_id, s.bm25,
+                      row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS rank,
+                      CAST(ceil(d.n_chars / 4.0) AS BIGINT) AS est_tokens
+               FROM scored s JOIN documents d USING (doc_id)),
+    cum AS (SELECT *, sum(est_tokens) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+            FROM ranked)
+    SELECT doc_id, bm25, rank, est_tokens FROM cum WHERE ct <= {P.TOKEN_BUDGET}
+    """,
+)
+def token_budget_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained-evidence packing (SURVEY W9, query/retained.rs): ranked
+    prefix under a token budget, cost = ceil(chars/4)."""
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, P.BM25_QUERY_TERMS, 10**9, k1=P.BM25_K1, b=P.BM25_B).join(
+        docs.select("doc_id", token_estimate(F.col("n_chars").cast("string")).alias("_x"),
+                    F.ceil(F.col("n_chars") / 4).cast("long").alias("est_tokens")),
+        "doc_id",
+    ).drop("_x")
+    return token_budget_pack(ranked, "est_tokens", P.TOKEN_BUDGET).select(
+        "doc_id", "bm25", "rank", "est_tokens"
+    )
+
+
+@query(
+    "as_of_user_state",
+    f"""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value, max(ts) AS last_ts
+    FROM events WHERE ts <= TIMESTAMP '{P.AS_OF_TS}'
+    GROUP BY user_id
+    """,
+)
+def as_of_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (`as_of`) state reconstruction (SURVEY P2/T5):
+    per-user aggregate of only the events visible at T."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") <= F.lit(P.AS_OF_TS).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "profile_stats_users",
+    """
+    SELECT user_id, count(*) AS total_events,
+           round(sum(value), 2) AS total_value,
+           sum(len(props)) AS total_props_length,
+           count(DISTINCT event_type) AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def profile_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-profile rolling stats (SURVEY A2: avg importance / content
+    length / totals per agent), recomputed as one batch aggregation."""
+    e = _t(spark, sf_dir, "events")
+    # sums not averages: the corpus's 2-decimal values averaged over a
+    # power-of-two count land EXACTLY on round-half boundaries where
+    # engine rounding diverges; sums are boundary-safe at 2dp
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("total_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.length("props")).cast("long").alias("total_props_length"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (region → nation → grand total) —
+    the OLAP cube surface the reference lacks but Spark gives free."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           round(sum(value) FILTER (event_type = 'click'), 2)    AS click,
+           round(sum(value) FILTER (event_type = 'error'), 2)    AS error,
+           round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+           round(sum(value) FILTER (event_type = 'signup'), 2)   AS signup,
+           round(sum(value) FILTER (event_type = 'view'), 2)     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) on event_type with per-user value sums."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out
+
+
+@query(
+    "tumbling_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch analog of the Structured
+    Streaming windowed agg in mnemo_spark.streaming; SURVEY §2.7)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque bytes + typed
+    metadata (byte length, content digest, fixed-size chunk count) —
+    the schema/partitioning layer under the decode/feature UDFs in
+    operators.multimodal (which stub the actual codecs)."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        # sha over the text (UTF-8) — DuckDB 1.0 lacks sha256(BLOB)
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.ceil(F.octet_length(blob) / F.lit(256.0)).cast("long").alias("n_chunks"),
+    )
+
+
+@query(
+    "conflict_composite_events",
+    f"""
+    WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+    s AS (SELECT e.event_id, e.event_type, e.value,
+                 ((epoch_us(mx.now_ts) - epoch_us(e.ts)) / 1000000.0) / 3600.0 AS age_h
+          FROM events e CROSS JOIN mx)
+    SELECT event_id,
+           round(0.3 * (CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 0.9
+                        WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.4 ELSE 0.2 END)
+                 + 0.2 * pow(2.0, -age_h / {P.DECAY_HALF_LIFE_HOURS})
+                 + 0.2 * least(ln(1.0 + value) / 5.0, 1.0)
+                 + 0.2 * 0.5
+                 + 0.1 * 0.0, 6) AS evidence_score
+    FROM s
+    """,
+)
+def conflict_composite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict-evidence composite (SURVEY A8, query/conflict.rs:45-80):
+    0.3·source_reliability + 0.2·recency + 0.2·usage + 0.2·importance
+    + 0.1·similarity, with the reliability CASE lookup."""
+    e = _t(spark, sf_dir, "events")
+    now = e.agg(F.max("ts").alias("now_ts"))
+    j = e.crossJoin(F.broadcast(now))
+    age_h = (
+        (F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col("ts"))).cast("double")
+        / F.lit(1.0e6)
+    ) / F.lit(3600.0)
+    reliability = (
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .when(F.col("event_type") == "signup", 0.9)
+        .when(F.col("event_type") == "click", 0.5)
+        .when(F.col("event_type") == "view", 0.4)
+        .otherwise(0.2)
+    )
+    usage = F.least(F.log1p(F.col("value")) / F.lit(5.0), F.lit(1.0))
+    recency = F.pow(F.lit(2.0), -age_h / F.lit(P.DECAY_HALF_LIFE_HOURS))
+    return j.select(
+        "event_id",
+        F.round(
+            0.3 * reliability + 0.2 * recency + 0.2 * usage + 0.2 * F.lit(0.5)
+            + 0.1 * F.lit(0.0),
+            6,
+        ).alias("evidence_score"),
+    )
+
+
+@query(
+    "assign_chain_events",
+    """
+    WITH h AS (
+      SELECT user_id, ts, event_id,
+             sha256(concat_ws('|', event_id::VARCHAR, event_type,
+                              CAST(value AS DECIMAL(18,2))::VARCHAR)) AS ch
+      FROM events),
+    arr AS (SELECT user_id, list(ch ORDER BY ts, event_id) AS hashes,
+                   list(event_id ORDER BY ts, event_id) AS ids
+            FROM h GROUP BY user_id),
+    idx AS (SELECT user_id, hashes, ids,
+                   unnest(range(1, len(hashes) + 1)) AS i
+            FROM arr),
+    expanded AS (
+      SELECT user_id, ids[i] AS event_id,
+             CASE WHEN i = 1 THEN ''
+                  ELSE list_reduce(list_prepend('', list_slice(hashes, 1, i - 1)),
+                                   (acc, x) -> sha256(concat(x, acc))) END AS prev_hash,
+             list_reduce(list_prepend('', list_slice(hashes, 1, i)),
+                         (acc, x) -> sha256(concat(x, acc))) AS chain_hash
+      FROM idx)
+    SELECT user_id, event_id, prev_hash, chain_hash FROM expanded
+    """,
+)
+def assign_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row hash-chain assignment (SURVEY W7, remember.rs:100-111):
+    the one inherently sequential operator — applyInPandas per user
+    partition, parallel across users. Oracle: per-row prefix folds."""
+    from mnemo_spark.operators.chain import assign_chain
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("decimal(18,2)").cast("string"),
+            ),
+            256,
+        ).alias("ch"),
+    )
+    return assign_chain(e, ["user_id"], ["ts", "event_id"], "ch").select(
+        "user_id", "event_id", "prev_hash", "chain_hash"
+    )

@@ -24,6 +24,21 @@ EXPECT_NONEMPTY = {
     "decay_scores_events",
     "lang_id_docs",
     "token_stats_docs",
+    "exact_dedup_prefix",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "quality_scores_docs",
+    "fingerprint_docs",
+    "graph_expand_2hop",
+    "evidence_budget_docs",
+    "as_of_user_state",
+    "profile_stats_users",
+    "rollup_revenue",
+    "pivot_event_values",
+    "tumbling_event_counts",
+    "multimodal_binary_meta",
+    "conflict_composite_events",
+    "assign_chain_events",
 }
 
 
