@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "graph_expand_2hop",
     "assign_chain_events",
     "rollup_revenue",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
 ]
 
 

@@ -1230,3 +1230,10 @@ def assign_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_chain(e, ["user_id"], ["ts", "event_id"], "ch").select(
         "user_id", "event_id", "prev_hash", "chain_hash"
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered query modules (import side effect populates QUERIES/ORACLE)
+# ---------------------------------------------------------------------------
+
+from mnemo_spark import queries_tpch  # noqa: E402,F401

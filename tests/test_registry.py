@@ -39,6 +39,17 @@ EXPECT_NONEMPTY = {
     "multimodal_binary_meta",
     "conflict_composite_events",
     "assign_chain_events",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "json_props_metadata",
 }
 
 
