@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "hash_bag_embedding_docs",
+    "ivf_ann_topk",
+    "cosine_near_dup_embeddings",
 ]
 
 

@@ -158,3 +158,61 @@ def knn_label_vote(
         .filter(F.col("_rn") == 1)
         .select(query_id, F.col(label_col).alias("pred_label"), "votes")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    next to sign-LSH.
+
+    Build: every corpus vector is assigned to its nearest centroid
+    (one broadcast join against the small centroid set — the
+    "inverted list"). Probe: each query scores only vectors in its
+    nprobe nearest cells. At 100 TB the corpus is written partitioned
+    by cell id, so a probe touches nprobe partitions and the
+    crossJoin never materializes.
+
+    Centroids here come from a deterministic seed set (k-means would
+    drift between engines; the reference's HNSW is equally an
+    approximation choice, SURVEY §4).
+    """
+    cw = Window.partitionBy(corpus_id).orderBy(F.desc("_cs"), F.asc(cent_id))
+    assign = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("_cs", cosine(F.col(corpus_vec), F.col(cent_vec)))
+        .withColumn("_rn", F.row_number().over(cw))
+        .filter(F.col("_rn") == 1)
+        .select(corpus_id, cent_id)
+    )
+    qw = Window.partitionBy(query_id).orderBy(F.desc("_cs"), F.asc(cent_id))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_cs", cosine(F.col(query_vec), F.col(cent_vec)))
+        .withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id, cent_id, query_vec)
+    )
+    cand = assign.join(F.broadcast(probes), cent_id).join(corpus, corpus_id)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        cand.select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(cosine(F.col(corpus_vec), F.col(query_vec)), ROUND_DP).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

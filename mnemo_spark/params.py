@@ -61,3 +61,12 @@ FINGERPRINT_K = 5
 EVIDENCE_BAR = 8.0
 EVIDENCE_MAX = 15
 TOKEN_BUDGET = 400
+
+# IVF ANN (deterministic seed centroids — kmeans would drift between
+# engines; approximation choice per SURVEY §4)
+IVF_CENTROID_IDS = list(range(20, 28))
+IVF_NPROBE = 2
+
+# embedding near-dup (within-label cosine: max .475, p99 .295 on the
+# synthetic corpus — .28 keeps a small true-positive set)
+COSINE_DUP_THRESHOLD = 0.28

@@ -1,0 +1,123 @@
+"""Embedding-pipeline queries: deterministic hash-bag embedder (F5),
+IVF approximate ANN (J6 scale path #2), and embedding-cosine
+near-duplicate pairs (J5 — the reference's conflict candidate
+detection, query/conflict.rs:84-151).
+
+Together with vector_topk / ann_lsh_topk / knn_label_vote in the core
+registry these cover the similarity-search surface end to end:
+exact brute force → sign-LSH → IVF, plus the embedder that produces
+vectors in the first place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mnemo_spark import params as P
+from mnemo_spark.functions.embedder import hash_bag_embedding
+from mnemo_spark.operators.vector import cosine_pairs, ivf_topk
+from mnemo_spark.registry import _t, query
+
+_QIDS = ", ".join(str(i) for i in P.VECTOR_QUERY_IDS)
+_CIDS = ", ".join(str(i) for i in P.IVF_CENTROID_IDS)
+
+_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+_COS_RAW = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "hash_bag_embedding_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+                 FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+          FROM tok),
+    cnt AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+    n AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id, cnt.bucket, round(cnt.c / n.l2, 6) AS weight
+    FROM cnt JOIN n USING (doc_id)
+    """,
+)
+def hash_bag_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bag embedding (SURVEY F5,
+    embedding/mod.rs:68-114): md5-prefix token buckets, L2-normalized,
+    sparse long form — the engine's reproducible fallback embedder."""
+    return hash_bag_embedding(
+        _t(spark, sf_dir, "documents"), P.EMBEDDING_DIM, "doc_id", "text"
+    )
+
+
+@query(
+    "ivf_ann_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings WHERE vec_id IN ({_CIDS})),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT c.vec_id, cent.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_COS_RAW.format(a='c.v', b='cent.cvec')} DESC,
+                                           cent.cent_id) AS rn
+        FROM c CROSS JOIN cent)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN ({_QIDS})),
+    probe AS (
+      SELECT query_id, cent_id, qv FROM (
+        SELECT q.query_id, cent.cent_id, q.qv,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS_RAW.format(a='q.qv', b='cent.cvec')} DESC,
+                                           cent.cent_id) AS rn
+        FROM q CROSS JOIN cent)
+      WHERE rn <= {P.IVF_NPROBE}),
+    s AS (SELECT p.query_id, a.vec_id,
+                 {_COS.format(a='c.v', b='p.qv')} AS cos_sim
+          FROM probe p JOIN assign a USING (cent_id) JOIN c ON c.vec_id = a.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rank FROM s)
+    WHERE rank <= {P.VECTOR_TOPK}
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN (SURVEY J6 scale path): nearest-centroid
+    cell assignment + nprobe-cell probing — at scale the corpus is
+    partitioned by cell so probes prune I/O, not just compute."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(P.VECTOR_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids = emb.filter(F.col("vec_id").isin(P.IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return ivf_topk(emb, queries, centroids, P.IVF_NPROBE, P.VECTOR_TOPK)
+
+
+@query(
+    "cosine_near_dup_embeddings",
+    f"""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a='a.v', b='b.v')} AS cos_sim
+    FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.v', b='b.v')} >= {P.COSINE_DUP_THRESHOLD}
+    """,
+)
+def cosine_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (SURVEY J5,
+    query/conflict.rs:84-151): same-group self-join — the reference
+    scopes to same agent; here the label column bounds the quadratic
+    term exactly the way agent_id does at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(
+        emb, P.COSINE_DUP_THRESHOLD, "vec_id", "embedding", group_col="label"
+    )

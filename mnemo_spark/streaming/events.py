@@ -1,0 +1,107 @@
+"""Structured Streaming event ingest (SURVEY §2.7, T1/T7).
+
+The reference appends audit events request-by-request
+(remember.rs:212-257) with no continuous operators. The Spark-native
+form is a file/queue stream → event-time windowed aggregations with
+watermarks → append sinks; the same transformations run identically
+on a batch DataFrame (tumbling_event_counts in the registry is the
+batch twin, which is how the oracle gate covers the logic).
+
+Scale notes: watermark bounds state; window aggs shuffle on
+(window, key) — at 1000 executors keep `spark.sql.shuffle.partitions`
+sized to cores and let AQE coalesce. The per-user hash chain (W7)
+would run in foreachBatch so each micro-batch extends chains
+sequentially per user while users parallelize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ts is read as epoch-nanos LONG: the driver's events.parquet carries
+# TIMESTAMP(NANOS), which Spark 4 surfaces as long under
+# spark.sql.legacy.parquet.nanosAsLong (see io.load_table)
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    One file per micro-batch by default (maxFilesPerTrigger=1) so
+    tests exercise multi-batch accumulation. ts arrives as epoch
+    nanos; truncated to a µs timestamp exactly like the batch loader.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based) — the streaming twin of
+    the batch sessionize operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str) -> None:
+    """Drain everything currently available into an in-memory table
+    (complete mode) and stop — the batch-equivalence harness used by
+    tests; production would use an append sink + checkpointLocation.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,87 @@
+"""Multimodal plumbing + Structured Streaming tests.
+
+Multimodal: the mapInPandas decode pipeline must have a stable
+schema, deterministic fake features, and loud NotImplementedError for
+real codecs. Streaming: windowed/sessionized streaming aggregations
+must equal their batch twins on the same data (the batch queries are
+oracle-gated, so equality transfers correctness to the stream path).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mnemo_spark.io import load_table, table_path
+from mnemo_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    frame_sample_plan,
+    media_from_documents,
+)
+from mnemo_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+def test_decode_media_schema_and_determinism(media):
+    out = decode_media(media, codec="raw")
+    rows = {r["media_id"]: r for r in out.collect()}
+    again = {r["media_id"]: r for r in decode_media(media, codec="raw").collect()}
+    assert rows.keys() == again.keys() and len(rows) > 0
+    some = next(iter(rows.values()))
+    assert len(some["feature"]) == FEATURE_DIM
+    for mid, r in rows.items():
+        assert r["feature"] == again[mid]["feature"], "decode must be deterministic"
+        if r["n_bytes"] > 0:
+            assert abs(sum(r["feature"]) - 1.0) < 1e-3  # L1-normalized histogram
+
+
+def test_decode_media_real_codec_is_loud(media):
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_media(media, codec="jpeg").collect()
+    with pytest.raises(ValueError):
+        decode_media(media, codec="gif")
+
+
+def test_frame_sample_plan_shape(media):
+    frames = frame_sample_plan(media, every_n=10)
+    rows = frames.collect()
+    assert rows, "video rows should expand to frame stubs"
+    assert all(r["frame_no"] % 10 == 0 for r in rows)
+    assert all(r["byte_offset"] == r["frame_no"] * 256 for r in rows)
+
+
+def test_windowed_stream_equals_batch(spark, sf_dir, tmp_path):
+    # stream source needs a directory; stage the events file into one
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-0.parquet")
+
+    stream = read_event_stream(spark, str(src))
+    assert stream.isStreaming
+    run_available_now(windowed_counts(stream, "1 hour"), "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want

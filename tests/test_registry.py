@@ -50,6 +50,9 @@ EXPECT_NONEMPTY = {
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "json_props_metadata",
+    "hash_bag_embedding_docs",
+    "ivf_ann_topk",
+    "cosine_near_dup_embeddings",
 }
 
 
