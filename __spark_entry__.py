@@ -26,10 +26,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: weighted-RRF hybrid retrieval (BM25 lane fused
-    with a ranking lane) over the documents corpus — the reference's
-    headline `recall` path re-expressed relationally."""
-    return registry.QUERIES["rrf_hybrid_docs"](spark, SMOKE_SF_DIR)
+    """Flagship query: full hybrid recall — BM25 + sparse-embedding
+    cosine + prior lanes, weighted RRF fusion, trust-policy
+    down-weighting, top-k — the reference's headline `recall` path
+    end to end (SURVEY §3.1), re-expressed relationally."""
+    return registry.QUERIES["hybrid_recall_docs"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

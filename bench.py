@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "hash_bag_embedding_docs",
     "ivf_ann_topk",
     "cosine_near_dup_embeddings",
+    "decay_pass_events",
+    "ttl_sweep_events",
+    "dedup_clusters_docs",
+    "causality_trace_events",
+    "hybrid_recall_docs",
 ]
 
 

@@ -70,3 +70,15 @@ IVF_NPROBE = 2
 # embedding near-dup (within-label cosine: max .475, p99 .295 on the
 # synthetic corpus — .28 keeps a small true-positive set)
 COSINE_DUP_THRESHOLD = 0.28
+
+# lifecycle decay pass (rate per hour; 30-day event corpus → ages up
+# to ~720h, exp(-0.002*720) ≈ 0.24 at the tail)
+DECAY_RATE = 0.002
+ARCHIVE_BELOW = 0.3
+FORGET_BELOW = 0.1
+
+# flagship hybrid recall (trust set: even-numbered sources trusted —
+# exercises P4 fail-closed down-weighting on a ~half split)
+RECALL_WEIGHTS = {"bm25": 6.0, "embed": 3.0, "length": 1.0}
+RECALL_LIMIT = 20
+TRUSTED_SOURCES = [f"src{i}" for i in range(0, 20, 2)]

@@ -1,0 +1,127 @@
+"""The flagship `recall` query: the reference's hybrid retrieval
+(SURVEY §3.1) re-expressed as one relational pipeline.
+
+Reference path (recall.rs:332-737): candidate lanes (vector ANN,
+BM25, recency) → weighted RRF fusion → trust-policy down-weighting →
+sort + truncate. Here, over the documents corpus:
+
+  lane 1  BM25 lexical relevance        (A6, replaces Tantivy)
+  lane 2  sparse hash-bag cosine        (J6 over F5 embeddings —
+          the deterministic-embedder semantic lane)
+  lane 3  doc-length prior              (stands in for recency: the
+          corpus has no timestamp column)
+  fuse    weighted RRF, tuned weights   (A1, retrieval.rs:7-29)
+  trust   ×0.1 for untrusted sources    (P4, retrieval.rs:232-420,
+          fail-closed on unknown provenance)
+  rank    score desc, id asc, limit     (W1)
+
+Scale: each lane is one aggregation over the corpus; fusion is a
+union + groupBy on doc_id; nothing is quadratic and no lane
+materializes more than |corpus| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mnemo_spark import params as P
+from mnemo_spark.functions.embedder import hash_bag_embedding
+from mnemo_spark.operators.bm25 import bm25_score
+from mnemo_spark.operators.rrf import rrf_fuse
+from mnemo_spark.registry import _BM25_CTES, _t, query
+
+_QTERMS_SQL = ", ".join(f"'{t}'" for t in P.BM25_QUERY_TERMS)
+_TRUSTED_SQL = ", ".join(f"'{s}'" for s in P.TRUSTED_SOURCES)
+
+
+def _query_vector(spark: SparkSession) -> DataFrame:
+    """Hash-bag embedding of the query string itself (one sparse
+    vector, broadcast into the cosine lane)."""
+    qdf = spark.createDataFrame(
+        [(0, " ".join(P.BM25_QUERY_TERMS))], ["qid", "text"]
+    )
+    return hash_bag_embedding(qdf, P.EMBEDDING_DIM, "qid", "text").select(
+        "bucket", F.col("weight").alias("qw")
+    )
+
+
+@query(
+    "hybrid_recall_docs",
+    f"""
+    WITH {_BM25_CTES},
+      -- lane 2: sparse cosine against the hash-bag query vector
+      dtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+               FROM documents),
+      db AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+             FROM dtok),
+      dcnt AS (SELECT doc_id, bucket, count(*) AS c FROM db GROUP BY doc_id, bucket),
+      dn AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM dcnt GROUP BY doc_id),
+      dvec AS (SELECT dcnt.doc_id, dcnt.bucket, round(dcnt.c / dn.l2, 6) AS weight
+               FROM dcnt JOIN dn USING (doc_id)),
+      qtok AS (SELECT unnest([{_QTERMS_SQL}]) AS t),
+      qb AS (SELECT CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+             FROM qtok),
+      qcnt AS (SELECT bucket, count(*) AS c FROM qb GROUP BY bucket),
+      qn AS (SELECT sqrt(sum(c * c)) AS l2 FROM qcnt),
+      qvec AS (SELECT bucket, round(c / l2, 6) AS qw FROM qcnt CROSS JOIN qn),
+      cos AS (SELECT d.doc_id, sum(d.weight * q.qw) AS score
+              FROM dvec d JOIN qvec q USING (bucket) GROUP BY d.doc_id),
+      -- ranked lanes (deterministic tiebreak: rounded score desc, id asc)
+      lane_bm25 AS (SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS r
+                    FROM scored),
+      lane_cos AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r
+                   FROM cos),
+      lane_len AS (SELECT doc_id, row_number() OVER (ORDER BY round(n_chars, 6) DESC, doc_id) AS r
+                   FROM documents),
+      contribs AS (
+        SELECT doc_id, {P.RECALL_WEIGHTS['bm25']} / ({P.RRF_K} + r) AS c FROM lane_bm25
+        UNION ALL
+        SELECT doc_id, {P.RECALL_WEIGHTS['embed']} / ({P.RRF_K} + r) AS c FROM lane_cos
+        UNION ALL
+        SELECT doc_id, {P.RECALL_WEIGHTS['length']} / ({P.RRF_K} + r) AS c FROM lane_len),
+      fused AS (SELECT doc_id, round(sum(c), 6) AS rrf_score FROM contribs GROUP BY doc_id),
+      -- trust policy: unknown/untrusted provenance down-weighted 10x
+      adj AS (SELECT f.doc_id,
+                     round(f.rrf_score
+                           * CASE WHEN d.source IN ({_TRUSTED_SQL}) THEN 1.0 ELSE 0.1 END,
+                           6) AS score
+              FROM fused f JOIN documents d USING (doc_id))
+    SELECT doc_id, score, rank
+    FROM (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM adj)
+    WHERE rank <= {P.RECALL_LIMIT}
+    """,
+)
+def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship hybrid recall: BM25 + sparse-embedding-cosine +
+    length-prior lanes, weighted RRF, trust down-weighting, top-k —
+    the reference's `recall(strategy=hybrid)` end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    dvec = hash_bag_embedding(docs, P.EMBEDDING_DIM, "doc_id", "text")
+    qvec = _query_vector(spark)
+    cos_lane = (
+        dvec.join(F.broadcast(qvec), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("score"))
+    )
+    lanes = {
+        "bm25": bm25_score(docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B)
+        .withColumnRenamed("bm25", "score"),
+        "embed": cos_lane,
+        "length": docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+    }
+    fused = rrf_fuse(lanes, P.RECALL_WEIGHTS, P.RRF_K)
+    trust = F.when(F.col("source").isin(*P.TRUSTED_SOURCES), 1.0).otherwise(0.1)
+    adj = (
+        fused.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", F.round(F.col("rrf_score") * trust, 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        adj.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= P.RECALL_LIMIT)
+        .select("doc_id", "score", "rank")
+    )

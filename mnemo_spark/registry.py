@@ -1236,4 +1236,9 @@ def assign_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registered query modules (import side effect populates QUERIES/ORACLE)
 # ---------------------------------------------------------------------------
 
-from mnemo_spark import queries_embed, queries_tpch  # noqa: E402,F401
+from mnemo_spark import (  # noqa: E402,F401
+    queries_embed,
+    queries_lifecycle,
+    queries_recall,
+    queries_tpch,
+)
