@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mnemo_spark.functions.text import shingles, token_count, token_estimate, tokens
+from mnemo_spark.functions.text import token_count, token_estimate, tokens
 
 ROUND_DP = 6
 
@@ -117,16 +117,10 @@ def fingerprint_mink(
     md5(shingle) values, '|'-joined (a min-k sketch — same family as
     winnowing/rolling-hash fingerprints, order-stable across engines).
     → (id, fingerprint)."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.array_distinct(shingles(tokens(text_col), shingle_k)),
-                    lambda s: F.md5(s),
-                )
-            )
-        ).alias("_h"),
+    from mnemo_spark.operators.dedup import _shingle_rows
+
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k).select(
+        F.col("_id").alias(id_col), F.md5("_sh").alias("_h")
     )
     return sh.groupBy(id_col).agg(
         F.concat_ws(
