@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "dedup_clusters_docs",
     "causality_trace_events",
     "hybrid_recall_docs",
+    "asof_join_events",
+    "window_stats_events",
 ]
 
 

@@ -1,0 +1,365 @@
+"""MnemoSparkEngine — the reference's verb surface (SURVEY §2.9,
+query/mod.rs:268-478) as batch DataFrame programs over one memories
+table.
+
+Design stance (SURVEY §7): ONE store, no sidecar indexes; BM25 and
+cosine are computed relationally per recall batch; every verb is a
+pure DataFrame transformation returning a new memories DataFrame (or
+a result DataFrame), so the engine composes with Delta/Parquet
+persistence at any scale — the tests run it on in-memory frames, a
+cluster runs the same code against partitioned tables.
+
+Verb → reference mapping:
+  remember_batch   remember.rs:67-270   (validate, hash, embed, TTL,
+                                         chain assignment W7)
+  recall           recall.rs:332-737    (P1 filters, lanes, RRF A1,
+                                         top-k W1; strategies exact/
+                                         lexical/semantic/hybrid)
+  forget           forget.rs:14-120     (soft/hard/archive/redact —
+                                         redact preserves hashes)
+  share / visible_to  share.rs, J1      (ACL left-semi visibility)
+  verify_integrity hash.rs:41-102, A9   (recompute chain, report
+                                         first break per agent)
+  run_ttl_sweep    lifecycle.rs:403-553
+  run_decay_pass   lifecycle.rs:108-155
+
+Reads have NO side effects here (the reference's touch/audit writes
+during recall become explicit follow-up jobs — SURVEY §7 "reads with
+side effects are anti-functional").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mnemo_spark.functions.embedder import token_bucket
+from mnemo_spark.functions.text import tokens
+from mnemo_spark.operators.bm25 import bm25_score
+from mnemo_spark.operators.chain import assign_chain, verify_chain
+from mnemo_spark.operators.rrf import rrf_fuse
+
+AGENT_ID_RE = r"^[A-Za-z0-9._-]{1,256}$"  # P7, query/mod.rs:42-61
+
+MEMORY_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("agent_id", StringType(), False),
+        StructField("content", StringType(), True),
+        StructField("memory_type", StringType(), True),  # episodic|semantic|procedural|working
+        StructField("scope", StringType(), True),  # private|shared|public|global
+        StructField("importance", FloatType(), True),
+        StructField("tags", ArrayType(StringType()), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("content_hash", StringType(), True),
+        StructField("prev_hash", StringType(), True),
+        StructField("chain_hash", StringType(), True),
+        StructField("consolidation_state", StringType(), True),
+        StructField("access_count", LongType(), True),
+        StructField("created_at", TimestampType(), True),
+        StructField("expires_at", TimestampType(), True),
+        StructField("deleted_at", TimestampType(), True),
+        StructField("quarantined", StringType(), True),
+    ]
+)
+
+ACL_SCHEMA = StructType(
+    [
+        StructField("memory_id", StringType(), False),
+        StructField("principal_id", StringType(), False),
+        StructField("permission", StringType(), True),
+        StructField("expires_at", TimestampType(), True),
+    ]
+)
+
+_TYPES = ("episodic", "semantic", "procedural", "working")
+_SCOPES = ("private", "shared", "public", "global")
+WORKING_TTL_HOURS = 1  # T3, remember.rs:116-124
+PROCEDURAL_IMPORTANCE_FLOOR = 0.8  # memory.rs:157-173
+
+
+class MnemoSparkEngine:
+    """Batch engine over a memories DataFrame (+ optional ACL frame)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        memories: DataFrame | None = None,
+        acls: DataFrame | None = None,
+        embedding_dim: int = 64,
+    ):
+        self.spark = spark
+        self.memories = (
+            memories
+            if memories is not None
+            else spark.createDataFrame([], MEMORY_SCHEMA)
+        )
+        self.acls = acls if acls is not None else spark.createDataFrame([], ACL_SCHEMA)
+        self.dim = embedding_dim
+
+    # -- write path (remember.rs:67-270) --------------------------------
+
+    def remember_batch(self, rows: DataFrame) -> "MnemoSparkEngine":
+        """Validate → defaults → hash → chain → append.
+
+        rows: (id, agent_id, content, memory_type, scope, importance,
+        tags, created_at[, expires_at]). Invalid agent ids or enum
+        values REJECT the whole batch (fail loud, like the reference's
+        per-request validation).
+        """
+        bad = rows.filter(
+            ~F.col("agent_id").rlike(AGENT_ID_RE)
+            | ~F.col("memory_type").isin(*_TYPES)
+            | ~F.col("scope").isin(*_SCOPES)
+            | (F.col("importance") < 0)
+            | (F.col("importance") > 1)
+        )
+        first_bad = bad.limit(1).collect()
+        if first_bad:
+            raise ValueError(f"invalid memory row: {first_bad[0].asDict()}")
+
+        with_defaults = (
+            rows.withColumn(
+                # procedural floor (memory.rs:157-173)
+                "importance",
+                F.when(
+                    (F.col("memory_type") == "procedural")
+                    & (F.col("importance") < PROCEDURAL_IMPORTANCE_FLOOR),
+                    F.lit(PROCEDURAL_IMPORTANCE_FLOOR),
+                ).otherwise(F.col("importance")).cast("float"),
+            )
+            .withColumn(
+                # working-tier auto-TTL (T3)
+                "expires_at",
+                F.coalesce(
+                    F.col("expires_at") if "expires_at" in rows.columns else F.lit(None).cast("timestamp"),
+                    F.when(
+                        F.col("memory_type") == "working",
+                        F.col("created_at") + F.expr(f"INTERVAL {WORKING_TTL_HOURS} HOUR"),
+                    ),
+                ),
+            )
+            .withColumn(
+                # F1: sha256(content|agent|ts)
+                "content_hash",
+                F.sha2(
+                    F.concat_ws(
+                        "|", F.col("content"), F.col("agent_id"), F.col("created_at").cast("string")
+                    ),
+                    256,
+                ),
+            )
+            .withColumn("embedding", self._embed(F.col("content")))
+            .withColumn("consolidation_state", F.lit("active"))
+            .withColumn("access_count", F.lit(0).cast("long"))
+            .withColumn("deleted_at", F.lit(None).cast("timestamp"))
+            .withColumn("quarantined", F.lit(None).cast("string"))
+        )
+        # W7: per-agent chain assignment (sequential within agent,
+        # parallel across agents)
+        chained = assign_chain(
+            with_defaults, ["agent_id"], ["created_at", "id"], "content_hash"
+        )
+        new_memories = chained.select(*[f.name for f in MEMORY_SCHEMA.fields])
+        return MnemoSparkEngine(
+            self.spark,
+            self.memories.unionByName(new_memories, allowMissingColumns=True),
+            self.acls,
+            self.dim,
+        )
+
+    def _embed(self, content):
+        """Dense hash-bag embedding as an expression: token buckets →
+        count vector → L2 normalize, built with JVM-side HOFs over the
+        (short) token array of one row. (The corpus-scale sparse form
+        lives in functions.embedder.)"""
+        toks = tokens(content)
+        buckets = F.transform(toks, lambda t: token_bucket(t, self.dim))
+        counts = F.transform(
+            F.sequence(F.lit(0), F.lit(self.dim - 1)),
+            lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("double"),
+        )
+        l2 = F.sqrt(
+            F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return F.when(
+            l2 > 0,
+            F.transform(counts, lambda x: (x / l2).cast("float")),
+        ).otherwise(F.lit(None).cast("array<float>"))
+
+    # -- visibility (J1) ------------------------------------------------
+
+    def visible_to(self, principal: str, now=None) -> DataFrame:
+        """Owner ∪ public/global scope ∪ live ACL grant — the
+        left-semi ACL join unioned with the ownership filter."""
+        now = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        live = self.memories.filter(
+            F.col("deleted_at").isNull()
+            & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
+            & F.col("quarantined").isNull()
+        )
+        own_or_public = live.filter(
+            (F.col("agent_id") == principal) | F.col("scope").isin("public", "global")
+        )
+        grants = self.acls.filter(
+            (F.col("principal_id") == principal)
+            & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
+        )
+        granted = live.join(
+            grants, live.id == grants.memory_id, "left_semi"
+        )
+        return own_or_public.unionByName(granted).dropDuplicates(["id"])
+
+    def share(self, memory_ids: list[str], principal: str, permission: str = "read",
+              expires_at=None) -> "MnemoSparkEngine":
+        rows = [(m, principal, permission, expires_at) for m in memory_ids]
+        new = self.spark.createDataFrame(rows, ACL_SCHEMA)
+        return MnemoSparkEngine(
+            self.spark, self.memories, self.acls.unionByName(new), self.dim
+        )
+
+    # -- read path (recall.rs:332-737) ----------------------------------
+
+    def recall(
+        self,
+        query: str,
+        principal: str,
+        strategy: str = "hybrid",
+        k: int = 10,
+        now=None,
+        rrf_k: int = 30,
+        weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """→ (id, agent_id, content, score, rank). Permission filter
+        runs BEFORE scoring (the reference's filtered_search contract:
+        permission-safe ANN, SURVEY §4)."""
+        corpus = self.visible_to(principal, now=now)
+        if strategy == "exact":
+            hits = corpus.filter(F.col("content") == query).withColumn(
+                "score", F.lit(1.0)
+            )
+        elif strategy == "lexical":
+            hits = (
+                bm25_score(corpus, query.lower().split(), id_col="id", text_col="content")
+                .withColumnRenamed("bm25", "score")
+                .join(corpus, "id")
+            )
+        elif strategy in ("semantic", "hybrid"):
+            sem = self._semantic_lane(corpus, query)
+            if strategy == "semantic":
+                hits = sem.join(corpus, "id")
+            else:
+                now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+                recency = corpus.select(
+                    "id",
+                    F.pow(
+                        F.lit(2.0),
+                        -(
+                            (F.unix_micros(now_c) - F.unix_micros(F.col("created_at")))
+                            / F.lit(3.6e9)
+                        )
+                        / F.lit(168.0),
+                    ).alias("score"),
+                )
+                lex = bm25_score(
+                    corpus, query.lower().split(), id_col="id", text_col="content"
+                ).withColumnRenamed("bm25", "score")
+                fused = rrf_fuse(
+                    {"semantic": sem.withColumnRenamed("score", "score"),
+                     "lexical": lex, "recency": recency},
+                    weights or {"semantic": 6.0, "lexical": 3.0, "recency": 1.0},
+                    rrf_k,
+                    id_col="id",
+                )
+                hits = fused.withColumnRenamed("rrf_score", "score").join(corpus, "id")
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+
+        w = Window.orderBy(F.desc("score"), F.asc("id"))
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "agent_id", "content", F.round("score", 6).alias("score"), "rank")
+        )
+
+    def _semantic_lane(self, corpus: DataFrame, query: str) -> DataFrame:
+        qdf = self.spark.createDataFrame([(query,)], ["content"])
+        qvec = qdf.select(self._embed(F.col("content")).alias("qv"))
+        joined = corpus.select("id", "embedding").crossJoin(F.broadcast(qvec))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("qv").cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return joined.select("id", dot.alias("score")).filter(
+            F.col("score").isNotNull()
+        )
+
+    # -- forget (forget.rs:14-120) --------------------------------------
+
+    def forget(self, ids: list[str], strategy: str = "soft", now=None) -> "MnemoSparkEngine":
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        hit = F.col("id").isin(ids)
+        if strategy == "hard":
+            mem = self.memories.filter(~hit)
+        elif strategy == "soft":
+            mem = self.memories.withColumn(
+                "deleted_at", F.when(hit, now_c).otherwise(F.col("deleted_at"))
+            )
+        elif strategy == "archive":
+            mem = self.memories.withColumn(
+                "consolidation_state",
+                F.when(hit, "archived").otherwise(F.col("consolidation_state")),
+            )
+        elif strategy == "redact":
+            # GDPR redact: blank content but PRESERVE hashes so the
+            # chain still verifies (integration_test.rs:2684)
+            mem = self.memories.withColumn(
+                "content", F.when(hit, F.lit("[REDACTED]")).otherwise(F.col("content"))
+            ).withColumn(
+                "embedding",
+                F.when(hit, F.lit(None).cast("array<float>")).otherwise(F.col("embedding")),
+            )
+        else:
+            raise ValueError(f"unknown forget strategy {strategy!r}")
+        return MnemoSparkEngine(self.spark, mem, self.acls, self.dim)
+
+    # -- integrity (A9) --------------------------------------------------
+
+    def verify_integrity(self) -> DataFrame:
+        """Recompute each agent's chain from content hashes and diff
+        against stored chain_hash → (agent_id, first break position);
+        empty result = intact."""
+        return verify_chain(
+            self.memories.filter(F.col("content_hash").isNotNull()),
+            ["agent_id"],
+            ["created_at", "id"],
+        )
+
+    # -- lifecycle -------------------------------------------------------
+
+    def run_ttl_sweep(self, now=None) -> "MnemoSparkEngine":
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        return MnemoSparkEngine(
+            self.spark,
+            self.memories.filter(
+                F.col("expires_at").isNull() | (F.col("expires_at") > now_c)
+            ),
+            self.acls,
+            self.dim,
+        )

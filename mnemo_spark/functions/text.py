@@ -54,5 +54,6 @@ def excerpt(col: Column | str, max_chars: int = 120) -> Column:
     """First non-empty line of content, capped at max_chars (F12)."""
     c = F.col(col) if isinstance(col, str) else col
     lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
-    first = F.coalesce(F.element_at(lines, 1), F.lit(""))
+    # F.get is null-safe on empty arrays (element_at throws under ANSI)
+    first = F.coalesce(F.get(lines, 0), F.lit(""))
     return F.substring(first, 1, max_chars)

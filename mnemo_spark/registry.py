@@ -1240,5 +1240,6 @@ from mnemo_spark import (  # noqa: E402,F401
     queries_embed,
     queries_lifecycle,
     queries_recall,
+    queries_text,
     queries_tpch,
 )

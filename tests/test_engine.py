@@ -1,0 +1,158 @@
+"""MnemoSparkEngine verb-surface tests — the reference's integration
+scenarios (crates/mnemo-core/tests/integration_test.rs) re-run
+against the batch engine: write→recall roundtrip, permission-safe
+recall, scope visibility, share + expiry, forget strategies incl.
+redact-preserving-chain, TTL sweep, tamper detection, tier behaviors.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mnemo_spark.engine import MEMORY_SCHEMA, MnemoSparkEngine
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+_ROW_SCHEMA = (
+    "id string, agent_id string, content string, memory_type string, "
+    "scope string, importance float, tags array<string>, created_at timestamp"
+)
+
+
+def _mk_rows(spark, rows):
+    return spark.createDataFrame(rows, _ROW_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = _mk_rows(
+        spark,
+        [
+            ("m1", "alice", "the capital of france is paris", "semantic", "private", 0.9,
+             ["geo"], T0),
+            ("m2", "alice", "paris has a big tower", "episodic", "private", 0.5,
+             ["geo", "travel"], T0 + dt.timedelta(hours=1)),
+            ("m3", "bob", "rust is a systems language", "semantic", "private", 0.7,
+             ["code"], T0),
+            ("m4", "bob", "publicly known spark fact", "semantic", "public", 0.6,
+             ["code"], T0 + dt.timedelta(hours=2)),
+            ("m5", "carol", "scratch note about paris", "working", "private", 0.3,
+             [], T0),
+        ],
+    )
+    return MnemoSparkEngine(spark).remember_batch(rows)
+
+
+def test_write_assigns_hashes_and_chains(engine):
+    mems = {r["id"]: r for r in engine.memories.collect()}
+    assert len(mems) == 5
+    for r in mems.values():
+        assert r["content_hash"] and r["chain_hash"]
+    # chain links within alice: m2.prev = m1.chain
+    assert mems["m2"]["prev_hash"] == mems["m1"]["chain_hash"]
+    assert mems["m1"]["prev_hash"] == ""  # genesis
+    # independent agents have independent chains
+    assert mems["m3"]["prev_hash"] == ""
+
+
+def test_tier_behaviors(engine):
+    mems = {r["id"]: r for r in engine.memories.collect()}
+    # working-tier auto-TTL (T3): 1 hour after creation
+    assert mems["m5"]["expires_at"] == T0 + dt.timedelta(hours=1)
+    assert mems["m1"]["expires_at"] is None
+
+
+def test_procedural_importance_floor(spark):
+    eng = MnemoSparkEngine(spark).remember_batch(
+        _mk_rows(spark, [("p1", "a1", "how to deploy", "procedural", "private", 0.2,
+                          [], T0)])
+    )
+    assert eng.memories.collect()[0]["importance"] >= 0.8
+
+
+def test_validation_rejects_bad_rows(spark):
+    with pytest.raises(ValueError):
+        MnemoSparkEngine(spark).remember_batch(
+            _mk_rows(spark, [("x", "bad agent!", "c", "semantic", "private", 0.5, [], T0)])
+        )
+    with pytest.raises(ValueError):
+        MnemoSparkEngine(spark).remember_batch(
+            _mk_rows(spark, [("x", "ok", "c", "unknown_type", "private", 0.5, [], T0)])
+        )
+
+
+def test_visibility_owner_public_acl(engine):
+    now = T0 + dt.timedelta(minutes=30)
+    # alice sees her own + bob's public memory; not carol's private note
+    ids = {r["id"] for r in engine.visible_to("alice", now=now).collect()}
+    assert "m1" in ids and "m2" in ids and "m4" in ids
+    assert "m3" not in ids and "m5" not in ids
+    # share m3 with alice → visible; expired grant → not visible
+    shared = engine.share(["m3"], "alice", expires_at=now + dt.timedelta(hours=1))
+    assert "m3" in {r["id"] for r in shared.visible_to("alice", now=now).collect()}
+    later = now + dt.timedelta(hours=2)
+    assert "m3" not in {r["id"] for r in shared.visible_to("alice", now=later).collect()}
+
+
+def test_recall_is_permission_safe(engine):
+    now = T0 + dt.timedelta(minutes=30)
+    hits = engine.recall("paris", "alice", strategy="lexical", now=now).collect()
+    assert hits, "lexical recall should hit the paris memories"
+    assert all(r["agent_id"] in ("alice",) or r["id"] == "m4" for r in hits)
+    # bob never sees alice's private paris rows
+    bob_hits = engine.recall("paris", "bob", strategy="lexical", now=now).collect()
+    assert all(r["agent_id"] == "bob" for r in bob_hits)
+
+
+def test_recall_strategies(engine):
+    now = T0 + dt.timedelta(minutes=30)
+    exact = engine.recall("paris has a big tower", "alice", strategy="exact", now=now).collect()
+    assert [r["id"] for r in exact] == ["m2"]
+    sem = engine.recall("paris tower", "alice", strategy="semantic", now=now).collect()
+    assert sem and sem[0]["id"] in ("m1", "m2")
+    hyb = engine.recall("paris tower", "alice", strategy="hybrid", now=now).collect()
+    assert hyb and hyb[0]["score"] > 0
+    with pytest.raises(ValueError):
+        engine.recall("x", "alice", strategy="bogus")
+
+
+def test_forget_strategies(engine):
+    now = T0 + dt.timedelta(minutes=30)
+    soft = engine.forget(["m2"], "soft", now=now)
+    assert "m2" not in {r["id"] for r in soft.visible_to("alice", now=now + dt.timedelta(minutes=1)).collect()}
+    hard = engine.forget(["m2"], "hard")
+    assert hard.memories.filter(F.col("id") == "m2").count() == 0
+    red = engine.forget(["m1"], "redact", now=now)
+    r = red.memories.filter(F.col("id") == "m1").collect()[0]
+    assert r["content"] == "[REDACTED]"
+    assert r["content_hash"] is not None
+    # redact preserves the chain (integration_test.rs:2684)
+    assert red.verify_integrity().filter(F.col("n_breaks") > 0).count() == 0
+
+
+def test_ttl_sweep(engine):
+    later = T0 + dt.timedelta(hours=3)
+    swept = engine.run_ttl_sweep(now=later)
+    assert swept.memories.filter(F.col("id") == "m5").count() == 0
+    assert swept.memories.count() == 4
+
+
+def test_tamper_detection(engine):
+    # flip one content hash → that agent's chain breaks, others intact
+    tampered = engine.memories.withColumn(
+        "content_hash",
+        F.when(F.col("id") == "m1", F.sha2(F.lit("forged"), 256)).otherwise(
+            F.col("content_hash")
+        ),
+    )
+    eng2 = MnemoSparkEngine(engine.spark, tampered, engine.acls)
+    report = {r["agent_id"]: r for r in eng2.verify_integrity().collect()}
+    assert report["alice"]["n_breaks"] > 0
+    assert report["bob"]["n_breaks"] == 0
+    # pristine engine verifies clean
+    clean = engine.verify_integrity()
+    assert clean.filter(F.col("n_breaks") > 0).count() == 0

@@ -58,6 +58,10 @@ EXPECT_NONEMPTY = {
     "dedup_clusters_docs",
     "causality_trace_events",
     "hybrid_recall_docs",
+    "asof_join_events",
+    "window_stats_events",
+    "excerpt_meta_docs",
+    "date_absolutize_events",
 }
 
 
