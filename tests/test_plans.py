@@ -1,0 +1,94 @@
+"""Physical-plan audits: the scale properties the engine claims must
+be visible in the executed plan — filters pushed into the parquet
+scan, dimensions broadcast (no shuffle join against small sides),
+scans pruned to referenced columns, aggregations map-side partial.
+A regression here is a 100-TB performance bug even when results stay
+correct at test scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mnemo_spark.registry import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name):
+        return plan_of(QUERIES[name](spark, sf_dir))
+
+    return get
+
+
+def test_q6_filters_reach_the_scan(plans):
+    p = plans("q6_forecast_revenue")
+    assert "PushedFilters" in p
+    # the shipdate range and quantity bound must be inside the scan
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "l_quantity" in joined
+
+
+def test_q6_scan_prunes_columns(plans):
+    p = plans("q6_forecast_revenue")
+    read = " ".join(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "l_extendedprice" in read
+    # untouched wide columns must NOT be read
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_q5_dimensions_broadcast(plans):
+    p = plans("q5_region_revenue")
+    assert "BroadcastHashJoin" in p
+    # the only sort-merge-worthy join is the fact-fact one
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_q3_broadcasts_customer(plans):
+    p = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q1_aggregation_is_partial(plans):
+    p = plans("q1_pricing_summary")
+    # map-side combine: a partial HashAggregate below the exchange
+    assert "partial_" in p or p.count("HashAggregate") >= 2
+
+
+def test_semi_and_anti_join_shapes(plans):
+    assert "LeftSemi" in plans("semi_join_customers_with_orders")
+    assert "LeftAnti" in plans("anti_join_parts_never_ordered")
+
+
+def test_lsh_ann_joins_on_bucket_not_cross(plans):
+    p = plans("ann_lsh_topk")
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p or "Broadcast" in p
+
+
+def test_minhash_band_join_is_equi(plans):
+    p = plans("minhash_near_dup_pairs")
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    # the relational core must stay inside codegen stages; AQE hides
+    # subtrees pre-execution, so inspect with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in p
+    assert "Found 0" not in p

@@ -1,0 +1,112 @@
+"""VersionedEngine tests: checkpoint lineage, branch visibility,
+point-in-time replay, and the three merge strategies (reference
+checkpoint/branch/merge/replay verbs; SURVEY J8/T5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mnemo_spark.engine import VersionedEngine
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+T1 = T0 + dt.timedelta(hours=1)
+T2 = T0 + dt.timedelta(hours=2)
+
+_ROW_SCHEMA = (
+    "id string, agent_id string, content string, memory_type string, "
+    "scope string, importance float, tags array<string>, created_at timestamp"
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, _ROW_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def versioned(spark):
+    eng = VersionedEngine(spark).remember_on(
+        _rows(
+            spark,
+            [
+                ("m1", "alice", "base fact one", "semantic", "private", 0.9, [], T0),
+                ("m2", "alice", "base fact two", "semantic", "private", 0.8, ["x"], T0),
+            ],
+        ),
+        branch="main",
+    )
+    eng = eng.checkpoint("thread-1", "main", T1)
+    cp1 = eng.latest_checkpoints().collect()[0]["checkpoint_id"]
+    eng = eng.branch(cp1, "feature")
+    eng = eng.remember_on(
+        _rows(
+            spark,
+            [
+                ("m3", "alice", "feature-only fact", "episodic", "private", 0.5, [], T2),
+                ("m4", "alice", "another feature fact", "episodic", "private", 0.4, ["y"], T2),
+            ],
+        ),
+        branch="feature",
+    )
+    return eng, cp1
+
+
+def test_checkpoint_lineage(versioned):
+    eng, cp1 = versioned
+    latest = {r["branch"]: r for r in eng.latest_checkpoints().collect()}
+    assert set(latest) == {"main", "feature"}
+    assert latest["feature"]["parent_id"] == cp1
+    assert eng.ancestry("feature") == ["feature", "main"]
+    assert eng.ancestry("main") == ["main"]
+
+
+def test_branch_visibility(versioned):
+    eng, _ = versioned
+    feat_ids = {r["id"] for r in eng.visible_on_branch("feature").collect()}
+    assert feat_ids == {"m1", "m2", "m3", "m4"}  # inherits main via fork
+    main_ids = {r["id"] for r in eng.visible_on_branch("main").collect()}
+    assert main_ids == {"m1", "m2"}  # feature writes stay off main
+
+
+def test_replay_is_point_in_time(versioned):
+    eng, cp1 = versioned
+    ids = {r["id"] for r in eng.replay(cp1).collect()}
+    assert ids == {"m1", "m2"}  # m3/m4 created after the checkpoint
+    with pytest.raises(ValueError):
+        eng.replay("nope")
+
+
+def test_merge_full(versioned):
+    eng, _ = versioned
+    merged = eng.merge("feature", "main", strategy="full")
+    main_ids = {r["id"] for r in merged.visible_on_branch("main").collect()}
+    assert main_ids == {"m1", "m2", "m3", "m4"}
+
+
+def test_merge_cherry_pick(versioned):
+    eng, _ = versioned
+    merged = eng.merge("feature", "main", strategy="cherry_pick", ids=["m3"])
+    main_ids = {r["id"] for r in merged.visible_on_branch("main").collect()}
+    assert main_ids == {"m1", "m2", "m3"}
+    with pytest.raises(ValueError):
+        eng.merge("feature", "main", strategy="cherry_pick")
+
+
+def test_merge_squash(versioned):
+    eng, _ = versioned
+    merged = eng.merge("feature", "main", strategy="squash", now=T2 + dt.timedelta(hours=1))
+    sq = merged.memories.filter(F.col("id").startswith("squash-")).collect()
+    assert len(sq) == 1
+    assert sq[0]["branch"] == "main"
+    assert sq[0]["memory_type"] == "semantic"
+    # deterministic created_at-ordered concatenation
+    assert sq[0]["content"] == "feature-only fact\nanother feature fact"
+    assert sorted(sq[0]["tags"]) == ["y"]
+    # originals marked consolidated, still on feature
+    states = {
+        r["id"]: r["consolidation_state"]
+        for r in merged.memories.filter(F.col("branch") == "feature").collect()
+    }
+    assert states == {"m3": "consolidated", "m4": "consolidated"}
