@@ -1,0 +1,93 @@
+"""Poisoning defense (reference F17, query/poisoning.rs:1-364 +
+anomaly gate wiring): lexical markers, repetition/self-reference
+heuristics, and per-profile statistical z-checks produce quarantine
+candidates — the MINJA/ASI06 defense surface, generalized to any
+corpus table.
+
+Three signals, one pass each:
+- marker hits: `rlike` over a marker regex (injection phrases).
+- repetition ratio: max token frequency / token count (token-stuffing
+  attacks repeat the payload token).
+- length z-score vs the per-group profile (agent_profiles A2 analog):
+  |len - μ_group| / σ_group.
+
+Scale: profiles are one groupBy over the corpus, broadcast back; the
+signals are projections — the whole gate is two shuffles regardless
+of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.text import tokens
+
+ROUND_DP = 6
+DEFAULT_MARKERS = r"(ignore (all )?previous|disregard .*instructions|system prompt|do not tell)"
+
+
+def poisoning_flags(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    marker_regex: str = DEFAULT_MARKERS,
+    z_threshold: float = 2.0,
+    repetition_threshold: float = 0.2,
+) -> DataFrame:
+    """→ (id, group, marker_hit, repetition_ratio, len_z, flagged).
+
+    flagged = any signal fires — the quarantine candidate set the
+    reference writes back as `quarantined` (replayable, not deleted).
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(text_col).rlike(marker_regex).alias("marker_hit"),
+        F.length(text_col).cast("double").alias("_len"),
+        toks.alias("_toks"),
+    )
+    # max token frequency via explode + two groupBys (map-side combined)
+    tf = (
+        base.select(id_col, F.explode("_toks").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_maxtf"), F.sum("_c").alias("_ntok"))
+    )
+    profile = base.groupBy(group_col).agg(
+        F.avg("_len").alias("_mu"),
+        F.greatest(F.stddev_pop("_len"), F.lit(1e-6)).alias("_sigma"),
+    )
+    joined = (
+        base.drop("_toks")
+        .join(tf, id_col)
+        .join(F.broadcast(profile), group_col)
+        .withColumn(
+            "repetition_ratio",
+            F.round(
+                F.when(F.col("_ntok") > 0, F.col("_maxtf") / F.col("_ntok")).otherwise(
+                    0.0
+                ),
+                ROUND_DP,
+            ),
+        )
+        .withColumn(
+            "len_z",
+            F.round(F.abs(F.col("_len") - F.col("_mu")) / F.col("_sigma"), ROUND_DP),
+        )
+    )
+    return joined.select(
+        id_col,
+        group_col,
+        "marker_hit",
+        "repetition_ratio",
+        "len_z",
+        (
+            F.col("marker_hit")
+            | (F.col("repetition_ratio") > repetition_threshold)
+            | (F.col("len_z") > z_threshold)
+        ).alias("flagged"),
+    )

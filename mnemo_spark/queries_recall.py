@@ -35,15 +35,22 @@ _QTERMS_SQL = ", ".join(f"'{t}'" for t in P.BM25_QUERY_TERMS)
 _TRUSTED_SQL = ", ".join(f"'{s}'" for s in P.TRUSTED_SOURCES)
 
 
-def _query_vector(spark: SparkSession) -> DataFrame:
-    """Hash-bag embedding of the query string itself (one sparse
-    vector, broadcast into the cosine lane)."""
-    qdf = spark.createDataFrame(
-        [(0, " ".join(P.BM25_QUERY_TERMS))], ["qid", "text"]
+def _query_weights() -> dict[int, float]:
+    """Hash-bag embedding of the query string, computed driver-side:
+    the query vector is KNOWN AT PLAN TIME, so it becomes literals in
+    the plan instead of a 1-row DataFrame + broadcast (which costs
+    several Spark jobs per recall). Same bucket hash and rounding as
+    functions.embedder / the SQL twin."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    counts = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % P.EMBEDDING_DIM
+        for t in P.BM25_QUERY_TERMS
     )
-    return hash_bag_embedding(qdf, P.EMBEDDING_DIM, "qid", "text").select(
-        "bucket", F.col("weight").alias("qw")
-    )
+    l2 = math.sqrt(sum(c * c for c in counts.values()))
+    return {b: round(c / l2, 6) for b, c in counts.items()}
 
 
 @query(
@@ -101,11 +108,19 @@ def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's `recall(strategy=hybrid)` end to end."""
     docs = _t(spark, sf_dir, "documents")
     dvec = hash_bag_embedding(docs, P.EMBEDDING_DIM, "doc_id", "text")
-    qvec = _query_vector(spark)
+    qw = _query_weights()
+    qw_col = F.col("bucket")
+    mapped = None
+    for b, w in sorted(qw.items()):
+        mapped = (
+            F.when(qw_col == b, F.lit(w))
+            if mapped is None
+            else mapped.when(qw_col == b, F.lit(w))
+        )
     cos_lane = (
-        dvec.join(F.broadcast(qvec), "bucket")
+        dvec.filter(F.col("bucket").isin(*qw.keys()))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("weight") * F.col("qw")).alias("score"))
+        .agg(F.sum(F.col("weight") * mapped).alias("score"))
     )
     lanes = {
         "bm25": bm25_score(docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B)

@@ -145,3 +145,45 @@ def date_absolutize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_id", absolutize_dates(F.col("text"), F.col("ts")).alias("abs_text")
     )
+
+
+from mnemo_spark.operators.poisoning import poisoning_flags  # noqa: E402
+
+
+@query(
+    "poisoning_flags_docs",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_matches(text, '(ignore (all )?previous|disregard .*instructions|system prompt|do not tell)') AS marker_hit,
+             CAST(len(text) AS DOUBLE) AS l,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    tf AS (
+      SELECT doc_id, max(c) AS maxtf, sum(c) AS ntok
+      FROM (SELECT doc_id, t, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+            GROUP BY doc_id, t)
+      GROUP BY doc_id),
+    prof AS (
+      SELECT source, avg(l) AS mu, greatest(stddev_pop(l), 1e-6) AS sigma
+      FROM base GROUP BY source),
+    j AS (
+      SELECT b.doc_id, b.source, b.marker_hit,
+             round(CASE WHEN tf.ntok > 0 THEN tf.maxtf * 1.0 / tf.ntok ELSE 0.0 END, 6)
+               AS repetition_ratio,
+             round(abs(b.l - p.mu) / p.sigma, 6) AS len_z
+      FROM base b JOIN tf USING (doc_id) JOIN prof p USING (source))
+    SELECT doc_id, source, marker_hit, repetition_ratio, len_z,
+           (marker_hit OR repetition_ratio > 0.2 OR len_z > 2.0) AS flagged
+    FROM j
+    """,
+)
+def poisoning_flags_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisoning defense signals (SURVEY F17, query/poisoning.rs):
+    injection-marker regex, token-repetition ratio, and per-source
+    length z-score vs the A2 profile — union of signals = the
+    quarantine candidate set (MINJA/ASI06 gate, batch form)."""
+    return poisoning_flags(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )

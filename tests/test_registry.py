@@ -62,6 +62,7 @@ EXPECT_NONEMPTY = {
     "window_stats_events",
     "excerpt_meta_docs",
     "date_absolutize_events",
+    "poisoning_flags_docs",
 }
 
 
