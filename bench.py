@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "hybrid_recall_docs",
     "asof_join_events",
     "window_stats_events",
+    "q21_waiting_suppliers",
+    "quantile_stats_lineitem",
+    "poisoning_flags_docs",
 ]
 
 

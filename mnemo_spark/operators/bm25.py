@@ -95,3 +95,63 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "bm25", "rank")
     )
+
+
+def batch_bm25(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qterms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score MANY queries against the corpus in one program.
+
+    The reference serves one query per request (recall.rs); the batch
+    engine's design point is a QUERIES DATAFRAME joined against the
+    corpus: corpus statistics (df, avgdl) are computed ONCE and every
+    query reuses them — per-query marginal cost is one equi-join on
+    term. → (query_id, doc_id, bm25).
+
+    Scale: tokenization + stats are O(corpus) once; the hits join
+    shuffles on term with query-term selectivity, so 10⁴ queries cost
+    barely more than one.
+    """
+    toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
+    lens = toks.select("_id", F.size("_tok").alias("_dl"))
+    stats = lens.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+
+    qterms = queries.select(
+        F.col(qid_col).alias("_qid"), F.explode(qterms_col).alias("_term")
+    ).distinct()
+    all_terms = [r["_term"] for r in qterms.select("_term").distinct().collect()]
+    term_lit = F.array(*[F.lit(t) for t in all_terms])
+
+    hits = toks.select(
+        "_id",
+        F.explode(F.filter("_tok", lambda t: F.array_contains(term_lit, t))).alias("_term"),
+    )
+    tf = hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf"))
+    df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
+
+    return (
+        tf.join(F.broadcast(qterms), "_term")
+        .join(F.broadcast(df_), "_term")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+        .groupBy("_qid", "_id")
+        .agg(F.round(F.sum("_contrib"), ROUND_DP).alias("bm25"))
+        .select(F.col("_qid").alias(qid_col), F.col("_id").alias(id_col), "bm25")
+    )

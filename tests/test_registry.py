@@ -63,6 +63,10 @@ EXPECT_NONEMPTY = {
     "excerpt_meta_docs",
     "date_absolutize_events",
     "poisoning_flags_docs",
+    "q15_top_suppliers",
+    "q16_brand_supplier_counts",
+    "q21_waiting_suppliers",
+    "quantile_stats_lineitem",
 }
 
 
