@@ -1,0 +1,133 @@
+"""Property-style invariants (SURVEY §5 — the reference embeds these
+in its test suite):
+
+- evidence selection is PREFIX-ONLY and never reorders
+  (query/evidence.rs module contract);
+- chain verification catches ANY single-row mutation / deletion /
+  reorder (bench/audit_tamper: 100% detection);
+- RRF fusion is invariant to lane dict order and monotone in rank;
+- MinHash signatures are identical for identical shingle sets.
+
+Hypothesis drives the data; one shared local SparkSession keeps each
+example cheap (examples are small by construction — the properties
+are about SEMANTICS, not scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from mnemo_spark.operators.chain import assign_chain, verify_chain
+from mnemo_spark.operators.rrf import rrf_fuse
+from mnemo_spark.operators.window_ops import evidence_budget_prefix
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+scores = st.lists(
+    st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(scores=scores, bar=st.floats(min_value=0.1, max_value=20.0))
+@SETTINGS
+def test_evidence_budget_is_prefix_only(spark, scores, bar):
+    ranked = spark.createDataFrame(
+        [(i, float(round(s, 3)), i + 1) for i, s in enumerate(
+            sorted(scores, reverse=True)
+        )],
+        "doc_id int, score double, rank int",
+    )
+    out = evidence_budget_prefix(ranked, "score", bar, max_evidence=len(scores))
+    got = [r["rank"] for r in out.orderBy("rank").collect()]
+    # a contiguous 1..k prefix, never a reorder or a gap
+    assert got == list(range(1, len(got) + 1))
+    # prefix is minimal-sufficient: cumulative score of got[:-1] < bar
+    vals = {r["rank"]: r["score"] for r in ranked.collect()}
+    cum = 0.0
+    for rk in got:
+        assert cum < bar  # every selected row was still under the bar
+        cum += vals[rk]
+
+
+chain_rows = st.lists(
+    st.tuples(st.sampled_from(["a1", "a2"]), st.text("abcdef", min_size=1, max_size=6)),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(rows=chain_rows, victim=st.integers(min_value=0, max_value=9))
+@SETTINGS
+def test_chain_detects_any_mutation(spark, rows, victim):
+    df = spark.createDataFrame(
+        [
+            (agent, i, hashlib.sha256(payload.encode()).hexdigest())
+            for i, (agent, payload) in enumerate(rows)
+        ],
+        "agent string, seq int, h string",
+    )
+    chained = assign_chain(df, ["agent"], ["seq"], "h").localCheckpoint(eager=True)
+    clean = verify_chain(chained, ["agent"], ["seq"], "h")
+    assert clean.filter(F.col("n_breaks") > 0).count() == 0
+
+    v = victim % len(rows)
+    victim_agent = rows[v][0]
+    tampered = chained.withColumn(
+        "h",
+        F.when(F.col("seq") == v, F.sha2(F.lit("evil"), 256)).otherwise(F.col("h")),
+    )
+    # skip no-op mutations (payload hash may already equal the forgery
+    # only if sha256(payload)==sha256('evil') — impossible)
+    report = {r["agent"]: r["n_breaks"] for r in
+              verify_chain(tampered, ["agent"], ["seq"], "h").collect()}
+    assert report[victim_agent] > 0
+    for agent, breaks in report.items():
+        if agent != victim_agent:
+            assert breaks == 0
+
+
+@given(
+    lane_scores=st.lists(
+        st.lists(st.floats(min_value=0.1, max_value=5.0), min_size=3, max_size=6),
+        min_size=2,
+        max_size=3,
+    )
+)
+@SETTINGS
+def test_rrf_invariant_to_lane_order(spark, lane_scores):
+    lanes = {}
+    for li, ss in enumerate(lane_scores):
+        lanes[f"lane{li}"] = spark.createDataFrame(
+            [(i, float(round(s, 3))) for i, s in enumerate(ss)],
+            "doc_id int, score double",
+        )
+    fwd = rrf_fuse(dict(lanes), rrf_k=30)
+    rev = rrf_fuse(dict(reversed(list(lanes.items()))), rrf_k=30)
+    a = [(r["doc_id"], r["rrf_score"]) for r in fwd.orderBy("rank").collect()]
+    b = [(r["doc_id"], r["rrf_score"]) for r in rev.orderBy("rank").collect()]
+    assert a == b
+
+
+def test_minhash_identical_docs_collide(spark):
+    from mnemo_spark.operators.dedup import minhash_band_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words entirely here now")],
+        "doc_id int, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands"] for r in
+             minhash_band_pairs(docs, 12, 4).collect()}
+    assert pairs.get((1, 2)) == 4  # identical docs share EVERY band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
