@@ -1,0 +1,131 @@
+"""SQL-surface breadth: statistical aggregates, CUBE grouping sets,
+INTERSECT/EXCEPT set operations, array-function pipelines — the OLAP
+surface a full engine owes its users beyond the reference's verb set
+(SURVEY §3.3: this engine supersedes the 6-production pgwire subset
+with full Spark SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.text import tokens
+from mnemo_spark.registry import _t, query
+
+
+@query(
+    "stats_agg_lineitem",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_discount), 4)                 AS discount_stddev,
+           round(skewness(l_quantity), 4)                    AS qty_skew,
+           round(kurtosis(l_quantity), 4)                    AS qty_kurtosis
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (corr/covar/stddev/skewness/
+    kurtosis) — all single-pass algebraic aggregates, map-side
+    combinable. 4dp rounding: the higher moments accumulate in
+    engine-specific order and drift in the 6th decimal per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 4).alias("discount_stddev"),
+        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurtosis"),
+    )
+
+
+@query(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of two dimensions) —
+    the full-lattice complement of rollup_revenue's hierarchy."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "setops_customer_years",
+    """
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+         y00 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00')
+    SELECT
+      (SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y00)) AS both_years,
+      (SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y00))    AS only_1996,
+      (SELECT count(*) FROM (SELECT * FROM y00 EXCEPT SELECT * FROM y96))    AS only_2000
+    """,
+)
+def setops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (SURVEY W11 notes them as
+    available-but-unused in the reference): cohort overlap between
+    two order years."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y00 = year(1996), year(2000)
+    # one declarative program (intersect/except over the two sets →
+    # three counts in a single action, no driver-side loop)
+    both = y96.intersect(y00).agg(F.count("*").alias("both_years"))
+    only96 = y96.exceptAll(y00).agg(F.count("*").alias("only_1996"))
+    only00 = y00.exceptAll(y96).agg(F.count("*").alias("only_2000"))
+    return both.crossJoin(only96).crossJoin(only00)
+
+
+@query(
+    "array_funcs_docs",
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(list_distinct(toks)) AS n_distinct,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',')
+             AS first3_sorted,
+           list_contains(toks, 'spark') AS has_spark,
+           len(list_filter(toks, x -> len(x) > 5)) AS n_long_tokens
+    FROM t
+    """,
+)
+def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function pipeline (distinct/sort/slice/contains/filter)
+    over the token array — the collection-type surface."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3_sorted"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+    )

@@ -1240,6 +1240,7 @@ from mnemo_spark import (  # noqa: E402,F401
     queries_embed,
     queries_lifecycle,
     queries_recall,
+    queries_sql,
     queries_text,
     queries_tpch,
 )

@@ -85,3 +85,59 @@ def test_windowed_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches —
+    two source files, one file per trigger, final totals must equal
+    the batch aggregate over both."""
+    import pyspark.sql.functions as SF
+
+    from mnemo_spark.streaming.events import read_event_stream, running_user_totals
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    # split the ORIGINAL file (pyarrow preserves its TIMESTAMP(NANOS)
+    # schema, which the stream reader expects) into two micro-batches
+    import pyarrow.parquet as pq
+
+    from mnemo_spark.io import table_path
+
+    t = pq.read_table(table_path(sf_dir, "events"))
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), src / "p0.parquet")
+    pq.write_table(t.slice(half), src / "p1.parquet")
+    full = load_table(spark, sf_dir, "events")
+
+    # state shuffles on spark.sql.shuffle.partitions per micro-batch;
+    # shrink it for the test so the two batches are fast
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    out = running_user_totals(read_event_stream(spark, str(src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # last update per user = final state
+    got_df = spark.table("running_totals")
+    # update mode appends one row per (batch, user); keep the max-n row
+    latest = (
+        got_df.groupBy("user_id")
+        .agg(SF.max(SF.struct("n_events", "total_value")).alias("m"))
+        .select("user_id", "m.n_events", "m.total_value")
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 2)) for r in latest.collect()}
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 2))
+        for r in full.groupBy("user_id")
+        .agg(SF.count("*").alias("n"), SF.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want

@@ -92,3 +92,36 @@ def test_whole_stage_codegen_present(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in p
     assert "Found 0" not in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """DESIGN.md claim: bucketing both join sides on the key makes the
+    join shuffle-free. Write orders+lineitem bucketed by orderkey and
+    assert the join plan has no Exchange."""
+    from mnemo_spark.io import load_table
+
+    # warehouse dir is a static conf — use the session default
+    # (./spark-warehouse, gitignored); tables are dropped in finally
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    load_table(spark, sf_dir, "orders").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("bkt.orders_b")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("bkt.lineitem_b")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        j = spark.table("bkt.lineitem_b").join(
+            spark.table("bkt.orders_b"),
+            spark.table("bkt.lineitem_b").l_orderkey
+            == spark.table("bkt.orders_b").o_orderkey,
+        )
+        p = plan_of(j)
+        assert "Exchange" not in p, "bucketed-bucketed join must not shuffle"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")

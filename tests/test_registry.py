@@ -67,6 +67,10 @@ EXPECT_NONEMPTY = {
     "q16_brand_supplier_counts",
     "q21_waiting_suppliers",
     "quantile_stats_lineitem",
+    "stats_agg_lineitem",
+    "cube_order_counts",
+    "setops_customer_years",
+    "array_funcs_docs",
 }
 
 

@@ -1,0 +1,75 @@
+"""Comparative bench: every BENCH_QUERIES entry timed in Spark AND in
+single-node DuckDB (running the ORACLE twin on the same parquet), so
+the overhead story is measured, not guessed.
+
+Interpretation guide (also in DESIGN.md): DuckDB embeds in-process
+with zero job-scheduling overhead — at sf0.1 it wins on sub-second
+queries by a constant ~0.3-1s. The comparison that matters for the
+100-TB target is the HEAVY queries (dedup, similarity, chains),
+where both engines do real work and the Spark plan parallelizes
+across a cluster while DuckDB cannot.
+
+Usage: python tools/bench_compare.py [sf_dir]  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from bench import BENCH_QUERIES  # noqa: E402
+from mnemo_spark.io import TABLES, table_path  # noqa: E402
+from mnemo_spark.registry import ORACLE, QUERIES  # noqa: E402
+from mnemo_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("bench_compare")
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()  # warm up JVM
+
+    rows = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES or name not in ORACLE:
+            continue
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        spark_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        con.execute(ORACLE[name]).fetchall()
+        duck_s = round(time.time() - t0, 3)
+        rows[name] = {
+            "spark": spark_s,
+            "duckdb": duck_s,
+            "ratio": round(spark_s / duck_s, 1) if duck_s > 0 else None,
+        }
+        print(f"# {name}: spark {spark_s}s duckdb {duck_s}s", file=sys.stderr)
+
+    spark_total = round(sum(r["spark"] for r in rows.values()), 2)
+    duck_total = round(sum(r["duckdb"] for r in rows.values()), 2)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "spark_total_s": spark_total,
+                "duckdb_total_s": duck_total,
+                "queries": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
