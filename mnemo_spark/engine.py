@@ -83,6 +83,19 @@ ACL_SCHEMA = StructType(
     ]
 )
 
+AUDIT_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType(), False),
+        StructField("agent_id", StringType(), False),
+        StructField("event_type", StringType(), False),  # MemoryWrite|MemoryDelete|MemoryRedact|MemoryExpired
+        StructField("memory_id", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("content_hash", StringType(), True),
+        StructField("prev_hash", StringType(), True),
+        StructField("chain_hash", StringType(), True),
+    ]
+)
+
 _TYPES = ("episodic", "semantic", "procedural", "working")
 _SCOPES = ("private", "shared", "public", "global")
 WORKING_TTL_HOURS = 1  # T3, remember.rs:116-124
@@ -98,6 +111,7 @@ class MnemoSparkEngine:
         memories: DataFrame | None = None,
         acls: DataFrame | None = None,
         embedding_dim: int = 64,
+        events: DataFrame | None = None,
     ):
         self.spark = spark
         self.memories = (
@@ -107,6 +121,10 @@ class MnemoSparkEngine:
         )
         self.acls = acls if acls is not None else spark.createDataFrame([], ACL_SCHEMA)
         self.dim = embedding_dim
+        # T1: append-only hash-chained audit log, one row per verb
+        self.events = (
+            events if events is not None else spark.createDataFrame([], AUDIT_SCHEMA)
+        )
 
     # -- write path (remember.rs:67-270) --------------------------------
 
@@ -172,11 +190,53 @@ class MnemoSparkEngine:
             with_defaults, ["agent_id"], ["created_at", "id"], "content_hash"
         )
         new_memories = chained.select(*[f.name for f in MEMORY_SCHEMA.fields])
+        events = self._append_events(
+            new_memories.select(
+                F.col("agent_id"),
+                F.lit("MemoryWrite").alias("event_type"),
+                F.col("id").alias("memory_id"),
+                F.col("created_at").alias("ts"),
+            )
+        )
         return MnemoSparkEngine(
             self.spark,
             self.memories.unionByName(new_memories, allowMissingColumns=True),
             self.acls,
             self.dim,
+            events,
+        )
+
+    def _append_events(self, rows: DataFrame) -> DataFrame:
+        """T1 (remember.rs:212-257): every verb appends hash-chained
+        audit events; the chain head carries across appends via
+        `prev_head` (cross-batch handoff, W7)."""
+        hashed = rows.select(
+            F.concat_ws("-", F.col("event_type"), F.col("memory_id")).alias("event_id"),
+            "agent_id",
+            "event_type",
+            "memory_id",
+            "ts",
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    F.col("event_type"),
+                    F.col("memory_id"),
+                    F.col("agent_id"),
+                    F.col("ts").cast("string"),
+                ),
+                256,
+            ).alias("content_hash"),
+        )
+        heads = (
+            self.events.groupBy("agent_id")
+            .agg(F.max(F.struct("ts", "event_id", "chain_hash")).alias("m"))
+            .select("agent_id", F.col("m.chain_hash").alias("chain_head"))
+        )
+        chained = assign_chain(
+            hashed, ["agent_id"], ["ts", "event_id"], "content_hash", prev_head=heads
+        )
+        return self.events.unionByName(
+            chained.select(*[f.name for f in AUDIT_SCHEMA.fields])
         )
 
     def _embed(self, content):
@@ -226,7 +286,8 @@ class MnemoSparkEngine:
         rows = [(m, principal, permission, expires_at) for m in memory_ids]
         new = self.spark.createDataFrame(rows, ACL_SCHEMA)
         return MnemoSparkEngine(
-            self.spark, self.memories, self.acls.unionByName(new), self.dim
+            self.spark, self.memories, self.acls.unionByName(new), self.dim,
+            self.events,
         )
 
     # -- read path (recall.rs:332-737) ----------------------------------
@@ -337,7 +398,34 @@ class MnemoSparkEngine:
             )
         else:
             raise ValueError(f"unknown forget strategy {strategy!r}")
-        return MnemoSparkEngine(self.spark, mem, self.acls, self.dim)
+        etype = {"hard": "MemoryDelete", "soft": "MemoryDelete",
+                 "archive": "MemoryArchive", "redact": "MemoryRedact"}[strategy]
+        doomed = self.memories.filter(hit).select(
+            "agent_id",
+            F.lit(etype).alias("event_type"),
+            F.col("id").alias("memory_id"),
+            now_c.alias("ts"),
+        )
+        events = self._append_events(doomed)
+        return MnemoSparkEngine(self.spark, mem, self.acls, self.dim, events)
+
+    def forget_subject(
+        self, subject_pattern: str, strategy: str = "redact", now=None
+    ) -> "MnemoSparkEngine":
+        """GDPR/DPDPA subject erasure (reference forget_subject):
+        select every memory mentioning the subject, apply the forget
+        strategy (default redact — blanks content, preserves chain)."""
+        ids = [
+            r["id"]
+            for r in self.memories.filter(
+                F.col("content").rlike(subject_pattern)
+            ).select("id").collect()
+        ]
+        return self.forget(ids, strategy=strategy, now=now)
+
+    def verify_event_integrity(self) -> DataFrame:
+        """A9 on the audit log itself (verify_event_chain)."""
+        return verify_chain(self.events, ["agent_id"], ["ts", "event_id"])
 
     # -- integrity (A9) --------------------------------------------------
 
@@ -355,6 +443,14 @@ class MnemoSparkEngine:
 
     def run_ttl_sweep(self, now=None) -> "MnemoSparkEngine":
         now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        expired = self.memories.filter(
+            F.col("expires_at").isNotNull() & (F.col("expires_at") <= now_c)
+        ).select(
+            "agent_id",
+            F.lit("MemoryExpired").alias("event_type"),
+            F.col("id").alias("memory_id"),
+            now_c.alias("ts"),
+        )
         return MnemoSparkEngine(
             self.spark,
             self.memories.filter(
@@ -362,6 +458,7 @@ class MnemoSparkEngine:
             ),
             self.acls,
             self.dim,
+            self._append_events(expired),
         )
 
 

@@ -140,3 +140,74 @@ def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= P.RECALL_LIMIT)
         .select("doc_id", "score", "rank")
     )
+
+
+@query(
+    "rrf_explain_docs",
+    f"""
+    WITH {{bm25_ctes}},
+      lane_bm25 AS (SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS r
+                    FROM scored),
+      lane_len AS (SELECT doc_id, row_number() OVER (ORDER BY round(n_chars, 6) DESC, doc_id) AS r
+                   FROM documents),
+      fused AS (
+        SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+               round(coalesce({P.RRF_WEIGHTS['bm25']} / ({P.RRF_K} + b.r), 0.0), 6) AS bm25_contrib,
+               round(coalesce({P.RRF_WEIGHTS['length']} / ({P.RRF_K} + l.r), 0.0), 6) AS length_contrib
+        FROM lane_bm25 b FULL OUTER JOIN lane_len l USING (doc_id))
+    SELECT doc_id, bm25_contrib, length_contrib,
+           round(bm25_contrib + length_contrib, 6) AS rrf_score, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY round(bm25_contrib + length_contrib, 6) DESC,
+                                       doc_id) AS rank
+          FROM fused)
+    WHERE rank <= {P.RRF_LIMIT}
+    """.replace("{bm25_ctes}", _BM25_CTES),
+)
+def rrf_explain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF explain breakdown (SURVEY A1 'explain=true' ScoreBreakdown,
+    recall.rs:673-719): per-document PER-LANE contribution columns
+    next to the fused score — the transparency surface of hybrid
+    retrieval."""
+    docs = _t(spark, sf_dir, "documents")
+    from mnemo_spark.operators.rrf import rank_lane
+
+    bm25_ranked = rank_lane(
+        bm25_score(docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B)
+        .withColumnRenamed("bm25", "score"),
+        "doc_id",
+        "score",
+    ).select(F.col("_id").alias("doc_id"), F.col("_rank").alias("rb"))
+    len_ranked = rank_lane(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+        "doc_id",
+        "score",
+    ).select(F.col("_id").alias("doc_id"), F.col("_rank").alias("rl"))
+    fused = (
+        bm25_ranked.join(len_ranked, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(P.RRF_WEIGHTS["bm25"]) / (F.lit(P.RRF_K) + F.col("rb")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("bm25_contrib"),
+            F.round(
+                F.coalesce(
+                    F.lit(P.RRF_WEIGHTS["length"]) / (F.lit(P.RRF_K) + F.col("rl")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("length_contrib"),
+        )
+        .withColumn(
+            "rrf_score", F.round(F.col("bm25_contrib") + F.col("length_contrib"), 6)
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= P.RRF_LIMIT)
+        .select("doc_id", "bm25_contrib", "length_contrib", "rrf_score", "rank")
+    )

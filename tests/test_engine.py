@@ -156,3 +156,49 @@ def test_tamper_detection(engine):
     # pristine engine verifies clean
     clean = engine.verify_integrity()
     assert clean.filter(F.col("n_breaks") > 0).count() == 0
+
+
+def test_audit_events_chained_per_verb(engine):
+    # strictly after every write ts: equal timestamps would make the
+    # recompute order (ts, event_id) differ from append order
+    now = T0 + dt.timedelta(hours=3)
+    ev = {(r["event_type"], r["memory_id"]): r for r in engine.events.collect()}
+    # one MemoryWrite per remembered memory
+    assert {m for t, m in ev if t == "MemoryWrite"} == {"m1", "m2", "m3", "m4", "m5"}
+    # chains verify clean
+    assert engine.verify_event_integrity().filter(F.col("n_breaks") > 0).count() == 0
+    # forget appends delete events, chain still verifies (head carry)
+    after = engine.forget(["m2"], "soft", now=now)
+    types = {(r["event_type"], r["memory_id"]) for r in after.events.collect()}
+    assert ("MemoryDelete", "m2") in types
+    assert after.verify_event_integrity().filter(F.col("n_breaks") > 0).count() == 0
+    # the new event chains onto alice's existing head
+    alice = sorted(
+        (r for r in after.events.collect() if r["agent_id"] == "alice"),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    assert alice[-1]["event_type"] == "MemoryDelete"
+    assert alice[-1]["prev_hash"] == alice[-2]["chain_hash"]
+
+
+def test_forget_subject_gdpr(engine):
+    now = T0 + dt.timedelta(hours=1)
+    erased = engine.forget_subject("paris", strategy="redact", now=now)
+    remaining = [
+        r
+        for r in erased.memories.collect()
+        if r["content"] is not None and "paris" in r["content"]
+    ]
+    assert remaining == []
+    redacted = {r["id"] for r in erased.memories.filter(F.col("content") == "[REDACTED]").collect()}
+    assert redacted == {"m1", "m2", "m5"}
+    # chain preserved through redaction
+    assert erased.verify_integrity().filter(F.col("n_breaks") > 0).count() == 0
+
+
+def test_ttl_sweep_emits_expired_events(engine):
+    later = T0 + dt.timedelta(hours=3)
+    swept = engine.run_ttl_sweep(now=later)
+    types = {(r["event_type"], r["memory_id"]) for r in swept.events.collect()}
+    assert ("MemoryExpired", "m5") in types
+    assert swept.verify_event_integrity().filter(F.col("n_breaks") > 0).count() == 0

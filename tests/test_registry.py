@@ -71,6 +71,7 @@ EXPECT_NONEMPTY = {
     "cube_order_counts",
     "setops_customer_years",
     "array_funcs_docs",
+    "rrf_explain_docs",
 }
 
 
