@@ -40,17 +40,23 @@ def rrf_fuse(
     id_col: str = "doc_id",
     score_col: str = "score",
     limit: int | None = None,
+    lane_limit: int | None = None,
 ) -> DataFrame:
     """Fuse ranked lanes → (id, rrf_score, rank).
 
     lanes: name → DataFrame with (id_col, score_col). Missing weights
     default to 1.0 (the reference's equal-weight `auto` mode).
+    lane_limit = the reference's candidate over-fetch (`limit*3` per
+    lane, recall.rs:397): only each lane's top-N feed fusion — at
+    corpus scale the fusion input is O(lanes·N), not O(corpus).
     """
     weights = weights or {}
     contribs = []
     for name, lane in lanes.items():
         w_val = float(weights.get(name, 1.0))
         ranked = rank_lane(lane, id_col, score_col)
+        if lane_limit is not None:
+            ranked = ranked.filter(F.col("_rank") <= lane_limit)
         contribs.append(
             ranked.select(
                 "_id",

@@ -82,3 +82,6 @@ FORGET_BELOW = 0.1
 RECALL_WEIGHTS = {"bm25": 6.0, "embed": 3.0, "length": 1.0}
 RECALL_LIMIT = 20
 TRUSTED_SOURCES = [f"src{i}" for i in range(0, 20, 2)]
+
+# candidate over-fetch per lane before fusion (recall.rs:397 limit*3)
+RECALL_LANE_OVERFETCH = 3

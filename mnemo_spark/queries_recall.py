@@ -83,11 +83,16 @@ def _query_weights() -> dict[int, float]:
       lane_len AS (SELECT doc_id, row_number() OVER (ORDER BY round(n_chars, 6) DESC, doc_id) AS r
                    FROM documents),
       contribs AS (
-        SELECT doc_id, {P.RECALL_WEIGHTS['bm25']} / ({P.RRF_K} + r) AS c FROM lane_bm25
+        -- candidate over-fetch: each lane contributes only its top
+        -- limit*3 (recall.rs:397) — fusion input is O(lanes*N)
+        SELECT doc_id, {P.RECALL_WEIGHTS['bm25']} / ({P.RRF_K} + r) AS c
+        FROM lane_bm25 WHERE r <= {P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT}
         UNION ALL
-        SELECT doc_id, {P.RECALL_WEIGHTS['embed']} / ({P.RRF_K} + r) AS c FROM lane_cos
+        SELECT doc_id, {P.RECALL_WEIGHTS['embed']} / ({P.RRF_K} + r) AS c
+        FROM lane_cos WHERE r <= {P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT}
         UNION ALL
-        SELECT doc_id, {P.RECALL_WEIGHTS['length']} / ({P.RRF_K} + r) AS c FROM lane_len),
+        SELECT doc_id, {P.RECALL_WEIGHTS['length']} / ({P.RRF_K} + r) AS c
+        FROM lane_len WHERE r <= {P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT}),
       fused AS (SELECT doc_id, round(sum(c), 6) AS rrf_score FROM contribs GROUP BY doc_id),
       -- trust policy: unknown/untrusted provenance down-weighted 10x
       adj AS (SELECT f.doc_id,
@@ -128,7 +133,9 @@ def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embed": cos_lane,
         "length": docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
     }
-    fused = rrf_fuse(lanes, P.RECALL_WEIGHTS, P.RRF_K)
+    fused = rrf_fuse(
+        lanes, P.RECALL_WEIGHTS, P.RRF_K, lane_limit=P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT
+    )
     trust = F.when(F.col("source").isin(*P.TRUSTED_SOURCES), 1.0).otherwise(0.1)
     adj = (
         fused.join(docs.select("doc_id", "source"), "doc_id")

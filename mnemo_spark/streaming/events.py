@@ -144,3 +144,16 @@ def running_user_totals(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def dedup_stream(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen,
+    with state bounded by the event-time watermark (the training-data
+    pipeline's dedup gate applied at ingest — late duplicates beyond
+    the watermark age out of state and are the documented trade-off).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        key_cols or ["event_id"]
+    )

@@ -141,3 +141,35 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """dropDuplicates state spans micro-batches: feeding the same
+    file twice yields each event exactly once."""
+    import shutil
+
+    from mnemo_spark.streaming.events import dedup_stream, read_event_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "a.parquet")
+    shutil.copy(table_path(sf_dir, "events"), src / "b.parquet")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        dedup_stream(read_event_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    n_distinct = load_table(spark, sf_dir, "events").count()
+    got = spark.table("dedup_out")
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
