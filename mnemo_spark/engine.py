@@ -668,3 +668,70 @@ class VersionedEngine(MnemoSparkEngine):
         else:
             raise ValueError(f"unknown merge strategy {strategy!r}")
         return self._with(memories=mem)
+
+
+DELEGATION_SCHEMA = StructType(
+    [
+        StructField("delegator", StringType(), False),
+        StructField("delegatee", StringType(), False),
+        StructField("permission", StringType(), True),
+        StructField("depth_cap", IntegerType(), True),
+        StructField("expires_at", TimestampType(), True),
+    ]
+)
+
+
+def delegated_principals(
+    delegations: DataFrame, principal: str, now=None, max_depth: int = 4
+) -> DataFrame:
+    """Transitive delegation resolution (reference J2, duckdb.rs:761-798):
+    who has delegated (directly or through a chain) to `principal`?
+    Iterative self-joins up to max_depth, honoring each grant's
+    expiry and per-grant depth cap (a chain dies where a hop's
+    remaining cap reaches 0). → (delegator, depth)."""
+    now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    live = delegations.filter(
+        F.col("expires_at").isNull() | (F.col("expires_at") > now_c)
+    ).select(
+        "delegator",
+        "delegatee",
+        F.coalesce(F.col("depth_cap"), F.lit(max_depth)).alias("cap"),
+    )
+    frontier = live.filter(F.col("delegatee") == principal).select(
+        F.col("delegator").alias("_cur"),
+        F.lit(1).alias("depth"),
+        (F.col("cap") - 1).alias("budget"),
+    )
+    out = frontier
+    for _ in range(1, max_depth):
+        frontier = (
+            live.join(
+                frontier.filter(F.col("budget") > 0),
+                F.col("delegatee") == F.col("_cur"),
+            )
+            .select(
+                F.col("delegator").alias("_cur"),
+                (F.col("depth") + 1).alias("depth"),
+                F.least(F.col("budget") - 1, F.col("cap") - 1).alias("budget"),
+            )
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        out = out.unionByName(frontier)
+    return out.groupBy(F.col("_cur").alias("delegator")).agg(
+        F.min("depth").alias("depth")
+    )
+
+
+def reconstruct_belief(hits: DataFrame, content_col: str = "content",
+                       score_col: str = "score", max_items: int = 5) -> str:
+    """§2.9 `reconstruct`: collapse the top recall hits into one
+    belief summary string (rank-ordered excerpts). Driver-side by
+    design — the output is a single answer payload, not a dataset."""
+    rows = (
+        hits.orderBy(F.desc(score_col))
+        .limit(max_items)
+        .select(content_col)
+        .collect()
+    )
+    return " | ".join(r[0] for r in rows if r[0])

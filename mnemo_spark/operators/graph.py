@@ -91,3 +91,31 @@ def trace_causality(
         dst_col="_d",
         seed_col=id_col,
     ).select(id_col, F.col("hop").alias("depth"))
+
+
+def expand_bitemporal(
+    edges: DataFrame,
+    seeds: DataFrame,
+    as_of,
+    hops: int = 2,
+    decay: float = 0.5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Bitemporal BFS (reference J4, mnemo-graph/src/lib.rs:50-80):
+    traverse only edges whose validity interval contains `as_of`
+    (valid_from <= as_of < valid_to; open-ended NULL valid_to means
+    still valid). The interval predicate prunes BEFORE the hop joins,
+    so expired edges never shuffle."""
+    t = F.lit(as_of).cast("timestamp")
+    live = edges.filter(
+        (F.col(valid_from_col) <= t)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > t))
+    )
+    return expand(
+        live, seeds, hops=hops, decay=decay,
+        src_col=src_col, dst_col=dst_col, seed_col=seed_col,
+    )

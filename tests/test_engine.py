@@ -202,3 +202,52 @@ def test_ttl_sweep_emits_expired_events(engine):
     types = {(r["event_type"], r["memory_id"]) for r in swept.events.collect()}
     assert ("MemoryExpired", "m5") in types
     assert swept.verify_event_integrity().filter(F.col("n_breaks") > 0).count() == 0
+
+
+def test_delegation_transitive_with_depth_caps(spark):
+    from mnemo_spark.engine import DELEGATION_SCHEMA, delegated_principals
+
+    rows = [
+        # chain: root -> mid -> leaf (leaf is the acting principal)
+        ("root", "mid", "read", 3, None),
+        ("mid", "leaf", "read", 3, None),
+        # capped chain: far -> near (cap 1) -> leaf; far must NOT reach
+        ("near", "leaf", "read", 1, None),
+        ("far", "near", "read", 3, None),
+        # expired grant: never visible
+        ("old", "leaf", "read", 3, T0 - dt.timedelta(days=1)),
+    ]
+    d = spark.createDataFrame(rows, DELEGATION_SCHEMA)
+    got = {r["delegator"]: r["depth"] for r in
+           delegated_principals(d, "leaf", now=T0).collect()}
+    assert got.get("mid") == 1 and got.get("near") == 1
+    assert got.get("root") == 2
+    assert "far" not in got  # near's cap=1 stops the chain
+    assert "old" not in got  # expired
+
+
+def test_bitemporal_expand(spark):
+    from mnemo_spark.operators.graph import expand_bitemporal
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b", T0 - dt.timedelta(days=9), None),
+            ("b", "c", T0 - dt.timedelta(days=9), T0 - dt.timedelta(days=1)),  # expired
+            ("b", "d", T0 - dt.timedelta(days=9), T0 + dt.timedelta(days=1)),  # live
+            ("x", "y", T0 + dt.timedelta(days=1), None),  # not yet valid
+        ],
+        "src string, dst string, valid_from timestamp, valid_to timestamp",
+    )
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {r["id"]: r["hop"] for r in
+           expand_bitemporal(e, seeds, T0, hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "d": 2}  # c expired, y not yet valid
+
+
+def test_reconstruct_belief(engine):
+    from mnemo_spark.engine import reconstruct_belief
+
+    now = T0 + dt.timedelta(minutes=30)
+    hits = engine.recall("paris", "alice", strategy="lexical", now=now)
+    summary = reconstruct_belief(hits, max_items=2)
+    assert "paris" in summary and " | " in summary
