@@ -17,12 +17,14 @@ from mnemo_spark.registry import _t, query
 @query(
     "stats_agg_lineitem",
     """
+    -- + 0.0 collapses IEEE negative zero (engines disagree on -0.0
+    -- after rounding tiny negatives)
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-           round(stddev_samp(l_discount), 4)                 AS discount_stddev,
-           round(skewness(l_quantity), 4)                    AS qty_skew,
-           round(kurtosis(l_quantity), 4)                    AS qty_kurtosis
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_covar,
+           round(stddev_samp(l_discount), 4) + 0.0                 AS discount_stddev,
+           round(skewness(l_quantity), 4) + 0.0                    AS qty_skew,
+           round(kurtosis(l_quantity), 4) + 0.0                    AS qty_kurtosis
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -33,13 +35,16 @@ def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific order and drift in the 6th decimal per group."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+        # + 0.0 collapses IEEE negative zero after rounding
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + 0.0).alias(
             "qty_price_covar"
         ),
-        F.round(F.stddev_samp("l_discount"), 4).alias("discount_stddev"),
-        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
-        F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurtosis"),
+        (F.round(F.stddev_samp("l_discount"), 4) + 0.0).alias("discount_stddev"),
+        (F.round(F.skewness("l_quantity"), 4) + 0.0).alias("qty_skew"),
+        (F.round(F.kurtosis("l_quantity"), 4) + 0.0).alias("qty_kurtosis"),
     )
 
 

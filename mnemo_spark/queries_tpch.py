@@ -200,11 +200,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.4 * p.p_retailprice * l.l_quantity AS amount
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - 0.4 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4)) AS amount
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -223,9 +223,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact decimal sum: double sums land on round-half boundaries
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -237,7 +239,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
     )
 
 
