@@ -535,7 +535,7 @@ def event_chain_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-    SELECT user_id, sum(brk) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
@@ -1020,7 +1020,7 @@ def as_of_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, count(*) AS total_events,
            round(sum(value), 2) AS total_value,
-           sum(len(props)) AS total_props_length,
+           CAST(sum(len(props)) AS BIGINT) AS total_props_length,
            count(DISTINCT event_type) AS n_event_types
     FROM events GROUP BY user_id
     """,

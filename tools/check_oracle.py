@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
 
@@ -23,12 +24,19 @@ from mnemo_spark.session import get_spark  # noqa: E402
 
 
 def norm_cell(v):
+    # Type-strict like the driver's hasher: an integer-typed 509 and a
+    # float-typed 509.0 must NOT normalize to the same string (DuckDB
+    # HUGEINT sums surface as float64 — the round-1 hash-fail mode).
+    if isinstance(v, bool):
+        return "b:" + str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:NaN"
+        return "f:" + f"{v:.9g}"
+    if isinstance(v, Decimal):
+        return "f:" + f"{float(v):.9g}"
+    if isinstance(v, int):
+        return "i:" + str(v)
     return str(v)
 
 
@@ -66,9 +74,18 @@ def main() -> int:
         try:
             res = con.sql(ORACLE[name])
             ocols = [c.lower() for c in res.columns]
+            otypes = [str(t) for t in res.types]
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        # fetchall() hides HUGEINT (returns Python int), but the driver's
+        # pandas path renders it float64 → hash mismatch vs Spark bigint.
+        huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
+        if huge:
+            print(f"FAIL {name}: oracle HUGEINT column(s) {huge} — add CAST(... AS BIGINT)")
             failures.append(name)
             continue
 
