@@ -49,6 +49,7 @@ from mnemo_spark.functions.text import tokens
 from mnemo_spark.operators.bm25 import bm25_score
 from mnemo_spark.operators.chain import assign_chain, verify_chain
 from mnemo_spark.operators.rrf import rrf_fuse
+from mnemo_spark.operators.window_ops import top_k_ranked
 
 AGENT_ID_RE = r"^[A-Za-z0-9._-]{1,256}$"  # P7, query/mod.rs:42-61
 
@@ -347,11 +348,8 @@ class MnemoSparkEngine:
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
-        w = Window.orderBy(F.desc("score"), F.asc("id"))
-        return (
-            hits.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("id", "agent_id", "content", F.round("score", 6).alias("score"), "rank")
+        return top_k_ranked(hits, [F.desc("score"), F.asc("id")], k).select(
+            "id", "agent_id", "content", F.round("score", 6).alias("score"), "rank"
         )
 
     def _semantic_lane(self, corpus: DataFrame, query: str) -> DataFrame:

@@ -23,10 +23,11 @@ the same form Tantivy/Lucene use).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mnemo_spark.functions.text import tokens
+from mnemo_spark.operators.window_ops import top_k_ranked
 
 ROUND_DP = 6  # all ranked scores are rounded before ordering so that
 # rank ties break identically in Spark and the DuckDB oracle (SURVEY
@@ -89,11 +90,8 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k by BM25, deterministic tiebreak (score desc, id asc)."""
     scored = bm25_score(docs, query_terms, id_col, text_col, k1, b)
-    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "bm25", "rank")
+    return top_k_ranked(scored, [F.desc("bm25"), F.asc(id_col)], k).select(
+        id_col, "bm25", "rank"
     )
 
 
@@ -126,12 +124,13 @@ def batch_bm25(
     qterms = queries.select(
         F.col(qid_col).alias("_qid"), F.explode(qterms_col).alias("_term")
     ).distinct()
-    all_terms = [r["_term"] for r in qterms.select("_term").distinct().collect()]
-    term_lit = F.array(*[F.lit(t) for t in all_terms])
-
-    hits = toks.select(
-        "_id",
-        F.explode(F.filter("_tok", lambda t: F.array_contains(term_lit, t))).alias("_term"),
+    # broadcast-semi-join the exploded tokens against the query-term set:
+    # no driver-side collect of the term vocabulary (open-ended query
+    # batches stay distributed), and the semi-join is map-side so the
+    # only shuffle is still the (doc,term) aggregation below
+    terms = qterms.select("_term").distinct()
+    hits = toks.select("_id", F.explode("_tok").alias("_term")).join(
+        F.broadcast(terms), "_term", "left_semi"
     )
     tf = hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf"))
     df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))

@@ -20,17 +20,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mnemo_spark.operators.window_ops import _GPART, _const_partition, top_k_ranked
+
 ROUND_DP = 6
 DEFAULT_RRF_K = 60
 
 
-def rank_lane(lane: DataFrame, id_col: str, score_col: str) -> DataFrame:
-    """Assign deterministic 1-based ranks within one lane."""
-    w = Window.orderBy(F.desc(F.round(F.col(score_col), ROUND_DP)), F.asc(id_col))
-    return lane.select(
-        F.col(id_col).alias("_id"),
-        F.row_number().over(w).alias("_rank"),
-    )
+def rank_lane(
+    lane: DataFrame, id_col: str, score_col: str, k: int | None = None
+) -> DataFrame:
+    """Assign deterministic 1-based ranks within one lane. With k set
+    (the lane over-fetch), ranks come from a parallel partial top-k
+    (TakeOrderedAndProject) instead of a single-partition window."""
+    order = [F.desc(F.round(F.col(score_col), ROUND_DP)), F.asc(id_col)]
+    if k is not None:
+        ranked = top_k_ranked(lane, order, k, rank_col="_rank")
+    else:
+        # full-lane ranking (explain surface): deliberate single
+        # partition over candidate-sized input
+        w = Window.partitionBy(_GPART).orderBy(*order)
+        ranked = _const_partition(lane).withColumn("_rank", F.row_number().over(w))
+    return ranked.select(F.col(id_col).alias("_id"), "_rank")
 
 
 def rrf_fuse(
@@ -54,9 +64,7 @@ def rrf_fuse(
     contribs = []
     for name, lane in lanes.items():
         w_val = float(weights.get(name, 1.0))
-        ranked = rank_lane(lane, id_col, score_col)
-        if lane_limit is not None:
-            ranked = ranked.filter(F.col("_rank") <= lane_limit)
+        ranked = rank_lane(lane, id_col, score_col, k=lane_limit)
         contribs.append(
             ranked.select(
                 "_id",
@@ -69,8 +77,10 @@ def rrf_fuse(
     fused = unioned.groupBy("_id").agg(
         F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score")
     )
-    w_final = Window.orderBy(F.desc("rrf_score"), F.asc("_id"))
-    out = fused.withColumn("rank", F.row_number().over(w_final))
+    order = [F.desc("rrf_score"), F.asc("_id")]
     if limit is not None:
-        out = out.filter(F.col("rank") <= limit)
+        out = top_k_ranked(fused, order, limit)
+    else:
+        w_final = Window.partitionBy(_GPART).orderBy(*order)
+        out = _const_partition(fused).withColumn("rank", F.row_number().over(w_final))
     return out.select(F.col("_id").alias(id_col), "rrf_score", "rank")

@@ -15,6 +15,41 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_GPART = "_gpart"
+
+
+def _const_partition(df: DataFrame) -> DataFrame:
+    """Materialize a constant partition key for windows whose semantics
+    genuinely need one partition (cumulative/rank over an already
+    k-sized frame). A literal key gets folded away by Spark 4's
+    EliminateWindowPartitions (back to the warned unpartitioned form);
+    `spark_partition_id() * 0` is non-foldable yet 0 for every row, so
+    the window keeps an explicit — and deliberate — single partition."""
+    return df.withColumn(_GPART, F.spark_partition_id() * F.lit(0))
+
+
+def top_k_ranked(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W1: global top-k WITH rank, without the single-partition window.
+
+    `orderBy().limit(k)` plans TakeOrderedAndProject — each partition
+    computes a partial top-k and only k rows ever cross to the driver
+    side — instead of funneling the full candidate set through one
+    unpartitioned `row_number()` window task. The rank window then runs
+    over the k survivors only.
+
+    order_cols must end with a unique tiebreak for determinism — the
+    same contract the old window pattern had.
+    """
+    top = _const_partition(df.orderBy(*order_cols).limit(k))
+    w = Window.partitionBy(_GPART).orderBy(*order_cols)
+    return top.withColumn(rank_col, F.row_number().over(w)).drop(_GPART)
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -61,19 +96,22 @@ def evidence_budget_prefix(
     sufficiency reaches `bar`, capped at max_evidence — NEVER reorders
     (the reference's documented invariant). A row is kept iff the
     cumulative sufficiency BEFORE it is still under the bar."""
-    w = (
-        Window.partitionBy(*part_cols).orderBy(F.asc(rank_col))
-        if part_cols
-        else Window.orderBy(F.asc(rank_col))
-    )
+    # cap BEFORE the window: the cumulative scan then runs over at most
+    # max_evidence rows per partition, never the full candidate set
+    ranked = ranked.filter(F.col(rank_col) <= max_evidence)
+    if part_cols:
+        w = Window.partitionBy(*part_cols).orderBy(F.asc(rank_col))
+    else:
+        ranked = _const_partition(ranked)
+        w = Window.partitionBy(_GPART).orderBy(F.asc(rank_col))
     cum_before = F.coalesce(
         F.sum(sufficiency_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0.0),
     )
     return (
         ranked.withColumn("_cum_before", cum_before)
-        .filter((F.col("_cum_before") < bar) & (F.col(rank_col) <= max_evidence))
-        .drop("_cum_before")
+        .filter(F.col("_cum_before") < bar)
+        .drop("_cum_before", _GPART)
     )
 
 
@@ -86,14 +124,22 @@ def token_budget_pack(
 ) -> DataFrame:
     """W9 (query/retained.rs): keep the ranked prefix whose cumulative
     token cost stays within budget (prefix semantics — selection is a
-    truncation of the ranking, mirroring the evidence invariant)."""
-    w = (
-        Window.partitionBy(*part_cols).orderBy(F.asc(rank_col))
-        if part_cols
-        else Window.orderBy(F.asc(rank_col))
-    )
+    truncation of the ranking, mirroring the evidence invariant).
+
+    Input contract: `ranked` is an already-truncated top-k frame (the
+    reference packs the retrieval result, never the corpus), so the
+    single-partition cumulative scan is over k rows by construction."""
+    if part_cols:
+        w = Window.partitionBy(*part_cols).orderBy(F.asc(rank_col))
+    else:
+        ranked = _const_partition(ranked)
+        w = Window.partitionBy(_GPART).orderBy(F.asc(rank_col))
     cum = F.sum(cost_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return ranked.withColumn("_cum", cum).filter(F.col("_cum") <= budget).drop("_cum")
+    return (
+        ranked.withColumn("_cum", cum)
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum", _GPART)
+    )
 
 
 def sessionize(

@@ -29,6 +29,7 @@ from mnemo_spark import params as P
 from mnemo_spark.functions.embedder import hash_bag_embedding
 from mnemo_spark.operators.bm25 import bm25_score
 from mnemo_spark.operators.rrf import rrf_fuse
+from mnemo_spark.operators.window_ops import top_k_ranked
 from mnemo_spark.registry import _BM25_CTES, _t, query
 
 _QTERMS_SQL = ", ".join(f"'{t}'" for t in P.BM25_QUERY_TERMS)
@@ -141,12 +142,9 @@ def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.join(docs.select("doc_id", "source"), "doc_id")
         .select("doc_id", F.round(F.col("rrf_score") * trust, 6).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        adj.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= P.RECALL_LIMIT)
-        .select("doc_id", "score", "rank")
-    )
+    return top_k_ranked(
+        adj, [F.desc("score"), F.asc("doc_id")], P.RECALL_LIMIT
+    ).select("doc_id", "score", "rank")
 
 
 @query(
@@ -212,9 +210,6 @@ def rrf_explain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_score", F.round(F.col("bm25_contrib") + F.col("length_contrib"), 6)
         )
     )
-    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= P.RRF_LIMIT)
-        .select("doc_id", "bm25_contrib", "length_contrib", "rrf_score", "rank")
-    )
+    return top_k_ranked(
+        fused, [F.desc("rrf_score"), F.asc("doc_id")], P.RRF_LIMIT
+    ).select("doc_id", "bm25_contrib", "length_contrib", "rrf_score", "rank")

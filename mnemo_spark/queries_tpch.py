@@ -293,10 +293,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        agg.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
 
@@ -453,10 +452,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
+        agg.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
 

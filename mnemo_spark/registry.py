@@ -138,10 +138,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    # orderBy().limit() plans TakeOrderedAndProject: parallel per-
+    # partition partial top-k, no single-partition ranking window
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        rev.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
@@ -235,15 +236,14 @@ def filtered_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's dynamic MemoryFilter conjunction, with a deterministic
     tiebreak so LIMIT is stable."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.filter(
             (F.col("o_orderstatus") == "F")
             & (F.col("o_totalprice") > 150000)
             & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     )
 
@@ -959,7 +959,9 @@ def evidence_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked prefix whose cumulative sufficiency reaches the bar; the
     documented invariant — a prefix, never a reorder."""
     docs = _t(spark, sf_dir, "documents")
-    ranked = bm25_topk(docs, P.BM25_QUERY_TERMS, 10**9, k1=P.BM25_K1, b=P.BM25_B)
+    # the prefix can never exceed EVIDENCE_MAX rows, so top-k only that
+    # many candidates — ranks 1..15 are identical to global ranks
+    ranked = bm25_topk(docs, P.BM25_QUERY_TERMS, P.EVIDENCE_MAX, k1=P.BM25_K1, b=P.BM25_B)
     return evidence_budget_prefix(ranked, "bm25", P.EVIDENCE_BAR, P.EVIDENCE_MAX)
 
 
@@ -981,7 +983,9 @@ def token_budget_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retained-evidence packing (SURVEY W9, query/retained.rs): ranked
     prefix under a token budget, cost = ceil(chars/4)."""
     docs = _t(spark, sf_dir, "documents")
-    ranked = bm25_topk(docs, P.BM25_QUERY_TERMS, 10**9, k1=P.BM25_K1, b=P.BM25_B).join(
+    # every doc costs >= 1 token (n_chars >= 1), so a prefix within a
+    # 400-token budget has at most 400 rows — cap the ranking there
+    ranked = bm25_topk(docs, P.BM25_QUERY_TERMS, P.TOKEN_BUDGET, k1=P.BM25_K1, b=P.BM25_B).join(
         docs.select("doc_id", token_estimate(F.col("n_chars").cast("string")).alias("_x"),
                     F.ceil(F.col("n_chars") / 4).cast("long").alias("est_tokens")),
         "doc_id",
