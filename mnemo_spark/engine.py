@@ -372,8 +372,13 @@ class MnemoSparkEngine:
     # -- forget (forget.rs:14-120) --------------------------------------
 
     def forget(self, ids: list[str], strategy: str = "soft", now=None) -> "MnemoSparkEngine":
+        return self._forget_where(F.col("id").isin(ids), strategy, now)
+
+    def _forget_where(self, hit, strategy: str = "soft", now=None) -> "MnemoSparkEngine":
+        """Forget every row matching a Column predicate — the predicate
+        stays IN the plan (no driver-side id materialization), so an
+        erasure matching millions of rows is just a column filter."""
         now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
-        hit = F.col("id").isin(ids)
         if strategy == "hard":
             mem = self.memories.filter(~hit)
         elif strategy == "soft":
@@ -412,14 +417,13 @@ class MnemoSparkEngine:
     ) -> "MnemoSparkEngine":
         """GDPR/DPDPA subject erasure (reference forget_subject):
         select every memory mentioning the subject, apply the forget
-        strategy (default redact — blanks content, preserves chain)."""
-        ids = [
-            r["id"]
-            for r in self.memories.filter(
-                F.col("content").rlike(subject_pattern)
-            ).select("id").collect()
-        ]
-        return self.forget(ids, strategy=strategy, now=now)
+        strategy (default redact — blanks content, preserves chain).
+        The subject match is a column predicate, never a collected id
+        list — a subject with millions of mentions can't OOM the
+        driver."""
+        return self._forget_where(
+            F.col("content").rlike(subject_pattern), strategy=strategy, now=now
+        )
 
     def verify_event_integrity(self) -> DataFrame:
         """A9 on the audit log itself (verify_event_chain)."""
@@ -506,12 +510,18 @@ class VersionedEngine(MnemoSparkEngine):
 
     def remember_on(self, rows: DataFrame, branch: str = "main") -> "VersionedEngine":
         grown = self.remember_batch(rows)
-        new_ids = [r["id"] for r in rows.select("id").collect()]
-        mem = grown.memories.withColumn(
-            "branch",
-            F.when(F.col("id").isin(new_ids), F.lit(branch)).otherwise(
-                F.coalesce(F.col("branch"), F.lit("main"))
-            ),
+        # membership via join, not a collected id list: arbitrarily
+        # large batches never materialize on the driver
+        tag = rows.select("id", F.lit(True).alias("_isnew"))
+        mem = (
+            grown.memories.join(tag, "id", "left")
+            .withColumn(
+                "branch",
+                F.when(F.col("_isnew"), F.lit(branch)).otherwise(
+                    F.coalesce(F.col("branch"), F.lit("main"))
+                ),
+            )
+            .drop("_isnew")
         )
         return self._with(memories=mem)
 

@@ -164,14 +164,30 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing ≥1 shingle.
 
     Inverted-index self-join on shingle (never a cross product):
     |A∩B| from the join, |A|,|B| from per-doc distinct counts.
     → (id_a, id_b, jaccard ≥ threshold).
+
+    max_df: document-frequency cap — shingles appearing in more than
+    max_df docs (boilerplate) are dropped from the shingle universe
+    (both intersections AND set sizes, so Jaccard stays a true Jaccard
+    over the capped universe). Without a cap one hot shingle produces
+    O(df^2) join rows; standard near-dup pipelines always cap.
     """
     sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_sh")
+        )
+        # shuffle on _sh, co-partitioned with the inverted-index join
+        sh = sh.join(keep, "_sh", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
     inter = (
         sh.select(F.col("_id").alias("id_a"), "_sh")

@@ -104,6 +104,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str | None = None,
+    allow_unscoped: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (i<j) with cosine ≥ threshold (reference J5).
 
@@ -111,8 +112,17 @@ def cosine_pairs(
     (query/conflict.rs:84-151); here the exact form self-joins within
     an optional group (the reference scopes to same agent — at scale
     ALWAYS pass group_col or pre-bucket with LSH so the self-join is
-    per-partition, never global).
+    per-partition, never global). The ungrouped form is a full
+    crossJoin and REFUSES to run unless allow_unscoped=True (tests /
+    provably-small inputs only) — nothing else stops a caller from
+    going quadratic on the whole corpus.
     """
+    if group_col is None and not allow_unscoped:
+        raise ValueError(
+            "cosine_pairs without group_col is a full O(n^2) crossJoin; "
+            "pass group_col (per-agent / LSH-bucket scoping) or set "
+            "allow_unscoped=True for provably small inputs"
+        )
     if group_col is not None:
         # vectorized path: pairwise cosine per group as one numpy
         # matmul inside applyInPandas — the expression form evaluates

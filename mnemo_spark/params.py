@@ -51,6 +51,10 @@ ZSCORE_SIGMA = 1.05  # synthetic embeddings are well-concentrated; the
 JACCARD_SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.05
 JACCARD_MAX_DOC_ID = 200
+# boilerplate guard: a shingle shared by this many docs contributes
+# O(df^2) candidate pairs — one hot shingle makes the inverted-index
+# join quadratic at 100 TB, so both engines drop shingles above the cap
+JACCARD_MAX_DF = 100
 MINHASH_NUM = 12
 MINHASH_BANDS = 4
 DEDUP_PREFIX_TOKENS = 5

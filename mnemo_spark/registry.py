@@ -783,7 +783,9 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     range(1, greatest(len(toks) - {P.JACCARD_SHINGLE_K - 2}, 1)),
                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
            FROM tok),
-    e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    e0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    dfr AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= {P.JACCARD_MAX_DF}),
+    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN dfr USING (s)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
               FROM e a JOIN e b USING (s) WHERE a.doc_id < b.doc_id
@@ -800,7 +802,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard via inverted-index self-join (never a
     cross product); finds the corpus's planted near-duplicates."""
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, 0.5, P.JACCARD_SHINGLE_K)
+    return ngram_jaccard_pairs(docs, 0.5, P.JACCARD_SHINGLE_K, max_df=P.JACCARD_MAX_DF)
 
 
 @query(

@@ -175,3 +175,83 @@ def test_streaming_foreachbatch_chain_append(spark, sf_dir, tmp_path):
         F.count("*").alias("n"), F.countDistinct("chain_hash").alias("d")
     )
     assert per_user.filter(F.col("n") != F.col("d")).count() == 0
+
+
+def test_no_driver_id_collection_in_erasure_paths():
+    """forget_subject / remember_on / _forget_where must keep their
+    predicates in the plan — a .collect() in these paths OOMs the
+    driver when an erasure matches millions of rows."""
+    import inspect
+
+    from mnemo_spark.engine import MnemoSparkEngine, VersionedEngine
+
+    for fn in (
+        MnemoSparkEngine.forget_subject,
+        MnemoSparkEngine._forget_where,
+        VersionedEngine.remember_on,
+    ):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src, f"{fn.__qualname__} collects to the driver"
+
+
+def test_cosine_pairs_refuses_unscoped(spark):
+    """Ungrouped cosine_pairs is a full crossJoin; it must refuse to
+    run without an explicit opt-in."""
+    import pytest as _pytest
+
+    from mnemo_spark.operators.vector import cosine_pairs
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="group_col"):
+        cosine_pairs(df, 0.5)
+    # explicit opt-in still works for small inputs
+    assert cosine_pairs(df, -1.0, allow_unscoped=True).count() == 1
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc must not generate
+    O(n^2) pairs once the document-frequency cap is on."""
+    from mnemo_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 6 docs: all share the same boilerplate sentence; only docs 1,2
+    # also share unique content
+    boiler = "this is common boilerplate text shared by all documents"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}") for i in range(4)]
+    rows += [(10, f"{boiler} same tail words here"), (11, f"{boiler} same tail words here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = ngram_jaccard_pairs(docs, 0.2, 3, max_df=None)
+    capped = ngram_jaccard_pairs(docs, 0.2, 3, max_df=3)
+    # uncapped: boilerplate shingles connect every pair above threshold
+    assert uncapped.count() > 1
+    # capped: boilerplate (df=6 > 3) dropped; only the true near-dup
+    # pair (10, 11) survives on its shared tail shingles
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(10, 11)}
+
+
+def test_forget_subject_redacts_without_collect(spark):
+    """End-to-end: subject erasure redacts matching rows, and the
+    audit log gains one MemoryRedact event per hit."""
+    import datetime as _dt
+
+    from mnemo_spark.engine import MnemoSparkEngine
+
+    t0 = _dt.datetime(2025, 1, 1)
+    rows = spark.createDataFrame(
+        [
+            ("m1", "agent-a", "alice lives in paris", "semantic", "private", 0.5, [], t0),
+            ("m2", "agent-a", "bob likes tea", "semantic", "private", 0.5, [], t0),
+            ("m3", "agent-b", "alice called bob", "episodic", "private", 0.5, [], t0),
+        ],
+        "id string, agent_id string, content string, memory_type string, "
+        "scope string, importance float, tags array<string>, created_at timestamp",
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    out = eng.forget_subject("alice", strategy="redact", now=t0)
+    redacted = out.memories.filter(F.col("content") == "[REDACTED]")
+    assert {r.id for r in redacted.collect()} == {"m1", "m3"}
+    n_redact_events = out.events.filter(F.col("event_type") == "MemoryRedact").count()
+    assert n_redact_events == 2
