@@ -137,10 +137,18 @@ class MnemoSparkEngine:
         values REJECT the whole batch (fail loud, like the reference's
         per-request validation).
         """
+        # explicit NULL checks: every predicate below is NULL for NULL
+        # inputs, which would silently EXCLUDE the row from `bad` — the
+        # reference rejects invalid rows, so NULL required fields must
+        # fail loud too
         bad = rows.filter(
-            ~F.col("agent_id").rlike(AGENT_ID_RE)
+            F.col("agent_id").isNull()
+            | ~F.col("agent_id").rlike(AGENT_ID_RE)
+            | F.col("memory_type").isNull()
             | ~F.col("memory_type").isin(*_TYPES)
+            | F.col("scope").isNull()
             | ~F.col("scope").isin(*_SCOPES)
+            | F.col("importance").isNull()
             | (F.col("importance") < 0)
             | (F.col("importance") > 1)
         )
@@ -199,20 +207,42 @@ class MnemoSparkEngine:
                 F.col("created_at").alias("ts"),
             )
         )
+        return self._clone(
+            memories=self.memories.unionByName(new_memories, allowMissingColumns=True),
+            events=events,
+        )
+
+    def _clone(
+        self, memories=None, acls=None, events=None
+    ) -> "MnemoSparkEngine":
+        """Construction hook every mutating verb routes through, so
+        subclasses (VersionedEngine) keep their extra state — the
+        checkpoints frame — across remember/forget/share/sweep instead
+        of silently degrading to the base class."""
         return MnemoSparkEngine(
             self.spark,
-            self.memories.unionByName(new_memories, allowMissingColumns=True),
-            self.acls,
+            memories if memories is not None else self.memories,
+            acls if acls is not None else self.acls,
             self.dim,
-            events,
+            events if events is not None else self.events,
         )
 
     def _append_events(self, rows: DataFrame) -> DataFrame:
         """T1 (remember.rs:212-257): every verb appends hash-chained
         audit events; the chain head carries across appends via
         `prev_head` (cross-batch handoff, W7)."""
+        # event_id must be unique per event: a bare type-id pair
+        # collides when the same verb hits the same memory twice (e.g.
+        # soft forget called twice), and duplicate (agent, ts, event_id)
+        # keys fan out the verify_event_integrity join into spurious
+        # chain-break reports — so the timestamp is folded in
         hashed = rows.select(
-            F.concat_ws("-", F.col("event_type"), F.col("memory_id")).alias("event_id"),
+            F.concat_ws(
+                "-",
+                F.col("event_type"),
+                F.col("memory_id"),
+                F.substring(F.sha2(F.col("ts").cast("string"), 256), 1, 12),
+            ).alias("event_id"),
             "agent_id",
             "event_type",
             "memory_id",
@@ -286,10 +316,7 @@ class MnemoSparkEngine:
               expires_at=None) -> "MnemoSparkEngine":
         rows = [(m, principal, permission, expires_at) for m in memory_ids]
         new = self.spark.createDataFrame(rows, ACL_SCHEMA)
-        return MnemoSparkEngine(
-            self.spark, self.memories, self.acls.unionByName(new), self.dim,
-            self.events,
-        )
+        return self._clone(acls=self.acls.unionByName(new))
 
     # -- read path (recall.rs:332-737) ----------------------------------
 
@@ -410,7 +437,7 @@ class MnemoSparkEngine:
             now_c.alias("ts"),
         )
         events = self._append_events(doomed)
-        return MnemoSparkEngine(self.spark, mem, self.acls, self.dim, events)
+        return self._clone(memories=mem, events=events)
 
     def forget_subject(
         self, subject_pattern: str, strategy: str = "redact", now=None
@@ -453,14 +480,11 @@ class MnemoSparkEngine:
             F.col("id").alias("memory_id"),
             now_c.alias("ts"),
         )
-        return MnemoSparkEngine(
-            self.spark,
-            self.memories.filter(
+        return self._clone(
+            memories=self.memories.filter(
                 F.col("expires_at").isNull() | (F.col("expires_at") > now_c)
             ),
-            self.acls,
-            self.dim,
-            self._append_events(expired),
+            events=self._append_events(expired),
         )
 
 
@@ -487,10 +511,10 @@ class VersionedEngine(MnemoSparkEngine):
     """
 
     def __init__(self, spark, memories=None, acls=None, checkpoints=None,
-                 embedding_dim: int = 64):
+                 embedding_dim: int = 64, events=None):
         if memories is not None and "branch" not in memories.columns:
             memories = memories.withColumn("branch", F.lit("main"))
-        super().__init__(spark, memories, acls, embedding_dim)
+        super().__init__(spark, memories, acls, embedding_dim, events)
         if memories is None:
             self.memories = self.memories.withColumn("branch", F.lit("main"))
         self.checkpoints = (
@@ -506,6 +530,20 @@ class VersionedEngine(MnemoSparkEngine):
             acls if acls is not None else self.acls,
             checkpoints if checkpoints is not None else self.checkpoints,
             self.dim,
+            self.events,
+        )
+
+    def _clone(self, memories=None, acls=None, events=None) -> "VersionedEngine":
+        # inherited verbs (remember_batch/forget/share/run_ttl_sweep)
+        # stay VersionedEngine: checkpoints and the branch column
+        # survive every mutation instead of degrading to the base class
+        return VersionedEngine(
+            self.spark,
+            memories if memories is not None else self.memories,
+            acls if acls is not None else self.acls,
+            self.checkpoints,
+            self.dim,
+            events if events is not None else self.events,
         )
 
     def remember_on(self, rows: DataFrame, branch: str = "main") -> "VersionedEngine":

@@ -153,7 +153,12 @@ def dedup_stream(
     with state bounded by the event-time watermark (the training-data
     pipeline's dedup gate applied at ingest — late duplicates beyond
     the watermark age out of state and are the documented trade-off).
+
+    Uses dropDuplicatesWithinWatermark: plain dropDuplicates(subset)
+    only purges state when the event-time column is IN the subset, so
+    keying on event_id alone would grow state unboundedly on a
+    long-running stream.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols or ["event_id"]
     )

@@ -251,3 +251,41 @@ def test_reconstruct_belief(engine):
     hits = engine.recall("paris", "alice", strategy="lexical", now=now)
     summary = reconstruct_belief(hits, max_items=2)
     assert "paris" in summary and " | " in summary
+
+
+def test_validation_rejects_null_fields(spark):
+    """NULL agent_id/memory_type/scope/importance must fail loud —
+    every rlike/isin predicate is NULL for NULL input, which would
+    silently accept the row without explicit NULL checks."""
+    for row in [
+        (None, "c", "semantic", "private", 0.5),
+        ("a1", "c", None, "private", 0.5),
+        ("a1", "c", "semantic", None, 0.5),
+        ("a1", "c", "semantic", "private", None),
+    ]:
+        agent, content, mtype, scope, imp = row
+        with pytest.raises(ValueError):
+            MnemoSparkEngine(spark).remember_batch(
+                spark.createDataFrame(
+                    [("x", agent, content, mtype, scope, imp, [], T0)], _ROW_SCHEMA
+                )
+            )
+
+
+def test_repeated_verb_event_ids_unique(spark):
+    """Soft-forgetting the same memory twice must produce two distinct
+    audit events, and the recomputed event chain must still verify
+    (duplicate (agent, ts, event_id) keys used to fan out the
+    verification join into spurious break reports)."""
+    eng = MnemoSparkEngine(spark).remember_batch(
+        _mk_rows(spark, [("m1", "a1", "hello", "semantic", "private", 0.5, [], T0)])
+    )
+    t1 = T0 + dt.timedelta(hours=1)
+    t2 = T0 + dt.timedelta(hours=2)
+    eng = eng.forget(["m1"], strategy="soft", now=t1)
+    eng = eng.forget(["m1"], strategy="soft", now=t2)
+    ev = eng.events.filter(F.col("event_type") == "MemoryDelete")
+    ids = [r["event_id"] for r in ev.collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2
+    report = eng.verify_event_integrity()
+    assert report.filter(F.col("n_breaks") > 0).count() == 0

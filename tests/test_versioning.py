@@ -110,3 +110,35 @@ def test_merge_squash(versioned):
         for r in merged.memories.filter(F.col("branch") == "feature").collect()
     }
     assert states == {"m3": "consolidated", "m4": "consolidated"}
+
+
+def test_inherited_verbs_preserve_version_state(spark):
+    """remember_batch/forget/share/run_ttl_sweep inherited from the
+    base class must return a VersionedEngine with checkpoints (and the
+    audit log) intact — previously they degraded to MnemoSparkEngine,
+    so replay/branch/merge after any mutation raised AttributeError."""
+    eng = VersionedEngine(spark).remember_on(
+        _rows(spark, [("v1", "a1", "fact one", "semantic", "private", 0.5, [], T0)]),
+        branch="main",
+    )
+    eng = eng.checkpoint("t1", "main", T1)
+    n_cp = eng.checkpoints.count()
+    assert n_cp == 1
+
+    # every inherited mutating verb must keep class + checkpoints
+    eng2 = eng.forget(["v1"], strategy="soft", now=T2)
+    assert isinstance(eng2, VersionedEngine)
+    assert eng2.checkpoints.count() == n_cp
+    assert "branch" in eng2.memories.columns
+
+    eng3 = eng2.share(["v1"], "bob")
+    assert isinstance(eng3, VersionedEngine)
+    assert eng3.checkpoints.count() == n_cp
+
+    eng4 = eng3.run_ttl_sweep(now=T2)
+    assert isinstance(eng4, VersionedEngine)
+    assert eng4.checkpoints.count() == n_cp
+    # audit events survived the whole verb chain
+    assert eng4.events.filter(F.col("event_type") == "MemoryDelete").count() == 1
+    # and version verbs still work after mutations
+    assert eng4.replay(eng4.checkpoints.first()["checkpoint_id"]).count() >= 0
