@@ -113,8 +113,16 @@ class MnemoSparkEngine:
         acls: DataFrame | None = None,
         embedding_dim: int = 64,
         events: DataFrame | None = None,
+        embedder=None,
     ):
         self.spark = spark
+        # U1: pluggable provider; default is the deterministic hash-bag
+        # stand-in (the reference's own offline fallback). Configure
+        # NoopEmbedder to reproduce the reference's unconfigured state,
+        # where semantic recall refuses to run (recall.rs:366-375).
+        from mnemo_spark.functions.embed_batch import HashBagEmbedder
+
+        self.embedder = embedder if embedder is not None else HashBagEmbedder(embedding_dim)
         self.memories = (
             memories
             if memories is not None
@@ -225,6 +233,7 @@ class MnemoSparkEngine:
             acls if acls is not None else self.acls,
             self.dim,
             events if events is not None else self.events,
+            self.embedder,
         )
 
     def _append_events(self, rows: DataFrame) -> DataFrame:
@@ -345,6 +354,16 @@ class MnemoSparkEngine:
                 .join(corpus, "id")
             )
         elif strategy in ("semantic", "hybrid"):
+            # U1 fail-loud gate (embedding/mod.rs:7-53, enforced at
+            # recall.rs:366-375): semantic retrieval under a provider
+            # that can't embed must refuse, not silently degrade
+            if not getattr(self.embedder, "semantic", False):
+                raise RuntimeError(
+                    f"recall(strategy={strategy!r}) requires a semantic-"
+                    f"capable embedder; configured provider "
+                    f"{getattr(self.embedder, 'name', type(self.embedder).__name__)!r} "
+                    "cannot embed (reference fail-loud contract)"
+                )
             sem = self._semantic_lane(corpus, query)
             if strategy == "semantic":
                 hits = sem.join(corpus, "id")
@@ -511,10 +530,10 @@ class VersionedEngine(MnemoSparkEngine):
     """
 
     def __init__(self, spark, memories=None, acls=None, checkpoints=None,
-                 embedding_dim: int = 64, events=None):
+                 embedding_dim: int = 64, events=None, embedder=None):
         if memories is not None and "branch" not in memories.columns:
             memories = memories.withColumn("branch", F.lit("main"))
-        super().__init__(spark, memories, acls, embedding_dim, events)
+        super().__init__(spark, memories, acls, embedding_dim, events, embedder)
         if memories is None:
             self.memories = self.memories.withColumn("branch", F.lit("main"))
         self.checkpoints = (
@@ -531,6 +550,7 @@ class VersionedEngine(MnemoSparkEngine):
             checkpoints if checkpoints is not None else self.checkpoints,
             self.dim,
             self.events,
+            self.embedder,
         )
 
     def _clone(self, memories=None, acls=None, events=None) -> "VersionedEngine":
@@ -544,6 +564,7 @@ class VersionedEngine(MnemoSparkEngine):
             self.checkpoints,
             self.dim,
             events if events is not None else self.events,
+            self.embedder,
         )
 
     def remember_on(self, rows: DataFrame, branch: str = "main") -> "VersionedEngine":

@@ -56,6 +56,41 @@ def hash_bag_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_batch_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+                 FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+          FROM tok),
+    cnt AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+    n AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id, cnt.bucket, round(cnt.c / n.l2, 6) AS weight
+    FROM cnt JOIN n USING (doc_id)
+    """,
+)
+def embed_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 batch-embedder interface driven end to end: the mapInPandas
+    provider path (embed_batch + HashBagEmbedder, the pluggable-model
+    plumbing of embedding/onnx.rs / openai.rs) produces dense vectors,
+    exploded here to sparse long form and proven bit-identical to the
+    relational hash-bag oracle."""
+    from mnemo_spark.functions.embed_batch import HashBagEmbedder, embed_batch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dense = embed_batch(docs, HashBagEmbedder(P.EMBEDDING_DIM), "text", "_vec")
+    return (
+        dense.select("doc_id", F.posexplode("_vec").alias("bucket", "weight"))
+        .filter(F.col("weight") != 0.0)
+        .select(
+            "doc_id",
+            "bucket",
+            F.round(F.col("weight").cast("double"), 6).alias("weight"),
+        )
+    )
+
+
+@query(
     "ivf_ann_topk",
     f"""
     WITH cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
