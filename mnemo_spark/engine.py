@@ -417,29 +417,105 @@ class MnemoSparkEngine:
 
     # -- forget (forget.rs:14-120) --------------------------------------
 
+    DECAY_RATE = 0.1  # forget.rs:205: decay_rate.unwrap_or(0.1)
+
     def forget(self, ids: list[str], strategy: str = "soft", now=None) -> "MnemoSparkEngine":
         return self._forget_where(F.col("id").isin(ids), strategy, now)
+
+    def forget_ids_df(
+        self, ids: DataFrame, strategy: str = "soft", now=None
+    ) -> "MnemoSparkEngine":
+        """Forget a DataFrame of ids (column `id`) — membership is a
+        join, so a computed id set (e.g. conflict-resolution losers)
+        never materializes on the driver."""
+        marked = self.memories.join(
+            ids.select("id", F.lit(True).alias("_hit")).distinct(), "id", "left"
+        ).withColumn("_hit", F.coalesce(F.col("_hit"), F.lit(False)))
+        return self._forget_marked(marked, strategy, now)
+
+    def forget_by_criteria(
+        self,
+        agent_id: str | None = None,
+        strategy: str = "soft",
+        max_age_hours: float | None = None,
+        min_importance_below: float | None = None,
+        memory_type: str | None = None,
+        tags: list[str] | None = None,
+        now=None,
+    ) -> "MnemoSparkEngine":
+        """Criteria-driven forget (forget.rs:82-117 ForgetCriteria):
+        age floor, importance ceiling, type and tag filters — all as
+        one column predicate, never a listed id set."""
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        pred = F.col("deleted_at").isNull()
+        if agent_id is not None:
+            pred = pred & (F.col("agent_id") == agent_id)
+        if memory_type is not None:
+            pred = pred & (F.col("memory_type") == memory_type)
+        if tags:
+            pred = pred & F.arrays_overlap(
+                F.col("tags"), F.array(*[F.lit(t) for t in tags])
+            )
+        if max_age_hours is not None:
+            # keep only rows AT LEAST max_age_hours old (forget.rs:97-106)
+            age_h = (F.unix_micros(now_c) - F.unix_micros(F.col("created_at"))) / 3.6e9
+            pred = pred & (age_h >= max_age_hours)
+        if min_importance_below is not None:
+            pred = pred & (F.col("importance") < min_importance_below)
+        return self._forget_where(pred, strategy, now)
 
     def _forget_where(self, hit, strategy: str = "soft", now=None) -> "MnemoSparkEngine":
         """Forget every row matching a Column predicate — the predicate
         stays IN the plan (no driver-side id materialization), so an
         erasure matching millions of rows is just a column filter."""
+        return self._forget_marked(
+            self.memories.withColumn("_hit", hit), strategy, now
+        )
+
+    def _forget_marked(
+        self, marked: DataFrame, strategy: str = "soft", now=None
+    ) -> "MnemoSparkEngine":
+        """Strategy dispatch over a memories frame carrying a boolean
+        `_hit` column (forget.rs:14-120 — all six strategies)."""
+        hit = F.col("_hit")
         now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
         if strategy == "hard":
-            mem = self.memories.filter(~hit)
+            mem = marked.filter(~hit)
         elif strategy == "soft":
-            mem = self.memories.withColumn(
+            mem = marked.withColumn(
                 "deleted_at", F.when(hit, now_c).otherwise(F.col("deleted_at"))
             )
         elif strategy == "archive":
-            mem = self.memories.withColumn(
+            mem = marked.withColumn(
                 "consolidation_state",
                 F.when(hit, "archived").otherwise(F.col("consolidation_state")),
+            )
+        elif strategy == "decay":
+            # forget.rs:205-210: importance -= decay_rate, floored at 0;
+            # the memory stays recallable, just weaker
+            mem = marked.withColumn(
+                "importance",
+                F.when(
+                    hit,
+                    F.greatest(
+                        F.col("importance") - F.lit(self.DECAY_RATE), F.lit(0.0)
+                    ),
+                )
+                .otherwise(F.col("importance"))
+                .cast("float"),
+            )
+        elif strategy == "consolidate":
+            # forget.rs:259-270: mark Consolidated — the row is folded
+            # into a summary elsewhere (consolidation pass) and excluded
+            # from active recall by state
+            mem = marked.withColumn(
+                "consolidation_state",
+                F.when(hit, "consolidated").otherwise(F.col("consolidation_state")),
             )
         elif strategy == "redact":
             # GDPR redact: blank content but PRESERVE hashes so the
             # chain still verifies (integration_test.rs:2684)
-            mem = self.memories.withColumn(
+            mem = marked.withColumn(
                 "content", F.when(hit, F.lit("[REDACTED]")).otherwise(F.col("content"))
             ).withColumn(
                 "embedding",
@@ -448,8 +524,10 @@ class MnemoSparkEngine:
         else:
             raise ValueError(f"unknown forget strategy {strategy!r}")
         etype = {"hard": "MemoryDelete", "soft": "MemoryDelete",
-                 "archive": "MemoryArchive", "redact": "MemoryRedact"}[strategy]
-        doomed = self.memories.filter(hit).select(
+                 "archive": "MemoryArchive", "redact": "MemoryRedact",
+                 "decay": "MemoryDecay", "consolidate": "MemoryConsolidate"}[strategy]
+        mem = mem.drop("_hit")
+        doomed = marked.filter(hit).select(
             "agent_id",
             F.lit(etype).alias("event_type"),
             F.col("id").alias("memory_id"),
@@ -470,6 +548,124 @@ class MnemoSparkEngine:
         return self._forget_where(
             F.col("content").rlike(subject_pattern), strategy=strategy, now=now
         )
+
+    # -- conflicts (conflict.rs:84-260) ----------------------------------
+
+    def detect_conflicts(self, threshold: float = 0.85) -> DataFrame:
+        """Same-agent high-similarity different-content pairs
+        (conflict.rs:84-151). → (agent_id, id_a, id_b, similarity).
+
+        Scoped per agent exactly like the reference (the candidate
+        search is per-record within the agent's memories), so the
+        pairwise term is bounded by the largest single agent, never
+        the corpus."""
+        from mnemo_spark.operators.vector import cosine_pairs
+
+        live = self.memories.filter(
+            F.col("deleted_at").isNull()
+            & F.col("quarantined").isNull()
+            & F.col("embedding").isNotNull()
+        ).select("id", "agent_id", "content", "embedding")
+        pairs = cosine_pairs(
+            live, threshold, id_col="id", vec_col="embedding", group_col="agent_id"
+        )
+        content = live.select("id", "content")
+        return (
+            pairs.join(
+                content.select(
+                    F.col("id").alias("id_a"), F.col("content").alias("_ca")
+                ),
+                "id_a",
+            )
+            .join(
+                content.select(
+                    F.col("id").alias("id_b"), F.col("content").alias("_cb")
+                ),
+                "id_b",
+            )
+            .filter(F.col("_ca") != F.col("_cb"))  # conflict.rs:135
+            .select(
+                "agent_id",
+                "id_a",
+                "id_b",
+                F.col("cos_sim").alias("similarity"),
+            )
+        )
+
+    def resolve_conflicts(
+        self, pairs: DataFrame, strategy: str = "keep_newest", now=None
+    ) -> "MnemoSparkEngine":
+        """Batch conflict resolution (conflict.rs:154-260).
+
+        pairs: (id_a, id_b) — typically detect_conflicts output.
+        Strategies: keep_newest (soft-delete the older), keep_highest_
+        importance (soft-delete the less important), merge_into_semantic
+        (write one combined Semantic memory per pair — content joined
+        with ' | ', averaged importance, unioned tags — then soft-delete
+        both originals), manual (no-op flag-for-review).
+
+        All set algebra is joins; loser ids never touch the driver.
+        """
+        if strategy == "manual":
+            return self  # conflict.rs:247: flag only
+        m = self.memories
+        a = m.select(
+            F.col("id").alias("id_a"),
+            F.col("created_at").alias("_ca"),
+            F.col("importance").alias("_ia"),
+            F.col("content").alias("_cta"),
+            F.col("tags").alias("_tga"),
+            F.col("agent_id").alias("_aga"),
+            F.col("scope").alias("_sa"),
+        )
+        b = m.select(
+            F.col("id").alias("id_b"),
+            F.col("created_at").alias("_cb"),
+            F.col("importance").alias("_ib"),
+            F.col("content").alias("_ctb"),
+            F.col("tags").alias("_tgb"),
+        )
+        j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        if strategy == "keep_newest":
+            # a wins ties, mirroring `mem_a.created_at >= mem_b.created_at`
+            loser = F.when(F.col("_ca") >= F.col("_cb"), F.col("id_b")).otherwise(
+                F.col("id_a")
+            )
+            return self.forget_ids_df(j.select(loser.alias("id")), "soft", now)
+        if strategy == "keep_highest_importance":
+            loser = F.when(F.col("_ia") >= F.col("_ib"), F.col("id_b")).otherwise(
+                F.col("id_a")
+            )
+            return self.forget_ids_df(j.select(loser.alias("id")), "soft", now)
+        if strategy == "merge_into_semantic":
+            now_lit = now if now is not None else None
+            merged = j.select(
+                # deterministic merged id (the reference mints UUIDv7;
+                # here the pair defines the merge, so hash it)
+                F.concat_ws(
+                    "-", F.lit("merged"), F.substring(
+                        F.sha2(F.concat_ws("|", F.col("id_a"), F.col("id_b")), 256), 1, 16
+                    )
+                ).alias("id"),
+                F.col("_aga").alias("agent_id"),
+                F.concat_ws(" | ", F.col("_cta"), F.col("_ctb")).alias("content"),
+                F.lit("semantic").alias("memory_type"),
+                F.col("_sa").alias("scope"),
+                ((F.col("_ia") + F.col("_ib")) / 2.0).cast("float").alias("importance"),
+                # a's tags in order, then b's novel tags (conflict.rs:196)
+                F.array_union(F.col("_tga"), F.col("_tgb")).alias("tags"),
+                (
+                    F.lit(now_lit).cast("timestamp")
+                    if now_lit is not None
+                    else F.current_timestamp()
+                ).alias("created_at"),
+            )
+            grown = self.remember_batch(merged)
+            losers = pairs.select(F.col("id_a").alias("id")).unionByName(
+                pairs.select(F.col("id_b").alias("id"))
+            )
+            return grown.forget_ids_df(losers, "soft", now)
+        raise ValueError(f"unknown resolution strategy {strategy!r}")
 
     def verify_event_integrity(self) -> DataFrame:
         """A9 on the audit log itself (verify_event_chain)."""

@@ -156,3 +156,56 @@ def cosine_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(
         emb, P.COSINE_DUP_THRESHOLD, "vec_id", "embedding", group_col="label"
     )
+
+
+@query(
+    "conflict_resolution_embeddings",
+    f"""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS nrm FROM c),
+    pairs AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+              FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE {_COS.format(a='a.v', b='b.v')} >= {P.COSINE_DUP_THRESHOLD})
+    SELECT p.label, p.id_a, p.id_b,
+           CASE WHEN na.nrm >= nb.nrm THEN p.id_b ELSE p.id_a END AS loser_id
+    FROM pairs p
+    JOIN n na ON p.id_a = na.vec_id
+    JOIN n nb ON p.id_b = nb.vec_id
+    """,
+)
+def conflict_resolution_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict RESOLUTION as a relational program (conflict.rs:154-260
+    keep_highest_importance): detected near-dup pairs, importance stood
+    in by the embedding norm, the winner keeps (a wins ties via the
+    deterministic id_a < id_b pair order) and the loser id is what a
+    soft-delete join would consume — the same join algebra
+    MnemoSparkEngine.resolve_conflicts runs on the memories table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(
+        emb, P.COSINE_DUP_THRESHOLD, "vec_id", "embedding", group_col="label"
+    ).select("label", "id_a", "id_b")
+    nrm = emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ).alias("nrm"),
+    )
+    return (
+        pairs.join(nrm.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("_na")), "id_a")
+        .join(nrm.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("_nb")), "id_b")
+        .select(
+            "label",
+            "id_a",
+            "id_b",
+            F.when(F.col("_na") >= F.col("_nb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("loser_id"),
+        )
+    )

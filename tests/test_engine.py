@@ -289,3 +289,101 @@ def test_repeated_verb_event_ids_unique(spark):
     assert len(ids) == 2 and len(set(ids)) == 2
     report = eng.verify_event_integrity()
     assert report.filter(F.col("n_breaks") > 0).count() == 0
+
+
+def _conflict_fixture(spark):
+    """Two very similar memories + one unrelated, same agent."""
+    rows = _mk_rows(
+        spark,
+        [
+            ("c1", "a1", "the sky is blue today", "semantic", "private", 0.3, ["w"], T0),
+            ("c2", "a1", "the sky is blue now", "semantic", "private", 0.9, ["x"],
+             T0 + dt.timedelta(hours=1)),
+            ("c3", "a1", "completely unrelated topic entirely", "semantic", "private",
+             0.5, [], T0),
+        ],
+    )
+    return MnemoSparkEngine(spark).remember_batch(rows)
+
+
+def test_detect_conflicts_same_agent_similar_content(spark):
+    eng = _conflict_fixture(spark)
+    pairs = eng.detect_conflicts(threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("c1", "c2")}
+    assert pairs[0].similarity >= 0.5
+
+
+def test_resolve_keep_newest_soft_deletes_older(spark):
+    eng = _conflict_fixture(spark)
+    out = eng.resolve_conflicts(eng.detect_conflicts(0.5), "keep_newest", now=T0)
+    gone = {r.id for r in out.memories.filter(F.col("deleted_at").isNotNull()).collect()}
+    assert gone == {"c1"}  # c2 is newer
+    assert out.events.filter(F.col("event_type") == "MemoryDelete").count() == 1
+
+
+def test_resolve_keep_highest_importance(spark):
+    eng = _conflict_fixture(spark)
+    out = eng.resolve_conflicts(
+        eng.detect_conflicts(0.5), "keep_highest_importance", now=T0
+    )
+    gone = {r.id for r in out.memories.filter(F.col("deleted_at").isNotNull()).collect()}
+    assert gone == {"c1"}  # c2 importance 0.9 > 0.3
+
+
+def test_resolve_merge_into_semantic(spark):
+    eng = _conflict_fixture(spark)
+    t_res = T0 + dt.timedelta(days=1)
+    out = eng.resolve_conflicts(eng.detect_conflicts(0.5), "merge_into_semantic", now=t_res)
+    live = {r.id: r for r in out.memories.filter(F.col("deleted_at").isNull()).collect()}
+    merged = [r for rid, r in live.items() if rid.startswith("merged-")]
+    assert len(merged) == 1
+    m = merged[0]
+    assert m.content == "the sky is blue today | the sky is blue now"
+    assert abs(m.importance - 0.6) < 1e-6  # avg(0.3, 0.9)
+    assert m.memory_type == "semantic"
+    assert list(m.tags) == ["w", "x"]  # a's tags then b's novel tags
+    assert m.content_hash and m.chain_hash  # went through remember_batch
+    # both originals soft-deleted, unrelated memory untouched
+    gone = {r.id for r in out.memories.filter(F.col("deleted_at").isNotNull()).collect()}
+    assert gone == {"c1", "c2"}
+    assert "c3" in live
+
+
+def test_resolve_manual_is_noop(spark):
+    eng = _conflict_fixture(spark)
+    out = eng.resolve_conflicts(eng.detect_conflicts(0.5), "manual")
+    assert out.memories.filter(F.col("deleted_at").isNotNull()).count() == 0
+
+
+def test_forget_decay_and_consolidate_strategies(spark):
+    eng = _conflict_fixture(spark)
+    # decay: importance -= 0.1 floored at 0 (forget.rs:205-210)
+    dec = eng.forget(["c1"], strategy="decay", now=T0)
+    imp = {r.id: r.importance for r in dec.memories.collect()}
+    assert abs(imp["c1"] - 0.2) < 1e-6 and abs(imp["c2"] - 0.9) < 1e-6
+    # repeated decay floors at 0
+    for _ in range(4):
+        dec = dec.forget(["c1"], strategy="decay", now=T0)
+    assert {r.id: r.importance for r in dec.memories.collect()}["c1"] == 0.0
+    assert dec.events.filter(F.col("event_type") == "MemoryDecay").count() == 5
+    # consolidate: state flip only, row stays
+    con = eng.forget(["c2"], strategy="consolidate", now=T0)
+    states = {r.id: r.consolidation_state for r in con.memories.collect()}
+    assert states == {"c1": "active", "c2": "consolidated", "c3": "active"}
+    assert con.events.filter(F.col("event_type") == "MemoryConsolidate").count() == 1
+
+
+def test_forget_by_criteria_predicates(spark):
+    eng = _conflict_fixture(spark)
+    t_now = T0 + dt.timedelta(hours=2)
+    # age >= 2h AND importance < 0.4 -> only c1 (c2 is 1h old, c3 imp 0.5)
+    out = eng.forget_by_criteria(
+        agent_id="a1", strategy="soft", max_age_hours=2.0,
+        min_importance_below=0.4, now=t_now,
+    )
+    gone = {r.id for r in out.memories.filter(F.col("deleted_at").isNotNull()).collect()}
+    assert gone == {"c1"}
+    # tag filter
+    out2 = eng.forget_by_criteria(agent_id="a1", strategy="soft", tags=["x"], now=t_now)
+    gone2 = {r.id for r in out2.memories.filter(F.col("deleted_at").isNotNull()).collect()}
+    assert gone2 == {"c2"}
