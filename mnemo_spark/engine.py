@@ -667,6 +667,253 @@ class MnemoSparkEngine:
             return grown.forget_ids_df(losers, "soft", now)
         raise ValueError(f"unknown resolution strategy {strategy!r}")
 
+    # -- reflection (reflection.rs:147-301) ------------------------------
+
+    REFLECTION_DEDUP_THRESHOLD = 0.92  # reflection.rs:39
+    REFLECTION_LOW_IMPORTANCE = 0.3  # reflection.rs:40
+    ARCHIVE_IMPORTANCE = 0.2  # reflection.rs:41
+    ARCHIVE_AGE_HOURS = 168.0  # reflection.rs:42 (24*7)
+
+    def run_reflection_pass(
+        self, agent_id: str | None = None, now=None
+    ) -> tuple["MnemoSparkEngine", dict]:
+        """The reference's full 5-stage reflection pass
+        (reflection.rs:147-301), each stage a DataFrame program:
+
+        1. date absolutization — relative phrases rewritten to ISO
+           dates anchored at created_at; changed rows re-hash + re-embed
+        2. Auto-Dream accept — rows carrying a 'dreamed_at' tag marker
+           (metadata analog) re-hash/re-embed once, then get the
+           idempotent 'dreamed_processed' marker
+        3. semantic dedup — cosine >= 0.92 same-agent pairs: the newer
+           side keeps (tags unioned, access counts summed), the older
+           is marked consolidated
+        4. low-importance conflict resolution — different-content pairs
+           where BOTH importances < 0.3 resolve keep_newest
+        5. stale archival — age >= 168h, access_count == 0, effective
+           importance < 0.2 (exponential decay + access boost), not
+           consolidated in stage 3 → archived
+
+        Returns (new_engine, report) with per-stage counts, mirroring
+        ReflectionReport. The reference's greedy in-memory scan becomes
+        batch set algebra: all qualifying pairs resolve in one round
+        (tested upstream at integration_test.rs:3143-3326).
+        """
+        from mnemo_spark.functions.decay import effective_importance
+        from mnemo_spark.functions.reflection import absolutize_dates
+
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        scope = (
+            (F.col("agent_id") == agent_id) if agent_id is not None else F.lit(True)
+        ) & F.col("deleted_at").isNull()
+        mem = self.memories
+        report: dict[str, int] = {"total_scanned": mem.filter(scope).count()}
+
+        # -- 1. date absolutization ------------------------------------
+        # materialize the rewrite as a column FIRST, then apply every
+        # dependent rewrite (content/hash/embedding) in ONE projection:
+        # sequential withColumns would re-reference the rewritten
+        # content and flip the change predicate
+        mem = mem.withColumn(
+            "_nc", absolutize_dates(F.col("content"), F.col("created_at"))
+        ).withColumn("_chg", scope & (F.col("_nc") != F.col("content")))
+        report["absolutized_dates"] = mem.filter(F.col("_chg")).count()
+        new_hash = F.sha2(
+            F.concat_ws(
+                "|", F.col("_nc"), F.col("agent_id"), F.col("created_at").cast("string")
+            ),
+            256,
+        )
+        mem = mem.withColumns(
+            {
+                "content": F.when(F.col("_chg"), F.col("_nc")).otherwise(
+                    F.col("content")
+                ),
+                "content_hash": F.when(F.col("_chg"), new_hash).otherwise(
+                    F.col("content_hash")
+                ),
+                "embedding": F.when(F.col("_chg"), self._embed(F.col("_nc"))).otherwise(
+                    F.col("embedding")
+                ),
+            }
+        ).drop("_nc", "_chg")
+
+        # -- 2. Auto-Dream accept --------------------------------------
+        dreamed = (
+            scope
+            & F.array_contains(F.col("tags"), "dreamed_at")
+            & ~F.array_contains(F.col("tags"), "dreamed_processed")
+        )
+        report["dreamed_accepted"] = mem.filter(dreamed).count()
+        mem = mem.withColumns(
+            {
+                "embedding": F.when(
+                    dreamed, self._embed(F.col("content"))
+                ).otherwise(F.col("embedding")),
+                "tags": F.when(
+                    dreamed,
+                    F.array_union(F.col("tags"), F.array(F.lit("dreamed_processed"))),
+                ).otherwise(F.col("tags")),
+            }
+        )
+        # barrier: stages 3-5 join this frame against itself several
+        # times — materialize once so the rewrite/re-embed expressions
+        # don't re-execute per join branch (same localCheckpoint
+        # pattern as the connected-components loop)
+        mem = mem.localCheckpoint(eager=True)
+
+        # pair detection shared by stages 3 and 4 (the reference uses
+        # the same 0.92 threshold for both): same-agent cosine pairs
+        from mnemo_spark.operators.vector import cosine_pairs
+
+        live = mem.filter(scope & F.col("quarantined").isNull() & F.col("embedding").isNotNull())
+        pairs = cosine_pairs(
+            live.select("id", "agent_id", "embedding"),
+            self.REFLECTION_DEDUP_THRESHOLD,
+            id_col="id",
+            vec_col="embedding",
+            group_col="agent_id",
+        ).localCheckpoint(eager=True)  # reused 3x below; don't re-run the matmul
+
+        attrs = mem.select(
+            "id",
+            F.col("created_at").alias("_t"),
+            F.col("importance").alias("_imp"),
+            F.col("content").alias("_ct"),
+            F.col("tags").alias("_tg"),
+            F.col("access_count").alias("_ac"),
+        )
+        j = (
+            pairs.join(
+                attrs.select(
+                    F.col("id").alias("id_a"),
+                    F.col("_t").alias("_ta"),
+                    F.col("_imp").alias("_ia"),
+                    F.col("_ct").alias("_cta"),
+                    F.col("_tg").alias("_tga"),
+                    F.col("_ac").alias("_aca"),
+                ),
+                "id_a",
+            )
+            .join(
+                attrs.select(
+                    F.col("id").alias("id_b"),
+                    F.col("_t").alias("_tb"),
+                    F.col("_imp").alias("_ib"),
+                    F.col("_ct").alias("_ctb"),
+                    F.col("_tg").alias("_tgb"),
+                    F.col("_ac").alias("_acb"),
+                ),
+                "id_b",
+            )
+        )
+
+        # -- 3. semantic dedup (consolidate_duplicates) ----------------
+        # newer keeps; pair order (id_a < id_b) breaks created_at ties
+        # toward a, like the reference's scan order
+        victim = F.when(F.col("_ta") >= F.col("_tb"), F.col("id_b")).otherwise(F.col("id_a"))
+        keeper = F.when(F.col("_ta") >= F.col("_tb"), F.col("id_a")).otherwise(F.col("id_b"))
+        vtags = F.when(F.col("_ta") >= F.col("_tb"), F.col("_tgb")).otherwise(F.col("_tga"))
+        vac = F.when(F.col("_ta") >= F.col("_tb"), F.col("_acb")).otherwise(F.col("_aca"))
+        dedup_sets = j.select(
+            victim.alias("_victim"), keeper.alias("_keeper"),
+            vtags.alias("_vtags"), vac.alias("_vac"),
+        )
+        victims = dedup_sets.select(F.col("_victim").alias("id")).distinct()
+        report["consolidated"] = victims.count()
+        # keeper absorbs: union of victim tags, sum of victim access
+        keeper_gain = dedup_sets.groupBy(F.col("_keeper").alias("id")).agg(
+            F.flatten(F.collect_list("_vtags")).alias("_gain_tags"),
+            F.sum("_vac").alias("_gain_ac"),
+        )
+        mem = (
+            mem.join(victims.select(F.col("id"), F.lit(True).alias("_isv")), "id", "left")
+            .join(keeper_gain, "id", "left")
+            .withColumn(
+                "consolidation_state",
+                F.when(F.col("_isv"), "consolidated").otherwise(
+                    F.col("consolidation_state")
+                ),
+            )
+            .withColumn(
+                "tags",
+                F.when(
+                    F.col("_gain_tags").isNotNull(),
+                    F.array_union(F.col("tags"), F.col("_gain_tags")),
+                ).otherwise(F.col("tags")),
+            )
+            .withColumn(
+                "access_count",
+                F.when(
+                    F.col("_gain_ac").isNotNull(),
+                    (F.col("access_count") + F.col("_gain_ac")).cast("long"),
+                ).otherwise(F.col("access_count")),
+            )
+            .drop("_isv", "_gain_tags", "_gain_ac")
+        )
+
+        # -- 4. low-importance conflict resolution (keep_newest) -------
+        low_pairs = j.filter(
+            (F.col("_cta") != F.col("_ctb"))
+            & (F.col("_ia") < self.REFLECTION_LOW_IMPORTANCE)
+            & (F.col("_ib") < self.REFLECTION_LOW_IMPORTANCE)
+        )
+        losers = low_pairs.select(
+            F.when(F.col("_ta") >= F.col("_tb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id")
+        ).distinct()
+        report["conflicts_resolved"] = losers.count()
+        mem = mem.join(
+            losers.select("id", F.lit(True).alias("_loser")), "id", "left"
+        ).withColumn(
+            "deleted_at",
+            F.when(F.col("_loser") & F.col("deleted_at").isNull(), now_c).otherwise(
+                F.col("deleted_at")
+            ),
+        ).drop("_loser")
+
+        # -- 5. stale archival -----------------------------------------
+        eff = effective_importance(
+            F.col("importance"),
+            F.col("created_at"),
+            now_c,
+            F.col("access_count"),
+            F.lit(None),
+            F.lit(None),
+        )
+        age_h = (F.unix_micros(now_c) - F.unix_micros(F.col("created_at"))) / 3.6e9
+        stale = (
+            scope
+            & F.col("deleted_at").isNull()
+            & (F.col("consolidation_state") == "active")
+            & (F.col("access_count") == 0)
+            & (eff < self.ARCHIVE_IMPORTANCE)
+            & (age_h >= self.ARCHIVE_AGE_HOURS)
+        )
+        report["archived"] = mem.filter(stale).count()
+        mem = mem.withColumn(
+            "consolidation_state",
+            F.when(stale, "archived").otherwise(F.col("consolidation_state")),
+        )
+
+        scoped = (
+            self.memories.filter(F.col("agent_id") == agent_id)
+            if agent_id is not None
+            else self.memories
+        )
+        events = self._append_events(
+            scoped.select("agent_id")
+            .distinct()
+            .select(
+                "agent_id",
+                F.lit("ReflectionCompleted").alias("event_type"),
+                F.lit("reflection-pass").alias("memory_id"),
+                now_c.alias("ts"),
+            )
+        )
+        return self._clone(memories=mem, events=events), report
+
     def verify_event_integrity(self) -> DataFrame:
         """A9 on the audit log itself (verify_event_chain)."""
         return verify_chain(self.events, ["agent_id"], ["ts", "event_id"])

@@ -106,6 +106,62 @@ def decay_pass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "reflection_archive_candidates_events",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id,
+             least(value / 100.0, 1.0) AS imp,
+             ((epoch_us(TIMESTAMP '{P.AS_OF_TS}') - epoch_us(ts)) / 1000000.0) / 3600.0 AS age_h,
+             len(props) % 3 AS access_count
+      FROM events WHERE ts <= TIMESTAMP '{P.AS_OF_TS}'),
+    eff AS (
+      SELECT user_id, event_id, age_h, access_count,
+             round(least(greatest(imp * exp(-0.01 * age_h)
+                                  + 0.05 * ln(1.0 + access_count), 0.0), 1.0), 6)
+               AS eff_importance
+      FROM s)
+    SELECT user_id, event_id, eff_importance
+    FROM eff
+    WHERE access_count = 0 AND age_h >= 168.0 AND eff_importance < 0.2
+    """,
+)
+def reflection_archive_candidates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reflection stage-5 stale archival (reflection.rs:272-301) as a
+    relational program over the events corpus: exponential effective
+    importance (rate 0.01/h, reflection defaults) + access boost,
+    archive candidates = never-accessed rows at least a week old whose
+    effective importance decayed under 0.2 at the as-of instant — the
+    same predicate run_reflection_pass applies to the memories table."""
+    from mnemo_spark.functions.decay import effective_importance
+
+    e = _t(spark, sf_dir, "events")
+    now_c = F.lit(P.AS_OF_TS).cast("timestamp")
+    age_h = (
+        (F.unix_micros(now_c) - F.unix_micros(F.col("ts"))).cast("double") / 1.0e6
+    ) / 3600.0
+    eff = effective_importance(
+        F.least(F.col("value") / 100.0, F.lit(1.0)),
+        F.col("ts"),
+        now_c,
+        F.length("props") % 3,
+        F.lit(None),
+        F.lit(None),
+    )
+    return (
+        e.filter(F.col("ts") <= now_c)
+        .select(
+            "user_id",
+            "event_id",
+            (F.length("props") % 3).alias("_ac"),
+            age_h.alias("_age"),
+            F.round(eff, 6).alias("eff_importance"),
+        )
+        .filter((F.col("_ac") == 0) & (F.col("_age") >= 168.0) & (F.col("eff_importance") < 0.2))
+        .select("user_id", "event_id", "eff_importance")
+    )
+
+
+@query(
     "ttl_sweep_events",
     f"""
     WITH mx AS (SELECT max(ts) AS now_ts FROM events),
