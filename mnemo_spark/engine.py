@@ -67,6 +67,7 @@ MEMORY_SCHEMA = StructType(
         StructField("prev_hash", StringType(), True),
         StructField("chain_hash", StringType(), True),
         StructField("consolidation_state", StringType(), True),
+        StructField("metadata", StringType(), True),  # JSON string (plan payloads etc.)
         StructField("access_count", LongType(), True),
         StructField("created_at", TimestampType(), True),
         StructField("expires_at", TimestampType(), True),
@@ -99,6 +100,10 @@ AUDIT_SCHEMA = StructType(
 
 _TYPES = ("episodic", "semantic", "procedural", "working")
 _SCOPES = ("private", "shared", "public", "global")
+# P5 experience tier (query/experience.rs) — reserved tag + thresholds
+EXPERIENCE_PLAN_TAG = "__experience_plan__"
+PLAN_SIMILARITY_THRESHOLD = 0.7  # experience.rs:57
+PLAN_SUCCESS_THRESHOLD = 0.5  # experience.rs:60
 WORKING_TTL_HOURS = 1  # T3, remember.rs:116-124
 PROCEDURAL_IMPORTANCE_FLOOR = 0.8  # memory.rs:157-173
 
@@ -196,6 +201,10 @@ class MnemoSparkEngine:
                 ),
             )
             .withColumn("embedding", self._embed(F.col("content")))
+            .withColumn(
+                "metadata",
+                F.col("metadata") if "metadata" in rows.columns else F.lit(None).cast("string"),
+            )
             .withColumn("consolidation_state", F.lit("active"))
             .withColumn("access_count", F.lit(0).cast("long"))
             .withColumn("deleted_at", F.lit(None).cast("timestamp"))
@@ -227,7 +236,7 @@ class MnemoSparkEngine:
         subclasses (VersionedEngine) keep their extra state — the
         checkpoints frame — across remember/forget/share/sweep instead
         of silently degrading to the base class."""
-        return MnemoSparkEngine(
+        out = MnemoSparkEngine(
             self.spark,
             memories if memories is not None else self.memories,
             acls if acls is not None else self.acls,
@@ -235,6 +244,8 @@ class MnemoSparkEngine:
             events if events is not None else self.events,
             self.embedder,
         )
+        out.experience_enabled = self.experience_enabled
+        return out
 
     def _append_events(self, rows: DataFrame) -> DataFrame:
         """T1 (remember.rs:212-257): every verb appends hash-chained
@@ -342,7 +353,14 @@ class MnemoSparkEngine:
         """→ (id, agent_id, content, score, rank). Permission filter
         runs BEFORE scoring (the reference's filtered_search contract:
         permission-safe ANN, SURVEY §4)."""
-        corpus = self.visible_to(principal, now=now)
+        corpus = self.visible_to(principal, now=now).filter(
+            # P5: experience-tier plan records never surface in ordinary
+            # recall — replayed only via recall_plan (recall.rs:1131-1149)
+            ~F.coalesce(
+                F.array_contains(F.col("tags"), F.lit(EXPERIENCE_PLAN_TAG)),
+                F.lit(False),
+            )
+        )
         if strategy == "exact":
             hits = corpus.filter(F.col("content") == query).withColumn(
                 "score", F.lit(1.0)
@@ -548,6 +566,189 @@ class MnemoSparkEngine:
         return self._forget_where(
             F.col("content").rlike(subject_pattern), strategy=strategy, now=now
         )
+
+    # -- experience tier (P5, query/experience.rs) -----------------------
+
+    experience_enabled = False  # experience.rs: gated, off by default
+
+    def with_experience_memory(self) -> "MnemoSparkEngine":
+        out = self._clone()
+        out.experience_enabled = True
+        return out
+
+    @staticmethod
+    def _signature_tokens(query: str) -> list[str]:
+        """experience.rs:152-162: >=3-char alphanumeric runs,
+        lowercased, sorted, deduped."""
+        import re as _re
+
+        toks = [
+            t.lower() for t in _re.split(r"[^0-9A-Za-z]+", query) if len(t) >= 3
+        ]
+        return sorted(set(toks))
+
+    def remember_plan(
+        self,
+        plan_id: str,
+        agent_id: str,
+        query: str,
+        steps: list[str],
+        chunk_ids: list[str],
+        outcome_score: float,
+        created_at,
+        scope: str = "private",
+    ) -> tuple["MnemoSparkEngine", bool]:
+        """REMEMBER_PLAN (experience.rs:205-256): cache a confirmed-good
+        retrieval plan as an ordinary memory row carrying the reserved
+        tag + JSON payload — hashing/embedding/audit come free from the
+        normal write path. Failures (< success threshold) are never
+        cached. Returns (engine, stored)."""
+        import json as _json
+
+        if not self.experience_enabled:
+            raise ValueError(
+                "experience memory mode is disabled; enable it with "
+                "with_experience_memory() (experience.rs gate)"
+            )
+        if not (outcome_score >= PLAN_SUCCESS_THRESHOLD):  # NaN rejects
+            return self, False
+        toks = self._signature_tokens(query)
+        payload = _json.dumps(
+            {
+                "query": query,
+                "signature_tokens": toks,
+                "steps": list(steps),
+                "chunk_ids": list(chunk_ids),
+                "outcome_score": max(0.0, min(1.0, outcome_score)),
+            }
+        )
+        row = self.spark.createDataFrame(
+            [
+                (
+                    plan_id,
+                    agent_id,
+                    query,
+                    "procedural",
+                    scope,
+                    float(max(0.0, min(1.0, outcome_score))),
+                    [EXPERIENCE_PLAN_TAG],
+                    payload,
+                    created_at,
+                )
+            ],
+            "id string, agent_id string, content string, memory_type string, "
+            "scope string, importance float, tags array<string>, "
+            "metadata string, created_at timestamp",
+        )
+        return self.remember_batch(row), True
+
+    def recall_plan(
+        self, query: str, principal: str, threshold: float | None = None, now=None
+    ) -> DataFrame:
+        """RECALL_PLAN (experience.rs:259-330): best stored plan whose
+        signature-token Jaccard clears the threshold, or an empty frame
+        (miss). Disabled mode always misses. The signature match is one
+        filtered aggregation: query tokens are plan-time literals, the
+        per-plan intersection is array_intersect — no UDF, no collect."""
+        if not self.experience_enabled:
+            return self.spark.createDataFrame(
+                [], "id string, query string, outcome_score double, similarity double"
+            )
+        threshold = (
+            threshold if threshold is not None else PLAN_SIMILARITY_THRESHOLD
+        )
+        qsig = self._signature_tokens(query)
+        qlit = F.array(*[F.lit(t) for t in qsig])
+        plans = self.visible_to(principal, now=now).filter(
+            F.coalesce(
+                F.array_contains(F.col("tags"), F.lit(EXPERIENCE_PLAN_TAG)),
+                F.lit(False),
+            )
+        )
+        sig = F.from_json(
+            F.get_json_object("metadata", "$.signature_tokens"), "array<string>"
+        )
+        inter = F.size(F.array_intersect(sig, qlit)).cast("double")
+        union = (F.size(sig) + F.lit(len(qsig))).cast("double") - inter
+        sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        scored = plans.select(
+            "id",
+            F.get_json_object("metadata", "$.query").alias("query"),
+            F.get_json_object("metadata", "$.outcome_score")
+            .cast("double")
+            .alias("outcome_score"),
+            F.round(sim, 6).alias("similarity"),
+        ).filter(F.col("similarity") >= threshold)
+        return scored.orderBy(F.desc("similarity"), F.asc("id")).limit(1)
+
+    # -- consolidation with maturity gate (A7, maturity.rs) --------------
+
+    def run_consolidation(
+        self,
+        policy: str = "fixed",
+        similarity_threshold: float = 0.92,
+        maturity_threshold: float = 0.55,
+        min_cluster_size: int = 2,
+        now=None,
+    ) -> "MnemoSparkEngine":
+        """Cluster near-duplicate live memories (per-agent cosine pairs
+        → connected components) and mark members of qualifying clusters
+        consolidated. policy='fixed' consolidates every cluster at the
+        size floor (the reference default); policy='maturity' gates
+        each cluster on the four-component maturity score
+        (maturity.rs:52-230)."""
+        from mnemo_spark.operators.consolidate import connected_components
+        from mnemo_spark.operators.maturity import cluster_maturity, mature_clusters
+        from mnemo_spark.operators.vector import cosine_pairs
+
+        live = self.memories.filter(
+            F.col("deleted_at").isNull()
+            & (F.col("consolidation_state") == "active")
+            & F.col("embedding").isNotNull()
+        )
+        pairs = cosine_pairs(
+            live.select("id", "agent_id", "embedding"),
+            similarity_threshold,
+            id_col="id",
+            vec_col="embedding",
+            group_col="agent_id",
+        )
+        labels = connected_components(pairs, "id_a", "id_b")  # (node, cluster)
+        members = labels.join(
+            live.select(
+                F.col("id").alias("node"),
+                # no last_accessed_at column in this schema: creation
+                # time is the access-recency anchor, like the reference
+                # falls back to created_at (maturity.rs:247)
+                F.col("created_at").alias("last_accessed_at"),
+                "access_count",
+                "embedding",
+            ),
+            "node",
+        )
+        sizes = members.groupBy("cluster").agg(F.count("*").alias("n_members"))
+        if policy == "maturity":
+            scores = cluster_maturity(
+                members.select(
+                    "cluster",
+                    F.col("node").alias("id"),
+                    "last_accessed_at",
+                    "access_count",
+                    "embedding",
+                ),
+                now if now is not None else __import__("datetime").datetime.utcnow(),
+            )
+            keep = mature_clusters(
+                scores, maturity_threshold, min_cluster_size
+            ).select("cluster")
+        elif policy == "fixed":
+            keep = sizes.filter(F.col("n_members") >= min_cluster_size).select(
+                "cluster"
+            )
+        else:
+            raise ValueError(f"unknown consolidation policy {policy!r}")
+        doomed = members.join(keep, "cluster").select(F.col("node").alias("id"))
+        return self.forget_ids_df(doomed, "consolidate", now)
 
     # -- conflicts (conflict.rs:84-260) ----------------------------------
 
@@ -1000,7 +1201,7 @@ class VersionedEngine(MnemoSparkEngine):
         # inherited verbs (remember_batch/forget/share/run_ttl_sweep)
         # stay VersionedEngine: checkpoints and the branch column
         # survive every mutation instead of degrading to the base class
-        return VersionedEngine(
+        out = VersionedEngine(
             self.spark,
             memories if memories is not None else self.memories,
             acls if acls is not None else self.acls,
@@ -1009,6 +1210,8 @@ class VersionedEngine(MnemoSparkEngine):
             events if events is not None else self.events,
             self.embedder,
         )
+        out.experience_enabled = self.experience_enabled
+        return out
 
     def remember_on(self, rows: DataFrame, branch: str = "main") -> "VersionedEngine":
         grown = self.remember_batch(rows)

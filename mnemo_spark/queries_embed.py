@@ -11,6 +11,8 @@ vectors in the first place.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,6 +89,79 @@ def embed_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.round(F.col("weight").cast("double"), 6).alias("weight"),
         )
+    )
+
+
+@query(
+    "cluster_maturity_embeddings",
+    f"""
+    WITH m AS (
+      SELECT label, vec_id, embedding::DOUBLE[] AS v,
+             vec_id % 5 AS ac, vec_id % 4 AS dg,
+             ((epoch_us(TIMESTAMP '{P.AS_OF_TS}')
+               - (epoch_us(TIMESTAMP '2024-01-01 00:00:00') + vec_id * 60000000))
+              / 1000000.0) / 3600.0 AS age_h
+      FROM embeddings),
+    comp AS (
+      SELECT label, count(*) AS n_members,
+             round(avg(exp(-{math.log(2.0) / 72.0!r} * age_h)), 6) AS recency,
+             round(least(avg(ln(1.0 + ac)) / ln(9.0), 1.0), 6) AS hit_success,
+             round(least(avg(dg) / 6.0, 1.0), 6) AS edge_degree
+      FROM m GROUP BY label),
+    red AS (
+      SELECT a.label,
+             round(least(greatest(avg({_COS.format(a='a.v', b='b.v')}), 0.0), 1.0), 6)
+               AS redundancy
+      FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY a.label),
+    scored AS (
+      SELECT c.label, c.n_members, c.recency, c.hit_success, c.edge_degree,
+             coalesce(r.redundancy, 0.5) AS redundancy
+      FROM comp c LEFT JOIN red r USING (label))
+    SELECT label, n_members, recency, hit_success, edge_degree, redundancy,
+           round(least(greatest(0.25 * recency + 0.30 * hit_success
+                                + 0.20 * edge_degree + 0.25 * redundancy,
+                                0.0), 1.0), 6) AS combined
+    FROM scored
+    """,
+)
+def cluster_maturity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-maturity scoring (SURVEY A7, maturity.rs:52-230) over
+    the embeddings corpus: label groups as clusters, deterministic
+    pseudo access/degree columns, all four components + the combined
+    weight-normalised score through the real cluster_maturity
+    operator (the same program run_consolidation gates on)."""
+    from mnemo_spark.operators.maturity import cluster_maturity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base_us = int(
+        __import__("datetime")
+        .datetime(2024, 1, 1)
+        .replace(tzinfo=__import__("datetime").timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    members = emb.select(
+        F.col("label").alias("cluster"),
+        F.col("vec_id").alias("id"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("vec_id").cast("long") * 60_000_000
+        ).alias("last_accessed_at"),
+        (F.col("vec_id") % 5).alias("access_count"),
+        (F.col("vec_id") % 4).alias("degree"),
+        F.col("embedding"),
+    )
+    out = cluster_maturity(
+        members, P.AS_OF_TS, degree_col="degree", hit_saturation=8.0
+    )
+    return out.select(
+        F.col("cluster").alias("label"),
+        "n_members",
+        "recency",
+        "hit_success",
+        "edge_degree",
+        "redundancy",
+        "combined",
     )
 
 
