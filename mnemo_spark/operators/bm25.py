@@ -52,11 +52,18 @@ def bm25_score(
     )
 
     term_lit = F.array(*[F.lit(t) for t in query_terms])
-    # keep only query-term occurrences before the shuffle
-    hits = toks.select(
-        "_id", F.explode(F.filter("_tok", lambda t: F.array_contains(term_lit, t))).alias("_term")
+    # keep only query-term occurrences before the shuffle. Explode
+    # FIRST, filter after: the exploded filter is whole-stage-codegen'd
+    # array_contains on a literal, while the equivalent array-filter
+    # higher-order function is interpreted per token (~2x the query)
+    hits = toks.select("_id", F.explode("_tok").alias("_term")).filter(
+        F.array_contains(term_lit, F.col("_term"))
     )
-    tf = hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf"))
+    # tf feeds BOTH the document-frequency aggregation and the scoring
+    # join — persist so the tokenize→explode→aggregate pipeline runs
+    # once per query, the in-plan form of "corpus stats are computed
+    # once and reused" from the module docstring
+    tf = hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf")).persist()
     df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
 
     scored = (

@@ -30,7 +30,16 @@ from mnemo_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # same table-decode-once treatment bench.py applies; DuckDB's
+    # buffer pool + the OS page cache play the identical role opposite
+    import os
+
+    os.environ.setdefault("MNEMO_CACHE_TABLES", "1")
     spark = get_spark("bench_compare")
+    from mnemo_spark.io import load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:
