@@ -567,6 +567,44 @@ class MnemoSparkEngine:
             F.col("content").rlike(subject_pattern), strategy=strategy, now=now
         )
 
+    # -- cold storage tier (S7, storage/cold.rs) -------------------------
+
+    def tier_out(self, cold_path: str, now=None) -> "MnemoSparkEngine":
+        """S7 archive (storage/cold.rs:82 `archive`): move every
+        archived-state row to the cold parquet tier and drop it from
+        the hot frame. Cold layout is parquet partitioned by agent_id
+        — at 100 TB that is object-store prefixes per agent, and
+        restore prunes on the partition column."""
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        cold = self.memories.filter(F.col("consolidation_state") == "archived")
+        cold.write.mode("append").partitionBy("agent_id").parquet(cold_path)
+        hot = self.memories.filter(
+            F.col("consolidation_state").isNull()
+            | (F.col("consolidation_state") != "archived")
+        )
+        events = self._append_events(
+            cold.select(
+                "agent_id",
+                F.lit("MemoryTieredOut").alias("event_type"),
+                F.col("id").alias("memory_id"),
+                now_c.alias("ts"),
+            )
+        )
+        return self._clone(memories=hot, events=events)
+
+    def tier_in(self, cold_path: str, ids: DataFrame | None = None) -> "MnemoSparkEngine":
+        """S7 restore (storage/cold.rs:87 `restore`): read rows back
+        from the cold tier — all of them, or the subset in `ids`
+        (a one-column `id` frame; membership is a join) — skipping any
+        id already hot."""
+        back = self.spark.read.parquet(cold_path).select(
+            *[f.name for f in MEMORY_SCHEMA.fields]
+        )
+        if ids is not None:
+            back = back.join(ids.select("id").distinct(), "id", "left_semi")
+        back = back.join(self.memories.select("id"), "id", "left_anti")
+        return self._clone(memories=self.memories.unionByName(back))
+
     # -- experience tier (P5, query/experience.rs) -----------------------
 
     experience_enabled = False  # experience.rs: gated, off by default
