@@ -125,3 +125,45 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_topk_plans_take_ordered_not_global_window(plans):
+    """Ranked top-k queries must plan TakeOrderedAndProject (parallel
+    per-partition partial top-k) — a global row_number window funnels
+    the full candidate set through ONE task at 100 TB."""
+    for name in ("bm25_topk_docs", "filtered_scan_orders", "q3_shipping_priority"):
+        p = plans(name)
+        assert "TakeOrderedAndProject" in p, f"{name} lost the top-k plan shape"
+
+
+def test_no_unpartitioned_window_in_ranked_queries(spark, sf_dir):
+    """Every Window in the ranked-query plans must carry a partition
+    spec (the k-row rank windows partition on a materialized constant;
+    Spark 4's EliminateWindowPartitions folds a literal key away, so a
+    plain lit() key silently regresses to the single-partition form).
+
+    Plan grammar: a partitioned Window prints
+    `Window [funcs], [partition cols], [order cols]` (3 groups); the
+    unpartitioned form prints only `Window [funcs], [order cols]`.
+    """
+    import re
+
+    for name in ("bm25_topk_docs", "hybrid_recall_docs", "rrf_hybrid_docs",
+                 "rrf_explain_docs", "evidence_budget_docs",
+                 "token_budget_pack_docs", "current_fact_latest_event"):
+        p = plan_of(QUERIES[name](spark, sf_dir), "simple")
+        for line in p.splitlines():
+            m = re.search(r"Window (\[.*)", line.strip())
+            if not m:
+                continue
+            seps = re.findall(r"\], \[", m.group(1))
+            if len(seps) >= 2:
+                continue  # [funcs], [partition], [order] — partitioned
+            # two groups: either partition-only (fine) or order-only
+            # (the single-partition funnel). Ordering specs carry
+            # ASC/DESC markers; partition lists don't.
+            last = m.group(1).rsplit("], [", 1)[-1]
+            assert " ASC" not in last and " DESC" not in last, (
+                f"{name}: unpartitioned ordered Window (single-partition "
+                f"funnel at scale): {line.strip()[:160]}"
+            )
