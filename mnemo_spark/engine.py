@@ -349,10 +349,21 @@ class MnemoSparkEngine:
         now=None,
         rrf_k: int = 30,
         weights: dict[str, float] | None = None,
+        domain_scope: dict | None = None,
     ) -> DataFrame:
         """→ (id, agent_id, content, score, rank). Permission filter
         runs BEFORE scoring (the reference's filtered_search contract:
-        permission-safe ANN, SURVEY §4)."""
+        permission-safe ANN, SURVEY §4).
+
+        domain_scope (P3, retrieval.rs:154-174 DomainScope / the
+        v0.4.15 anti-dilution mode): {"namespace": str, "doc_class":
+        str, "tags": [..]} — restricts the candidate set BEFORE any
+        similarity step, so off-domain-but-semantically-similar
+        records cannot dilute the top-k. namespace/doc_class match the
+        metadata JSON; tags must ALL be present. Being a pre-scoring
+        column predicate, Catalyst pushes it into the scan — at 100 TB
+        the domain filter prunes partitions instead of post-filtering
+        a diluted candidate list."""
         corpus = self.visible_to(principal, now=now).filter(
             # P5: experience-tier plan records never surface in ordinary
             # recall — replayed only via recall_plan (recall.rs:1131-1149)
@@ -361,6 +372,24 @@ class MnemoSparkEngine:
                 F.lit(False),
             )
         )
+        if domain_scope:
+            ns = domain_scope.get("namespace")
+            if ns is not None:
+                corpus = corpus.filter(
+                    (F.get_json_object("metadata", "$.namespace") == ns)
+                    | F.coalesce(
+                        F.array_contains(F.col("tags"), F.lit(ns)), F.lit(False)
+                    )
+                )
+            dc = domain_scope.get("doc_class")
+            if dc is not None:
+                corpus = corpus.filter(
+                    F.get_json_object("metadata", "$.doc_class") == dc
+                )
+            for t in domain_scope.get("tags") or []:
+                corpus = corpus.filter(
+                    F.coalesce(F.array_contains(F.col("tags"), F.lit(t)), F.lit(False))
+                )
         if strategy == "exact":
             hits = corpus.filter(F.col("content") == query).withColumn(
                 "score", F.lit(1.0)

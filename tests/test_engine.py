@@ -387,3 +387,32 @@ def test_forget_by_criteria_predicates(spark):
     out2 = eng.forget_by_criteria(agent_id="a1", strategy="soft", tags=["x"], now=t_now)
     gone2 = {r.id for r in out2.memories.filter(F.col("deleted_at").isNotNull()).collect()}
     assert gone2 == {"c2"}
+
+
+def test_domain_scoped_recall_prevents_dilution(spark):
+    """P3 (retrieval.rs DomainScope, v0.4.15): scoping restricts the
+    candidate set BEFORE similarity, so an off-domain record that is
+    lexically close to the query cannot appear in the top-k."""
+    rows = spark.createDataFrame(
+        [
+            ("d1", "a1", "postgres connection pool tuning guide", "semantic",
+             "private", 0.5, ["infra"], T0),
+            # off-domain near-duplicate content
+            ("d2", "a1", "postgres connection pool tuning notes", "semantic",
+             "private", 0.5, ["cooking"], T0),
+        ],
+        _ROW_SCHEMA,
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    unscoped = {r.id for r in eng.recall(
+        "postgres connection pool", "a1", strategy="lexical").collect()}
+    assert unscoped == {"d1", "d2"}  # dilution without a scope
+    scoped = {r.id for r in eng.recall(
+        "postgres connection pool", "a1", strategy="lexical",
+        domain_scope={"tags": ["infra"]}).collect()}
+    assert scoped == {"d1"}
+    # namespace scope matches tags OR metadata
+    ns = {r.id for r in eng.recall(
+        "postgres connection pool", "a1", strategy="lexical",
+        domain_scope={"namespace": "cooking"}).collect()}
+    assert ns == {"d2"}
