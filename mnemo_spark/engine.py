@@ -350,6 +350,7 @@ class MnemoSparkEngine:
         rrf_k: int = 30,
         weights: dict[str, float] | None = None,
         domain_scope: dict | None = None,
+        edges: DataFrame | None = None,
     ) -> DataFrame:
         """→ (id, agent_id, content, score, rank). Permission filter
         runs BEFORE scoring (the reference's filtered_search contract:
@@ -400,10 +401,11 @@ class MnemoSparkEngine:
                 .withColumnRenamed("bm25", "score")
                 .join(corpus, "id")
             )
-        elif strategy in ("semantic", "hybrid"):
+        elif strategy in ("semantic", "hybrid", "graph"):
             # U1 fail-loud gate (embedding/mod.rs:7-53, enforced at
             # recall.rs:366-375): semantic retrieval under a provider
-            # that can't embed must refuse, not silently degrade
+            # that can't embed must refuse, not silently degrade —
+            # graph mode seeds from the semantic lane, so it gates too
             if not getattr(self.embedder, "semantic", False):
                 raise RuntimeError(
                     f"recall(strategy={strategy!r}) requires a semantic-"
@@ -412,7 +414,9 @@ class MnemoSparkEngine:
                     "cannot embed (reference fail-loud contract)"
                 )
             sem = self._semantic_lane(corpus, query)
-            if strategy == "semantic":
+            if strategy == "graph":
+                hits = self._graph_recall(corpus, sem, edges, k, rrf_k, weights)
+            elif strategy == "semantic":
                 hits = sem.join(corpus, "id")
             else:
                 now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
@@ -443,6 +447,69 @@ class MnemoSparkEngine:
 
         return top_k_ranked(hits, [F.desc("score"), F.asc("id")], k).select(
             "id", "agent_id", "content", F.round("score", 6).alias("score"), "rank"
+        )
+
+    def _graph_recall(
+        self,
+        corpus: DataFrame,
+        sem: DataFrame,
+        edges: DataFrame | None,
+        k: int,
+        rrf_k: int,
+        weights: dict[str, float] | None,
+        max_hops: int = 2,
+    ) -> DataFrame:
+        """RetrievalMode::Graph (recall.rs:479-545): semantic seeds
+        (k*3 over-fetch), multi-hop expansion over relation edges with
+        exponential score decay (seeds 1.0, hop h at 0.5^h), RRF fusion
+        of the vector and graph lanes.
+
+        edges: (src_id, dst_id) frame — the engine's schema carries no
+        relations table, so the graph is an input (e.g. extract_edges
+        output once the extractor lands). Expansion is hop-bounded
+        equi-joins semi-joined against the PERMISSION-FILTERED corpus,
+        so a relation can never leak an invisible memory into the
+        results — the same per-record check the reference applies."""
+        if edges is None:
+            raise ValueError(
+                "recall(strategy='graph') needs an edges DataFrame "
+                "(src_id, dst_id); the schema has no relations table"
+            )
+        seeds = top_k_ranked(sem, [F.desc("score"), F.asc("id")], k * 3).select(
+            "id", "score"
+        )
+        und = edges.select(
+            F.col("src_id").alias("_s"), F.col("dst_id").alias("_d")
+        ).unionByName(
+            edges.select(F.col("dst_id").alias("_s"), F.col("src_id").alias("_d"))
+        )
+        visible = corpus.select("id")
+        seen = seeds.select("id")
+        frontier = seen
+        graph_lane = seeds.select("id", F.lit(1.0).alias("score"))
+        decay = 0.5
+        for _hop in range(max_hops):
+            nxt = (
+                frontier.join(und, frontier.id == und._s)
+                .select(F.col("_d").alias("id"))
+                .distinct()
+                .join(seen, "id", "left_anti")
+                .join(visible, "id", "left_semi")
+            )
+            graph_lane = graph_lane.unionByName(
+                nxt.select("id", F.lit(decay).alias("score"))
+            )
+            seen = seen.unionByName(nxt)
+            frontier = nxt
+            decay *= 0.5
+        fused = rrf_fuse(
+            {"vector": seeds, "graph": graph_lane},
+            weights or {"vector": 1.0, "graph": 1.0},
+            rrf_k,
+            id_col="id",
+        )
+        return fused.withColumnRenamed("rrf_score", "score").drop("rank").join(
+            corpus, "id"
         )
 
     def _semantic_lane(self, corpus: DataFrame, query: str) -> DataFrame:

@@ -416,3 +416,41 @@ def test_domain_scoped_recall_prevents_dilution(spark):
         "postgres connection pool", "a1", strategy="lexical",
         domain_scope={"namespace": "cooking"}).collect()}
     assert ns == {"d2"}
+
+
+def test_graph_recall_expands_and_respects_permissions(spark):
+    """RetrievalMode::Graph (recall.rs:479-545): semantic seeds + hop
+    expansion over edges with decayed contribution; relations never
+    leak invisible memories."""
+    rows = _mk_rows(
+        spark,
+        [
+            ("g1", "a1", "kafka topic retention tuning", "semantic", "private", 0.5,
+             [], T0),
+            ("g2", "a1", "linked operational runbook", "semantic", "private", 0.5,
+             [], T0 + dt.timedelta(minutes=1)),
+            ("g3", "a1", "second hop postmortem notes", "semantic", "private", 0.5,
+             [], T0 + dt.timedelta(minutes=2)),
+            ("g4", "bob", "private memory of another agent", "semantic", "private",
+             0.5, [], T0),
+        ],
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    edges = spark.createDataFrame(
+        [("g1", "g2"), ("g2", "g3"), ("g1", "g4")], "src_id string, dst_id string"
+    )
+    with pytest.raises(ValueError, match="edges"):
+        eng.recall("kafka retention", "a1", strategy="graph")
+    hits = eng.recall("kafka topic retention", "a1", strategy="graph", edges=edges)
+    got = {r.id: r for r in hits.collect()}
+    # seed + 1-hop + 2-hop all surface; seed outranks hops
+    assert {"g1", "g2", "g3"} <= set(got)
+    assert got["g1"].rank < got["g2"].rank < got["g3"].rank
+    # bob's private memory is edge-linked but NOT visible to a1
+    assert "g4" not in got
+    # the gate applies: graph mode seeds semantically
+    from mnemo_spark.functions.embed_batch import NoopEmbedder
+
+    noop = MnemoSparkEngine(spark, embedder=NoopEmbedder()).remember_batch(rows)
+    with pytest.raises(RuntimeError, match="semantic-capable"):
+        noop.recall("kafka", "a1", strategy="graph", edges=edges)
