@@ -155,3 +155,46 @@ def test_sessionize_gap(spark):
     assert sess[(1, 10, 0)] == 1
     assert sess[(1, 0, 2)] == 2
     assert sess[(2, 0, 0)] == 1
+
+
+def test_evidence_scorers_cosine_and_delta(spark):
+    """U2 pluggable evidence scorers (query/evidence.rs:158-260):
+    cosine default with retrieval-score fallback; delta novelty stub
+    gives redundant candidates ~0 so the budget shows diminishing
+    returns."""
+    from mnemo_spark.operators.evidence import cosine_scorer, delta_novelty_scores
+    from mnemo_spark.operators.window_ops import evidence_budget_prefix
+    from pyspark.sql import functions as F
+
+    ranked = spark.createDataFrame(
+        [
+            (1, 1, "alpha beta gamma delta", [1.0, 0.0], 0.9),
+            (2, 2, "alpha beta gamma delta", [0.6, 0.8], 0.8),  # redundant
+            (3, 3, "epsilon zeta fresh words", [0.0, 1.0], 0.7),
+            (4, 4, "", None, 0.6),  # degenerate embedding
+        ],
+        "id int, rank int, content string, embedding array<double>, score double",
+    )
+    qvec = F.array(F.lit(1.0), F.lit(0.0))
+    scored = ranked.withColumn(
+        "cos_suff", cosine_scorer(F.col("embedding"), qvec, F.col("score"))
+    )
+    got = {r.id: round(r.cos_suff, 4) for r in scored.collect()}
+    assert got[1] == 1.0  # aligned
+    assert got[2] == 0.6  # cosine 0.6
+    assert got[4] == 0.6  # NULL embedding -> retrieval-score fallback
+    assert got[3] == 0.7  # orthogonal (sim 0 not > 0) -> fallback
+
+    delta = delta_novelty_scores(ranked)
+    dv = {r.id: round(r.sufficiency, 4) for r in delta.collect()}
+    assert dv[1] == 0.9  # all tokens novel * 0.9
+    assert dv[2] == 0.0  # fully redundant
+    assert dv[3] == 0.7  # fresh again
+    assert dv[4] == 0.0  # empty content
+
+    # the budget consumes either scorer's column: with delta scores
+    # and bar 1.0, the redundant candidate passes through (cum before
+    # it is 0.9 < 1.0) but contributes nothing to the cumulative sum,
+    # so candidate 3 still enters before the bar trips
+    kept = evidence_budget_prefix(delta, "sufficiency", 1.0, 10)
+    assert {r.id for r in kept.collect()} == {1, 2, 3}
