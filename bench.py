@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "quantile_stats_lineitem",
     "poisoning_flags_docs",
+    # round-2 operators
+    "embed_batch_docs",
+    "cluster_maturity_embeddings",
+    "conflict_resolution_embeddings",
+    "reflection_archive_candidates_events",
 ]
 
 
