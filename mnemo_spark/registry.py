@@ -351,6 +351,53 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, P.BM25_QUERY_TERMS, P.BM25_TOPK, k1=P.BM25_K1, b=P.BM25_B)
 
 
+_BATCH_QUERIES = [
+    ("q1", ["spark", "join"]),
+    ("q2", ["window", "query"]),
+    ("q3", ["spark", "shuffle", "partition"]),
+]
+_BATCH_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BATCH_QUERIES for t in terms
+)
+
+
+@query(
+    "batch_bm25_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    q(query_id, term) AS (VALUES {_BATCH_Q_SQL}),
+    terms AS (SELECT DISTINCT term FROM q),
+    hits AS (SELECT t.doc_id, unnest(t.toks) AS term FROM tok t),
+    hk AS (SELECT h.doc_id, h.term FROM hits h JOIN terms USING (term)),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hk GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT q.query_id, tf.doc_id,
+           round(sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                      * (tf.tf * ({P.BM25_K1} + 1))
+                      / (tf.tf + {P.BM25_K1} * (1 - {P.BM25_B} + {P.BM25_B} * lens.dl / stats.avgdl)) ), 6) AS bm25
+    FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+    JOIN lens USING (doc_id) CROSS JOIN stats
+    GROUP BY q.query_id, tf.doc_id
+    """,
+)
+def batch_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANY queries scored against the corpus in ONE program (the
+    batch engine's design point vs the reference's per-request
+    serving, operators/bm25.batch_bm25): corpus statistics compute
+    once, every query reuses them via a broadcast term join — 10^4
+    queries cost barely more than one."""
+    from mnemo_spark.operators.bm25 import batch_bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BATCH_QUERIES, "query_id string, terms array<string>"
+    )
+    return batch_bm25(docs, queries_df, k1=P.BM25_K1, b=P.BM25_B)
+
+
 @query(
     "rrf_hybrid_docs",
     f"""
