@@ -351,6 +351,40 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, P.BM25_QUERY_TERMS, P.BM25_TOPK, k1=P.BM25_K1, b=P.BM25_B)
 
 
+@query(
+    "salted_agg_events",
+    """
+    SELECT user_id, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation (SURVEY scale ops,
+    operators/skew.py): the (key, salt) pre-shuffle + key combine must
+    be algebraically IDENTICAL to a plain GROUP BY — the oracle is the
+    plain form, proving the decomposition, while the Spark plan
+    spreads a hot key over 16 tasks."""
+    from mnemo_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    # decimal partials: exact and ORDER-INDEPENDENT, so the two-phase
+    # sum is bit-identical to the oracle's one-phase sum regardless of
+    # how the salt splits the rows (double partials would drift on FP
+    # association at some split)
+    out = salted_agg(
+        e,
+        ["user_id"],
+        {"c": F.count("*"), "s": F.sum(F.col("value").cast("decimal(18,4)"))},
+        {"n": F.sum("c"), "total": F.sum("s")},
+    )
+    return out.select(
+        "user_id",
+        F.col("n"),
+        F.round("total", 2).cast("double").alias("total_value"),
+    )
+
+
 _BATCH_QUERIES = [
     ("q1", ["spark", "join"]),
     ("q2", ["window", "query"]),
