@@ -2,11 +2,18 @@
 
 `cached_persist(df, *key)` returns `df` untouched unless
 MNEMO_CACHE_TABLES=1 (the bench harness sets it). When enabled, the
-frame is persisted ONCE per (input-plan semantic hash, key) and every
-later semantically-equal request returns the same persisted frame —
-so repeated queries over the same corpus reuse one materialization
-instead of leaking a fresh `persist()` per call (which evicts useful
-blocks and adds GC pressure as a long session accumulates them).
+frame is persisted ONCE per (session, input-plan semantic hash, key)
+and every later semantically-equal request returns the same persisted
+frame — so repeated queries over the same corpus reuse one
+materialization instead of leaking a fresh `persist()` per call
+(which evicts useful blocks and adds GC pressure as a long session
+accumulates them).
+
+The key includes the SparkSession's applicationId: after a session
+restart in the same process a stale entry would hand back a DataFrame
+bound to a stopped session. `clear()` unpersists and empties the
+cache — the bench harness calls it between runs so persisted blocks
+don't accumulate unboundedly.
 
 At cluster scale the equivalent is materializing the shared
 intermediate (shingle table, term-frequency table) once per corpus
@@ -26,10 +33,24 @@ def cached_persist(df: DataFrame, *key_parts) -> DataFrame:
     if os.environ.get("MNEMO_CACHE_TABLES", "") != "1":
         return df
     try:
+        app_id = df.sparkSession.sparkContext.applicationId
         plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # noqa: BLE001 - cache is best-effort
         return df
-    key = (plan_hash, *key_parts)
+    key = (app_id, plan_hash, *key_parts)
     if key not in _CACHE:
         _CACHE[key] = df.persist()
     return _CACHE[key]
+
+
+def clear() -> None:
+    """Unpersist every cached frame and reset. Safe to call with a
+    stopped session (unpersist failures are swallowed — the JVM-side
+    blocks die with the session anyway)."""
+    global _CACHE
+    for frame in _CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:  # noqa: BLE001 - session may be gone
+            pass
+    _CACHE = {}

@@ -128,6 +128,14 @@ class MnemoSparkEngine:
         from mnemo_spark.functions.embed_batch import HashBagEmbedder
 
         self.embedder = embedder if embedder is not None else HashBagEmbedder(embedding_dim)
+        # U1: a provider whose dimensionality disagrees with the engine
+        # would silently produce unjoinable vectors — refuse at
+        # construction, not at the first NULL-similarity recall
+        edim = getattr(self.embedder, "dim", embedding_dim)
+        if edim != embedding_dim:
+            raise ValueError(
+                f"embedder dim {edim} != engine embedding_dim {embedding_dim}"
+            )
         self.memories = (
             memories
             if memories is not None
@@ -200,7 +208,6 @@ class MnemoSparkEngine:
                     256,
                 ),
             )
-            .withColumn("embedding", self._embed(F.col("content")))
             .withColumn(
                 "metadata",
                 F.col("metadata") if "metadata" in rows.columns else F.lit(None).cast("string"),
@@ -210,6 +217,9 @@ class MnemoSparkEngine:
             .withColumn("deleted_at", F.lit(None).cast("timestamp"))
             .withColumn("quarantined", F.lit(None).cast("string"))
         )
+        # U1: embeddings come from the CONFIGURED provider (ADVICE r2:
+        # a non-default provider must not be silently ignored on write)
+        with_defaults = self._with_embedding(with_defaults)
         # W7: per-agent chain assignment (sequential within agent,
         # parallel across agents)
         chained = assign_chain(
@@ -289,6 +299,54 @@ class MnemoSparkEngine:
         return self.events.unionByName(
             chained.select(*[f.name for f in AUDIT_SCHEMA.fields])
         )
+
+    def _embedder_is_default(self) -> bool:
+        from mnemo_spark.functions.embed_batch import HashBagEmbedder
+
+        return type(self.embedder) is HashBagEmbedder and self.embedder.dim == self.dim
+
+    def _with_embedding(self, df: DataFrame, text_col: str = "content",
+                        out_col: str = "embedding") -> DataFrame:
+        """Embed `text_col` through the CONFIGURED provider (U1,
+        embedding/mod.rs:7-53). The JVM hash-bag expression is used
+        only when the provider IS the default HashBagEmbedder (it is
+        bit-compatible); any other semantic provider runs via the
+        mapInPandas batch path, and a non-semantic provider stores
+        NULL vectors (writes succeed, semantic recall refuses at the
+        gate) — never a silent hash-bag fallback."""
+        if out_col in df.columns:
+            df = df.drop(out_col)
+        if self._embedder_is_default():
+            return df.withColumn(out_col, self._embed(F.col(text_col)))
+        if not getattr(self.embedder, "semantic", False):
+            return df.withColumn(out_col, F.lit(None).cast("array<float>"))
+        from mnemo_spark.functions.embed_batch import embed_batch
+
+        return embed_batch(df, self.embedder, text_col=text_col, out_col=out_col)
+
+    def _embed_when(self, df: DataFrame, cond, text_src: str) -> DataFrame:
+        """Recompute `embedding` from `text_src` only where `cond`
+        holds, routed through the configured provider like
+        `_with_embedding` (reflection re-embeds use this)."""
+        if self._embedder_is_default():
+            return df.withColumn(
+                "embedding",
+                F.when(cond, self._embed(F.col(text_src))).otherwise(F.col("embedding")),
+            )
+        if not getattr(self.embedder, "semantic", False):
+            return df.withColumn(
+                "embedding",
+                F.when(cond, F.lit(None).cast("array<float>")).otherwise(
+                    F.col("embedding")
+                ),
+            )
+        from mnemo_spark.functions.embed_batch import embed_batch
+
+        tmp = embed_batch(df, self.embedder, text_col=text_src, out_col="_newemb")
+        return tmp.withColumn(
+            "embedding",
+            F.when(cond, F.col("_newemb")).otherwise(F.col("embedding")),
+        ).drop("_newemb")
 
     def _embed(self, content):
         """Dense hash-bag embedding as an expression: token buckets →
@@ -513,8 +571,18 @@ class MnemoSparkEngine:
         )
 
     def _semantic_lane(self, corpus: DataFrame, query: str) -> DataFrame:
-        qdf = self.spark.createDataFrame([(query,)], ["content"])
-        qvec = qdf.select(self._embed(F.col("content")).alias("qv"))
+        if self._embedder_is_default():
+            qdf = self.spark.createDataFrame([(query,)], ["content"])
+            qvec = qdf.select(self._embed(F.col("content")).alias("qv"))
+        else:
+            # one query string: embed driver-side through the configured
+            # provider (ADVICE r2 — query vectors must come from the
+            # same provider as stored vectors) and fold to a literal
+            self.embedder.load()
+            vec = [float(v) for v in self.embedder.embed([query])[0]]
+            qvec = self.spark.range(1).select(
+                F.array(*[F.lit(v) for v in vec]).cast("array<float>").alias("qv")
+            )
         joined = corpus.select("id", "embedding").crossJoin(F.broadcast(qvec))
         dot = F.aggregate(
             F.zip_with(
@@ -591,6 +659,11 @@ class MnemoSparkEngine:
     ) -> "MnemoSparkEngine":
         """Strategy dispatch over a memories frame carrying a boolean
         `_hit` column (forget.rs:14-120 — all six strategies)."""
+        # NULL predicate = not hit, for EVERY strategy: without this,
+        # `hard`'s filter(~hit) silently drops rows where the predicate
+        # is NULL (e.g. NULL content under forget_subject) — destructive
+        # AND unaudited, since doomed=filter(hit) excludes them too
+        marked = marked.withColumn("_hit", F.coalesce(F.col("_hit"), F.lit(False)))
         hit = F.col("_hit")
         now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
         if strategy == "hard":
@@ -698,8 +771,26 @@ class MnemoSparkEngine:
         )
         if ids is not None:
             back = back.join(ids.select("id").distinct(), "id", "left_semi")
+        # tier_out appends: archive→restore→re-archive cycles leave the
+        # same id multiple times INSIDE the cold data — keep only the
+        # latest copy per id (created_at, then content_hash as a
+        # deterministic tie-break) before the hot anti-join
+        w = Window.partitionBy("id").orderBy(
+            F.col("created_at").desc(), F.col("content_hash").desc()
+        )
+        back = (
+            back.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         back = back.join(self.memories.select("id"), "id", "left_anti")
-        return self._clone(memories=self.memories.unionByName(back))
+        # allowMissingColumns: a VersionedEngine's hot frame carries
+        # `branch`, which the cold schema doesn't — restored rows land
+        # with NULL branch and are defaulted to 'main'
+        mem = self.memories.unionByName(back, allowMissingColumns=True)
+        if "branch" in self.memories.columns:
+            mem = mem.withColumn("branch", F.coalesce(F.col("branch"), F.lit("main")))
+        return self._clone(memories=mem)
 
     # -- experience tier (P5, query/experience.rs) -----------------------
 
@@ -1067,11 +1158,9 @@ class MnemoSparkEngine:
                 "content_hash": F.when(F.col("_chg"), new_hash).otherwise(
                     F.col("content_hash")
                 ),
-                "embedding": F.when(F.col("_chg"), self._embed(F.col("_nc"))).otherwise(
-                    F.col("embedding")
-                ),
             }
-        ).drop("_nc", "_chg")
+        )
+        mem = self._embed_when(mem, F.col("_chg"), "_nc").drop("_nc", "_chg")
 
         # -- 2. Auto-Dream accept --------------------------------------
         dreamed = (
@@ -1080,16 +1169,12 @@ class MnemoSparkEngine:
             & ~F.array_contains(F.col("tags"), "dreamed_processed")
         )
         report["dreamed_accepted"] = mem.filter(dreamed).count()
-        mem = mem.withColumns(
-            {
-                "embedding": F.when(
-                    dreamed, self._embed(F.col("content"))
-                ).otherwise(F.col("embedding")),
-                "tags": F.when(
-                    dreamed,
-                    F.array_union(F.col("tags"), F.array(F.lit("dreamed_processed"))),
-                ).otherwise(F.col("tags")),
-            }
+        mem = self._embed_when(mem, dreamed, "content").withColumn(
+            "tags",
+            F.when(
+                dreamed,
+                F.array_union(F.col("tags"), F.array(F.lit("dreamed_processed"))),
+            ).otherwise(F.col("tags")),
         )
         # barrier: stages 3-5 join this frame against itself several
         # times — materialize once so the rewrite/re-embed expressions

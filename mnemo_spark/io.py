@@ -35,7 +35,19 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # each parquet file once instead of 40 times — the same role DuckDB's
 # buffer pool plays on the oracle side. Off by default: tests assert
 # scan-level pushdown/pruning, which an InMemoryTableScan would mask.
-_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Unpersist and drop every memoized table frame (bench harness
+    calls this between runs; also makes session restarts safe)."""
+    global _TABLE_CACHE
+    for frame in _TABLE_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:  # noqa: BLE001 - session may be stopped
+            pass
+    _TABLE_CACHE = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -46,8 +58,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     caching = os.environ.get("MNEMO_CACHE_TABLES", "") == "1"
-    if caching and (sf_dir, name) in _TABLE_CACHE:
-        return _TABLE_CACHE[(sf_dir, name)]
+    # applicationId in the key: a cached frame from a stopped session
+    # must never be handed to a restarted one
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    if caching and cache_key in _TABLE_CACHE:
+        return _TABLE_CACHE[cache_key]
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS), which Spark 4 refuses by
         # default; must be set BEFORE the read, and must not rely on
@@ -66,7 +81,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if caching:
         df = df.persist()
-        _TABLE_CACHE[(sf_dir, name)] = df
+        _TABLE_CACHE[cache_key] = df
     return df
 
 

@@ -151,9 +151,10 @@ def md_memory_rows(parsed: DataFrame, default_agent: str, now) -> DataFrame:
         F.lit("private").alias("scope"),
         F.lit(0.5).cast("float").alias("importance"),
         F.col("tags"),
-        F.concat(
-            F.lit('{"md_path": "'), F.col("path"), F.lit('"}')
-        ).alias("metadata"),
+        # to_json, not string concat: a path containing a quote or
+        # backslash must still produce valid JSON, or get_json_object
+        # returns NULL downstream and flush silently misroutes the file
+        F.to_json(F.struct(F.col("path").alias("md_path"))).alias("metadata"),
         F.lit(now).cast("timestamp").alias("created_at"),
         F.col("expires_at").cast("timestamp").alias("expires_at"),
     )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from mnemo_spark.engine import MnemoSparkEngine
 from mnemo_spark.functions.embed_batch import (
+    BatchEmbedder,
     HashBagEmbedder,
     HttpBatchEmbedder,
     NoopEmbedder,
@@ -125,3 +126,71 @@ def test_hash_bag_embedder_deterministic():
     assert np.array_equal(a, b)
     norms = np.sqrt((a * a).sum(axis=1))
     assert np.allclose(norms, 1.0, atol=1e-5)
+
+
+def _len_onehot_embedder(dim: int = 8):
+    """Deterministic provider whose vectors are one-hot at
+    len(text) % dim — trivially distinguishable from the hash-bag, so
+    tests can prove the configured provider is the one actually used
+    on BOTH the write path and the query path (ADVICE r2). Defined
+    inside a function so cloudpickle serializes the class BY VALUE —
+    executors cannot import the test module."""
+
+    class _LenOneHot(BatchEmbedder):
+        name = "len_onehot"
+        semantic = True
+
+        def __init__(self, dim: int = 8):
+            self.dim = dim
+
+        def embed(self, texts):
+            out = np.zeros((len(texts), self.dim), dtype=np.float64)
+            for i, t in enumerate(texts):
+                out[i, len(t or "") % self.dim] = 1.0
+            return out
+
+    return _LenOneHot(dim)
+
+
+def test_remember_batch_routes_through_configured_provider(spark):
+    """remember_batch must embed via self.embedder, not the built-in
+    hash-bag expression (the silent-degrade U1 forbids)."""
+    rows = spark.createDataFrame(
+        [("m1", "a1", "abcd", "semantic", "private", 0.5, [], T0)], _ROW_SCHEMA
+    )
+    eng = MnemoSparkEngine(spark, embedding_dim=8, embedder=_len_onehot_embedder(8))
+    got = eng.remember_batch(rows).memories.select("embedding").collect()[0][0]
+    assert got == [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]  # len("abcd") % 8 == 4
+
+
+def test_semantic_lane_uses_provider_query_vector(spark):
+    """The query vector must come from the same provider as stored
+    vectors: under _LenOneHotEmbedder, score = 1 iff the doc content
+    length matches the query length mod dim."""
+    rows = spark.createDataFrame(
+        [
+            ("same", "a1", "wxyz!", "semantic", "private", 0.5, [], T0),  # len 5
+            ("diff", "a1", "pq", "semantic", "private", 0.5, [], T0),     # len 2
+        ],
+        _ROW_SCHEMA,
+    )
+    eng = MnemoSparkEngine(spark, embedding_dim=8, embedder=_len_onehot_embedder(8))
+    hits = eng.remember_batch(rows).recall("hello", "a1", strategy="semantic", k=5)
+    scores = {r["id"]: r["score"] for r in hits.collect()}
+    assert scores["same"] == 1.0 and scores["diff"] == 0.0
+
+
+def test_remember_under_nonsemantic_provider_stores_null_vectors(spark):
+    """A non-semantic provider must not silently hash-bag: writes
+    succeed with NULL embeddings and the semantic gate still refuses."""
+    rows = spark.createDataFrame(
+        [("m1", "a1", "hello", "semantic", "private", 0.5, [], T0)], _ROW_SCHEMA
+    )
+    eng = MnemoSparkEngine(spark, embedder=NoopEmbedder()).remember_batch(rows)
+    assert eng.memories.select("embedding").collect()[0][0] is None
+    assert eng.recall("hello", "a1", strategy="lexical").count() == 1
+
+
+def test_embedder_dim_mismatch_refused_at_construction(spark):
+    with pytest.raises(ValueError, match="dim"):
+        MnemoSparkEngine(spark, embedding_dim=64, embedder=_len_onehot_embedder(8))

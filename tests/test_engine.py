@@ -454,3 +454,24 @@ def test_graph_recall_expands_and_respects_permissions(spark):
     noop = MnemoSparkEngine(spark, embedder=NoopEmbedder()).remember_batch(rows)
     with pytest.raises(RuntimeError, match="semantic-capable"):
         noop.recall("kafka", "a1", strategy="graph", edges=edges)
+
+
+def test_forget_null_predicate_rows_survive_hard_delete(spark):
+    """ADVICE r2: a NULL predicate (NULL tags under a tag criterion,
+    NULL content under forget_subject) must count as NOT hit for every
+    strategy — before the fix, `hard` silently destroyed such rows
+    with no audit event."""
+    rows = spark.createDataFrame(
+        [
+            ("t1", "a1", "tagged row", "semantic", "private", 0.5, ["x"], T0),
+            ("t2", "a1", "untagged row", "semantic", "private", 0.5, None, T0),
+            ("t3", "a1", None, "semantic", "private", 0.5, ["y"], T0),
+        ],
+        _ROW_SCHEMA,
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    out = eng.forget_by_criteria(agent_id="a1", tags=["x"], strategy="hard", now=T0)
+    assert {r.id for r in out.memories.collect()} == {"t2", "t3"}
+    # NULL content under a subject pattern: t3 must survive redaction
+    red = eng.forget_subject("tagged", strategy="hard", now=T0)
+    assert {r.id for r in red.memories.collect()} == {"t3"}

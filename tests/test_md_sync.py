@@ -107,3 +107,25 @@ def test_md_sync_edit_is_new_version(spark, tmp_path):
         .collect()
     )
     assert len(cur) == 1 and cur[0].content == "version two\n"
+
+
+def test_md_metadata_json_survives_special_path_chars(spark, tmp_path):
+    """ADVICE r2: the md_path metadata must be built with to_json, not
+    string concat — a path containing a quote or backslash must stay
+    valid JSON or flush silently misroutes the file."""
+    wiki = tmp_path / 'wi"ki'
+    wiki.mkdir()
+    (wiki / 'a"b.md').write_text("quoted-path note\n")
+    eng, errors = sync_markdown(
+        MnemoSparkEngine(spark), spark, str(wiki), "md-sync", T0
+    )
+    assert errors.count() == 0
+    row = eng.memories.select(
+        F.get_json_object("metadata", "$.md_path").alias("p")
+    ).collect()[0]
+    # valid JSON (get_json_object no longer NULLs out); Spark's file
+    # source URI-encodes the quote as %22, which is fine — the stored
+    # form and the flush routing just have to AGREE
+    assert row.p is not None and row.p.endswith('a%22b.md')
+    paths = [r.path for r in flush_markdown(eng.memories).collect()]
+    assert paths == [row.p]  # original path, not flushed/<id>.md

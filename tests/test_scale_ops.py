@@ -255,3 +255,21 @@ def test_forget_subject_redacts_without_collect(spark):
     assert {r.id for r in redacted.collect()} == {"m1", "m3"}
     n_redact_events = out.events.filter(F.col("event_type") == "MemoryRedact").count()
     assert n_redact_events == 2
+
+
+def test_cached_persist_keyed_by_session_and_clearable(spark, monkeypatch):
+    """ADVICE r2: the memoized-persist cache must key on the session
+    (stale frames from a stopped session are unusable) and expose
+    clear() so bench runs can unpersist between iterations."""
+    import mnemo_spark.cache as cache
+
+    monkeypatch.setenv("MNEMO_CACHE_TABLES", "1")
+    df = spark.range(10)
+    a = cache.cached_persist(df, "unit")
+    b = cache.cached_persist(spark.range(10), "unit")
+    assert a is b  # semantically-equal plan + same session + same key
+    key = next(iter(cache._CACHE))
+    assert key[0] == spark.sparkContext.applicationId
+    cache.clear()
+    assert cache._CACHE == {}
+    assert a.storageLevel.useMemory is False  # actually unpersisted

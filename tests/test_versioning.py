@@ -142,3 +142,31 @@ def test_inherited_verbs_preserve_version_state(spark):
     assert eng4.events.filter(F.col("event_type") == "MemoryDelete").count() == 1
     # and version verbs still work after mutations
     assert eng4.replay(eng4.checkpoints.first()["checkpoint_id"]).count() >= 0
+
+
+def test_cold_tier_on_versioned_engine(spark, tmp_path):
+    """ADVICE r2: tier_in on a VersionedEngine (memories carry
+    `branch`) must not throw on the union, and restored rows default
+    to branch 'main'; a re-archive cycle must not duplicate ids
+    inside the cold tier on restore."""
+    cold = str(tmp_path / "vcold")
+    eng = VersionedEngine(spark).remember_on(
+        _rows(
+            spark,
+            [
+                ("h1", "a1", "hot row", "semantic", "private", 0.9, [], T0),
+                ("c1", "a1", "cold row", "episodic", "private", 0.1, [], T0),
+            ],
+        ),
+        branch="main",
+    )
+    eng = eng.forget(["c1"], strategy="archive", now=T0)
+    out = eng.tier_out(cold, now=T0)
+    back = out.tier_in(cold)
+    got = {r.id: r.branch for r in back.memories.collect()}
+    assert got == {"h1": "main", "c1": "main"}
+    # archive the same id again -> cold parquet now holds c1 twice;
+    # restore must bring back exactly one copy
+    again = back.forget(["c1"], strategy="archive", now=T1).tier_out(cold, now=T1)
+    restored = again.tier_in(cold)
+    assert restored.memories.filter(F.col("id") == "c1").count() == 1
