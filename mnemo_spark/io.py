@@ -79,6 +79,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div — epoch-ns exceeds double's 2^53 mantissa
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) columns surface as
+    # TIMESTAMP_NTZ under inferTimestampNTZ (Spark 4 default), which
+    # unix_micros/epoch math reject. Cast to the session-zoned type:
+    # the naive wall-clock value round-trips unchanged in any single
+    # session timezone, matching DuckDB's naive TIMESTAMP rendering.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     if caching:
         df = df.persist()
         _TABLE_CACHE[cache_key] = df

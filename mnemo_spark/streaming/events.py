@@ -26,35 +26,47 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# ts is read as epoch-nanos LONG: the driver's events.parquet carries
-# TIMESTAMP(NANOS), which Spark 4 surfaces as long under
-# spark.sql.legacy.parquet.nanosAsLong (see io.load_table)
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+# ts unit varies by data generation: TIMESTAMP(NANOS) surfaces as an
+# epoch-nanos LONG under spark.sql.legacy.parquet.nanosAsLong, while
+# TIMESTAMP(MICROS) surfaces as a plain timestamp. The stream reader
+# probes the actual file schema (one batch-read of footers, no data
+# scan) and converts only when the long form shows up — mirroring
+# io.load_table's batch behavior exactly.
+def _event_schema(ts_is_long: bool) -> StructType:
+    from pyspark.sql.types import TimestampType
+
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", LongType() if ts_is_long else TimestampType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over a directory of event parquet files.
 
     One file per micro-batch by default (maxFilesPerTrigger=1) so
-    tests exercise multi-batch accumulation. ts arrives as epoch
-    nanos; truncated to a µs timestamp exactly like the batch loader.
+    tests exercise multi-batch accumulation. ts lands as a µs
+    timestamp regardless of the file's physical unit, exactly like
+    the batch loader.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, LongType
+    )
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema(ts_is_long))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(
