@@ -699,3 +699,190 @@ def quantile_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+           round(c.supply_cost, 6) AS supply_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN eu s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 15 AND p.p_type = 'SMALL'
+      AND c.supply_cost = (SELECT min(c2.supply_cost)
+                           FROM cost c2 JOIN eu s2 ON s2.s_suppkey = c2.l_suppkey
+                           WHERE c2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp stood in by lineitem unit prices):
+    correlated min-subquery — the cheapest qualified supplier per
+    part within one region.
+
+    Spark-first: the correlated scalar subquery becomes a window min
+    over the regional cost frame partitioned by part (no re-scan,
+    one shuffle), then an equality filter. `supply_cost` is
+    min(price/qty) — min of identical IEEE divisions, so the
+    cross-engine equality filter is exact, no FP drift. Ranking is
+    orderBy+limit → TakeOrderedAndProject (parallel partial top-k).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    regional = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    best = regional.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supply_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_value",
+    """
+    WITH nsup AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'),
+    val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS value
+      FROM lineitem JOIN nsup ON l_suppkey = s_suppkey
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey,
+           CAST(round(value, 2) AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value AS DOUBLE) > (SELECT CAST(sum(value) AS DOUBLE) * 0.0005 FROM val)
+    """,
+)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp stood in by shipped value): per-part
+    value from one nation's suppliers, kept only when above a
+    fraction of the global total — the HAVING-vs-global-scalar-
+    subquery shape.
+
+    Spark-first: the scalar subquery is a 1-row aggregate
+    cross-joined (broadcast, 1 row) onto the per-part frame — the
+    `val` frame computes once and feeds both sides of the compare
+    via a cheap re-aggregation, not a cached collect.
+    """
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nsup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    val = (
+        l.join(F.broadcast(nsup), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            # exact decimal sum: a double sum's last ulp varies with
+            # partial-aggregation order and flips the 2-dp rounding
+            # (and threshold-membership) on boundary values
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("value")
+        )
+    )
+    total = val.agg((F.sum("value").cast("double") * F.lit(0.0005)).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q20_part_promotion",
+    """
+    WITH qty AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 50)
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qty)
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries — suppliers of one
+    nation who moved serious volume of 'red' parts in a window
+    (partsupp availability stood in by shipped quantity).
+
+    Spark-first: inner IN → broadcast left-semi on the part id list;
+    outer IN → left-semi against the grouped-HAVING frame. Both
+    semi-joins prune before any wide join; the date filter pushes to
+    the lineitem scan.
+    """
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty = (
+        l.join(F.broadcast(red), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    )
+    return s.join(qty, s.s_suppkey == qty.l_suppkey, "left_semi").select(
+        "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
