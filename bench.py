@@ -63,6 +63,14 @@ BENCH_QUERIES = [
     "cluster_maturity_embeddings",
     "conflict_resolution_embeddings",
     "reflection_archive_candidates_events",
+    # round-3 operators
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q20_part_promotion",
+    "decontaminate_docs",
+    "train_test_split_docs",
+    "pack_sequences_docs",
+    "quality_sample_docs",
 ]
 
 

@@ -1,0 +1,176 @@
+"""Oracle-gated queries for the training-data pipeline operators
+(operators/pipeline.py): decontamination, deterministic splits,
+sequence packing, quality-weighted sampling.
+
+All run over the driver's `documents` table. The DuckDB SQL twins are
+the independent semantic spec; both sides share the cross-engine
+primitives proven by the dedup family (md5 shingles, `[a-z0-9]+`
+tokenization, ceil(chars/4) token estimate) plus the
+hex-u01 trick: CAST(first 6 md5 hex chars AS int) / 16^6 is
+bit-identical in Spark (`conv(..., 16, 10)`) and DuckDB
+(`CAST('0x' || ... AS BIGINT)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mnemo_spark import params as P
+from mnemo_spark.operators.pipeline import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    quality_bernoulli_sample,
+)
+from mnemo_spark.operators.textquality import quality_scores
+from mnemo_spark.registry import _t, query
+
+# every 97th doc stands in for the held-out benchmark/eval set; the
+# corpus's planted near-duplicates guarantee real contamination hits
+_BENCH_MOD = 97
+_SPLIT_TEST_FRAC = 0.2
+_PACK_CAPACITY = 2048  # power of two: n/2048 is exact in a double
+
+_SHINGLE_SQL = f"""
+    tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - {P.JACCARD_SHINGLE_K - 2}, 1)),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
+           FROM tok),
+    e AS (SELECT doc_id, unnest(shs) AS s FROM sh)
+"""
+
+_U01_SQL = (
+    "CAST('0x' || substr(md5(concat('{salt}#', CAST(doc_id AS VARCHAR))), 1, 6)"
+    "     AS BIGINT) / 16777216.0"
+)
+
+
+@query(
+    "decontaminate_docs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    bench AS (SELECT DISTINCT s FROM e WHERE doc_id % {_BENCH_MOD} = 0),
+    corp AS (SELECT doc_id, s FROM e WHERE doc_id % {_BENCH_MOD} <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id),
+    hits AS (SELECT doc_id, count(*) AS n_contaminated
+             FROM corp JOIN bench USING (s) GROUP BY doc_id)
+    SELECT h.doc_id, n_shingles, n_contaminated,
+           round(n_contaminated * 1.0 / n_shingles, 6) AS contamination
+    FROM hits h JOIN sizes USING (doc_id)
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word-shingles
+    with the held-out set. The benchmark shingle universe is broadcast
+    — the 100-TB corpus never shuffles for this check."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return decontaminate(corpus, bench, P.JACCARD_SHINGLE_K)
+
+
+@query(
+    "train_test_split_docs",
+    f"""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_U01_SQL.format(salt="split")} < {_SPLIT_TEST_FRAC}
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY lang, split
+    """,
+)
+def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/test split, summarized per
+    (lang, split). Pure projection before the tiny rollup — no RNG,
+    reshuffle-stable, new data never reassigns old docs."""
+    docs = hash_split(
+        _t(spark, sf_dir, "documents"), _SPLIT_TEST_FRAC, salt="split"
+    )
+    return docs.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "pack_sequences_docs",
+    f"""
+    WITH tok AS (SELECT lang, doc_id,
+                        CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tokens
+                 FROM documents),
+    w AS (SELECT lang, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS e
+          FROM tok)
+    SELECT lang, doc_id, n_tokens,
+           CAST(e - n_tokens AS BIGINT) AS start_off,
+           CAST(floor((e - n_tokens) / {_PACK_CAPACITY}.0) AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens > 0 THEN floor((e - 1) / {_PACK_CAPACITY}.0)
+                     ELSE floor((e - n_tokens) / {_PACK_CAPACITY}.0) END
+                AS BIGINT) AS seq_last,
+           CAST(CASE WHEN n_tokens > 0 THEN floor((e - 1) / {_PACK_CAPACITY}.0)
+                     ELSE floor((e - n_tokens) / {_PACK_CAPACITY}.0) END
+                - floor((e - n_tokens) / {_PACK_CAPACITY}.0) + 1 AS BIGINT) AS n_seqs
+    FROM w
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of docs into 2048-token training
+    sequences, parallel per language group (the standard pretraining
+    batch layout)."""
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), _PACK_CAPACITY, group_col="lang"
+    )
+
+
+@query(
+    "quality_sample_docs",
+    rf"""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             len(text) AS n_chars_m,
+             len(text) - len(translate(text, '.,!?;:''"()[]{{}}', '')) AS punct
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_chars_m, len(toks) AS n_tokens, punct,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS stop_hits,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_tok
+      FROM s),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN n_chars_m > 0 THEN CAST(punct AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+             n_tokens, mean_tok
+      FROM m),
+    q AS (
+      SELECT doc_id,
+             round(least(n_tokens / 100.0, 1.0) * 0.4
+                   + least(stop_ratio * 5.0, 1.0) * 0.3
+                   + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+                   + CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END * 0.1,
+                   6) AS quality
+      FROM r),
+    d AS (
+      SELECT doc_id, quality,
+             {_U01_SQL.format(salt="qsample")} AS u
+      FROM q)
+    SELECT doc_id, quality, round(u, 6) AS u
+    FROM d WHERE u < quality
+    """,
+)
+def quality_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli thinning: keep each doc with
+    probability = its composite quality score, via the deterministic
+    md5-uniform (reproducible, shuffle-free, no RNG coordination)."""
+    scored = quality_scores(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+    return quality_bernoulli_sample(scored, salt="qsample").select(
+        "doc_id", "quality", "u"
+    )
