@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "train_test_split_docs",
     "pack_sequences_docs",
     "quality_sample_docs",
+    "repetition_docs",
+    "vocab_topk_docs",
 ]
 
 

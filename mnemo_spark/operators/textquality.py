@@ -127,3 +127,67 @@ def fingerprint_mink(
             "|", F.slice(F.sort_array(F.collect_list("_h")), 1, k)
         ).alias("fingerprint")
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals over token
+    2-grams: duplicate-2gram ratio (1 - distinct/total) and the share
+    of the single most frequent 2-gram. High values flag boilerplate
+    and degenerate generations that length/stopword gates miss.
+    → (id, n_2grams, dup_2gram_ratio, top_2gram_share).
+
+    Shape: explode(2-grams) → two map-side-combinable aggregations
+    keyed on (doc, gram) then (doc) — the same single-shuffle family
+    as SimHash; no windows, no driver state.
+    """
+    from mnemo_spark.functions.text import shingles
+
+    g = docs.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(tokens(text_col), 2)).alias("_g")
+    )
+    per_gram = g.groupBy("_id", "_g").agg(F.count("*").alias("_cnt"))
+    agg = per_gram.groupBy("_id").agg(
+        F.sum("_cnt").alias("_n"),
+        F.count("*").alias("_d"),
+        F.max("_cnt").alias("_m"),
+    )
+    base = docs.select(F.col(id_col).alias("_id"))
+    out = base.join(agg, "_id", "left")
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("_id").alias(id_col),
+        n.alias("n_2grams"),
+        F.round(
+            F.when(n > 0, 1.0 - F.col("_d").cast("double") / n).otherwise(F.lit(0.0)), ROUND_DP
+        ).alias("dup_2gram_ratio"),
+        F.round(
+            F.when(n > 0, F.col("_m").cast("double") / n).otherwise(F.lit(0.0)), ROUND_DP
+        ).alias("top_2gram_share"),
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: top-k terms by collection frequency
+    with document frequency — the df/cf statistics table BM25 and
+    tokenizer training both start from. → (term, cf, df).
+
+    orderBy+limit plans TakeOrderedAndProject (parallel partial
+    top-k); the aggregation is one shuffle on term with partial
+    combine, so the reduce side only sees |vocab| rows, not |tokens|.
+    """
+    t = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count("*").alias("cf"),
+            F.countDistinct("_id").alias("df"),
+        )
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+    )

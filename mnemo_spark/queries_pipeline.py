@@ -174,3 +174,56 @@ def quality_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_bernoulli_sample(scored, salt="qsample").select(
         "doc_id", "quality", "u"
     )
+
+
+_VOCAB_K = 50
+
+
+@query(
+    "repetition_docs",
+    """
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                       i -> concat_ws(' ', toks[i], toks[i+1]))) AS s
+          FROM tok),
+    c AS (SELECT doc_id, s, count(*) AS cnt FROM g GROUP BY doc_id, s),
+    a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n2g, count(*) AS d2g,
+                 CAST(max(cnt) AS BIGINT) AS maxc
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n2g, 0) AS n_2grams,
+           round(CASE WHEN coalesce(n2g, 0) > 0
+                      THEN 1.0 - d2g * 1.0 / n2g ELSE 0.0 END, 6) AS dup_2gram_ratio,
+           round(CASE WHEN coalesce(n2g, 0) > 0
+                      THEN maxc * 1.0 / n2g ELSE 0.0 END, 6) AS top_2gram_share
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition gate: duplicate-2gram ratio
+    and most-frequent-2gram share (boilerplate/degenerate-generation
+    detector)."""
+    from mnemo_spark.operators.textquality import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_topk_docs",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+               FROM documents)
+    SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+    FROM t GROUP BY term
+    ORDER BY cf DESC, term
+    LIMIT {_VOCAB_K}
+    """,
+)
+def vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (cf/df stats table): one partial-agg
+    shuffle on term, TakeOrderedAndProject top-k."""
+    from mnemo_spark.operators.textquality import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), _VOCAB_K)
