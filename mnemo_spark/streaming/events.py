@@ -174,3 +174,68 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols or ["event_id"]
     )
+
+
+def chained_hashes_stream(events: DataFrame) -> DataFrame:
+    """Cross-batch hash-chain assignment (reference W7/T1 as a stream,
+    remember.rs:100-111): each user's chain head survives in keyed
+    value state, so a new micro-batch's first event links to the last
+    event of every batch before it — the streaming twin of
+    operators/chain.assign_chain with `prev_head` handoff.
+
+    Keyed value state via applyInPandasWithState. (The Spark-4-native
+    successor, transformWithStateInPandas + RocksDB StatefulProcessor,
+    is API-compatible with this shape but its Python driver worker
+    needs google.protobuf, absent in this container — the processor
+    would be a mechanical port.) Within a batch, rows fold in
+    (ts, event_id) order; across batches, arrival order — the same
+    single-writer-per-agent serialization contract as the reference's
+    connection mutex.
+
+    → append stream of (user_id, event_id, prev_hash, chain_hash).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        (prev,) = state.get if state.exists else ("",)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        prevs, chains = [], []
+        for h in pdf["ch"]:
+            prevs.append(prev)
+            prev = hashlib.sha256((h + prev).encode()).hexdigest()
+            chains.append(prev)
+        state.update((prev,))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "event_id": pdf["event_id"].values,
+                "prev_hash": prevs,
+                "chain_hash": chains,
+            }
+        )
+
+    hashed = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("decimal(18,2)").cast("string"),
+            ),
+            256,
+        ).alias("ch"),
+    )
+    return hashed.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, event_id long, prev_hash string, chain_hash string",
+        stateStructType="head string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
