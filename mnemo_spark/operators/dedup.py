@@ -80,21 +80,29 @@ def _shingle_rows(
 def _minhash_wide(
     docs: DataFrame, num_hashes: int, shingle_k: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """Wide MinHash signature: (_id, _m0.._m{n-1}).
+    """Wide MinHash signature: (_id, _m0.._m{n-1}), values in [0, P).
 
     Shape chosen for scale: explode shingles ONCE (tokenization runs
-    once per doc), then num_hashes `min(md5(shingle#seed))` aggregates
-    in a single codegen'd hash aggregation — partial min is map-side
-    combined, so the only shuffled rows are |docs| pre-combined
-    signatures. (A pure-projection variant with
-    array_min(transform(...)) is 10-100x slower: higher-order
-    functions are interpreted, and projection collapse re-evaluates
-    the shingle subtree once per seed.)
+    once per doc), md5 each shingle ONCE into a 32-bit base hash h0,
+    then num_hashes universal-hash permutations min((A·h0+B) mod P)
+    as integer arithmetic in a single codegen'd hash aggregation —
+    partial min is map-side combined, so the only shuffled rows are
+    |docs| pre-combined signatures. (The previous form md5'd every
+    (shingle, seed) pair — num_hashes× the hashing work of this one;
+    a pure-projection variant with array_min(transform(...)) is
+    10-100x slower still: higher-order functions are interpreted, and
+    projection collapse re-evaluates the shingle subtree per seed.)
     """
-    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    from mnemo_spark import params as P
+
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k).withColumn(
+        "_h0", F.conv(F.substring(F.md5("_sh"), 1, 8), 16, 10).cast("long")
+    )
     aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("_sh"), F.lit(str(s))))).alias(f"_m{s}")
-        for s in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h0") + F.lit(b)) % F.lit(P.MINHASH_PRIME)).alias(
+            f"_m{s}"
+        )
+        for s, (a, b) in enumerate(P.MINHASH_COEFFS[:num_hashes])
     ]
     return sh.groupBy("_id").agg(*aggs)
 
@@ -106,7 +114,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, min(md5(shingle#s)).
+    """MinHash signature per doc: for permutation s,
+    min((A_s·h0 + B_s) mod P) over shingle base hashes h0.
 
     -> (_id, seed, minhash) long-form (docs with no shingles yield no
     rows).
@@ -145,8 +154,13 @@ def minhash_band_pairs(
                     F.md5(
                         F.concat_ws(
                             "|",
-                            F.sort_array(
-                                F.array(*[F.col(f"_m{b * r + i}") for i in range(r)])
+                            F.transform(
+                                F.sort_array(
+                                    F.array(
+                                        *[F.col(f"_m{b * r + i}") for i in range(r)]
+                                    )
+                                ),
+                                lambda x: x.cast("string"),
                             ),
                         )
                     )

@@ -57,6 +57,22 @@ JACCARD_MAX_DOC_ID = 200
 JACCARD_MAX_DF = 100
 MINHASH_NUM = 12
 MINHASH_BANDS = 4
+# universal-hash family for MinHash permutations: h_i = (A_i*h0 + B_i) mod P
+# with h0 = first-8-hex of md5(shingle) as an int (< 2^32). P is the
+# smallest prime > 2^32; A < 2^30 keeps A*h0 + B < 2^62 — no BIGINT
+# overflow in either engine. Constants are seeded so Spark literals and
+# the DuckDB oracle SQL agree byte-for-byte.
+MINHASH_PRIME = 4294967311
+
+
+def _minhash_coeffs(num: int = MINHASH_NUM, seed: int = 7):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30)) for _ in range(num)
+    ]
+
+
+MINHASH_COEFFS: list[tuple[int, int]] = _minhash_coeffs()
 DEDUP_PREFIX_TOKENS = 5
 FINGERPRINT_K = 5
 

@@ -832,11 +832,13 @@ _MINHASH_R = P.MINHASH_NUM // P.MINHASH_BANDS
                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
            FROM tok),
     e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-    seeded AS (SELECT doc_id, t.seed, md5(concat(s, '#', t.seed::VARCHAR)) AS h
-               FROM e, range(0, {P.MINHASH_NUM}) t(seed)),
+    h0 AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h0 FROM e),
+    coef(seed, a, b) AS (VALUES {", ".join(f"({s}, {a}, {b})" for s, (a, b) in enumerate(P.MINHASH_COEFFS))}),
+    seeded AS (SELECT doc_id, seed, (a * h0 + b) % {P.MINHASH_PRIME} AS h
+               FROM h0, coef),
     sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
     band AS (SELECT doc_id, CAST(seed // {_MINHASH_R} AS INT) AS band,
-                    md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_key
+                    md5(string_agg(minhash::VARCHAR, '|' ORDER BY minhash)) AS band_key
              FROM sig GROUP BY doc_id, CAST(seed // {_MINHASH_R} AS INT)),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
               FROM band a JOIN band b USING (band, band_key)
