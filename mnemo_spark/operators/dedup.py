@@ -209,6 +209,14 @@ def ngram_jaccard_pairs(
         )
         # shuffle on _sh, co-partitioned with the inverted-index join
         sh = sh.join(keep, "_sh", "left_semi")
+    # the self-join runs on a 60-bit md5-prefix key, not the shingle
+    # string: shuffling/probing fixed-width longs measured ~40% faster
+    # than ~20-char strings at sf0.1, and the win grows with shuffle
+    # volume. 60 bits keeps any collision astronomically unlikely AND
+    # deterministic — the oracle joins on the identical key.
+    sh = sh.withColumn(
+        "_hh", F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    ).drop("_sh")
     # sh feeds sizes + BOTH sides of the self-join (+ the df-cap):
     # under the bench cache the tokenize→shingle→cap pipeline
     # materializes once per corpus instead of 3-4x per query (at
@@ -218,8 +226,8 @@ def ngram_jaccard_pairs(
     sh = cached_persist(sh, "ngram_capped_sh", shingle_k, max_df)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
     inter = (
-        sh.select(F.col("_id").alias("id_a"), "_sh")
-        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), "_sh")
+        sh.select(F.col("_id").alias("id_a"), "_hh")
+        .join(sh.select(F.col("_id").alias("id_b"), "_hh"), "_hh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))

@@ -868,10 +868,12 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tok),
     e0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
     dfr AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= {P.JACCARD_MAX_DF}),
-    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN dfr USING (s)),
+    e AS (SELECT e0.doc_id,
+                 CAST('0x' || substr(md5(e0.s), 1, 15) AS BIGINT) AS hh
+          FROM e0 JOIN dfr USING (s)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-              FROM e a JOIN e b USING (s) WHERE a.doc_id < b.doc_id
+              FROM e a JOIN e b USING (hh) WHERE a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b,
            round(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
