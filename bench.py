@@ -103,11 +103,16 @@ def main() -> None:
         if name not in QUERIES:
             continue
         best, n = None, 0
-        for _ in range(2):
+        for attempt in range(3):
             t0 = time.time()
             n = QUERIES[name](spark, sf_dir).count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+            # a third run only for cheap queries: they are the ones
+            # host-contention noise distorts by whole multiples, and
+            # re-running them costs little; heavy queries are stable
+            if attempt == 1 and best >= 2.0:
+                break
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
