@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "quality_sample_docs",
     "repetition_docs",
     "vocab_topk_docs",
+    "incremental_dedup_docs",
 ]
 
 

@@ -129,7 +129,7 @@ def minhash_signatures(
     )
 
 
-def minhash_band_pairs(
+def band_keys(
     docs: DataFrame,
     num_hashes: int = 12,
     bands: int = 4,
@@ -137,16 +137,15 @@ def minhash_band_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 band key. → (id_a, id_b,
-    n_bands) with id_a < id_b. rows-per-band r = num_hashes/bands.
-
-    Band keys are computed inside the same projection as the
-    signature; the ONLY shuffle is the equi-join on (band, band_key).
+    """LSH band keys per doc: → (_id, band, band_key). rows-per-band
+    r = num_hashes/bands. Band keys are computed inside the same
+    projection as the signature — at cluster scale this frame IS the
+    persisted signature table a rolling dedup maintains per snapshot.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     wide = _minhash_wide(docs, num_hashes, shingle_k, id_col, text_col)
-    band = wide.select(
+    return wide.select(
         "_id",
         F.posexplode(
             F.array(
@@ -169,6 +168,22 @@ def minhash_band_pairs(
             )
         ).alias("band", "band_key"),
     )
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band key. → (id_a, id_b,
+    n_bands) with id_a < id_b.
+
+    The ONLY shuffle is the equi-join on (band, band_key).
+    """
+    band = band_keys(docs, num_hashes, bands, shingle_k, id_col, text_col)
     a = band.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band.select(F.col("_id").alias("id_b"), "band", "band_key")
     return (
@@ -177,6 +192,35 @@ def minhash_band_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+def incremental_band_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without comparing
+    the corpus to itself — the rolling-crawl path at 100 TB: the
+    corpus side is (at scale) a precomputed signature table read from
+    storage, the new batch is small, and the only work that scales
+    with the corpus is one equi-join on (band, band_key).
+
+    → one row per new doc that LSH-collides with the corpus:
+    (doc_id, n_band_hits, n_corpus_candidates).
+    """
+    nb = band_keys(new_docs, num_hashes, bands, shingle_k, id_col, text_col)
+    cb = band_keys(corpus, num_hashes, bands, shingle_k, id_col, text_col)
+    hits = nb.join(
+        cb.withColumnRenamed("_id", "_corpus_id"), ["band", "band_key"]
+    )
+    return hits.groupBy("_id").agg(
+        F.count("*").alias("n_band_hits"),
+        F.countDistinct("_corpus_id").alias("n_corpus_candidates"),
+    ).select(F.col("_id").alias(id_col), "n_band_hits", "n_corpus_candidates")
 
 
 def ngram_jaccard_pairs(

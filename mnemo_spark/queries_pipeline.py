@@ -227,3 +227,44 @@ def vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mnemo_spark.operators.textquality import vocab_topk
 
     return vocab_topk(_t(spark, sf_dir, "documents"), _VOCAB_K)
+
+
+_MINHASH_R = P.MINHASH_NUM // P.MINHASH_BANDS
+_COEF_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(P.MINHASH_COEFFS)
+)
+_INC_NEW_MOD = 10  # every 10th doc plays the incoming crawl batch
+
+
+@query(
+    "incremental_dedup_docs",
+    f"""
+    WITH {_SHINGLE_SQL},
+    h0 AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h0 FROM e),
+    coef(seed, a, b) AS (VALUES {_COEF_VALUES}),
+    seeded AS (SELECT doc_id, seed, (a * h0 + b) % {P.MINHASH_PRIME} AS h
+               FROM h0, coef),
+    sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    band AS (SELECT doc_id, CAST(seed // {_MINHASH_R} AS INT) AS band,
+                    md5(string_agg(minhash::VARCHAR, '|' ORDER BY minhash)) AS band_key
+             FROM sig GROUP BY doc_id, CAST(seed // {_MINHASH_R} AS INT)),
+    nb AS (SELECT * FROM band WHERE doc_id % {_INC_NEW_MOD} = 0),
+    cb AS (SELECT * FROM band WHERE doc_id % {_INC_NEW_MOD} <> 0)
+    SELECT nb.doc_id, count(*) AS n_band_hits,
+           count(DISTINCT cb.doc_id) AS n_corpus_candidates
+    FROM nb JOIN cb USING (band, band_key)
+    GROUP BY nb.doc_id
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-crawl dedup: the new batch's LSH band keys equi-join a
+    (at scale: precomputed) corpus signature table — corpus work never
+    repeats and the corpus never self-joins."""
+    from mnemo_spark.operators.dedup import incremental_band_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % _INC_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INC_NEW_MOD != 0)
+    return incremental_band_dedup(
+        new, corpus, P.MINHASH_NUM, P.MINHASH_BANDS, P.JACCARD_SHINGLE_K
+    )

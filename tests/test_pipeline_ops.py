@@ -127,3 +127,31 @@ class TestQualitySample:
         # thinning actually happened on the 0.4 stratum
         frac = sum(1 for i in kept if i % 10 != 0) / 900
         assert 0.3 < frac < 0.5
+
+
+class TestIncrementalDedup:
+    def test_planted_duplicate_found_and_corpus_never_self_pairs(self, spark):
+        from mnemo_spark.operators.dedup import incremental_band_dedup
+
+        corpus = _docs(
+            spark,
+            [(i, f"unique corpus document number {i} about topic {i % 7} "
+                  "with enough tokens to shingle properly", "en")
+             for i in range(1, 20)],
+        )
+        new = _docs(
+            spark,
+            [
+                # verbatim copy of corpus doc 5
+                (100, "unique corpus document number 5 about topic 5 "
+                      "with enough tokens to shingle properly", "en"),
+                (101, "entirely novel content that matches nothing else "
+                      "in the existing collection at all", "en"),
+            ],
+        )
+        out = {r["doc_id"]: r for r in incremental_band_dedup(new, corpus).collect()}
+        assert 100 in out and out[100]["n_corpus_candidates"] >= 1
+        assert 101 not in out
+        # output only ever contains NEW ids: corpus-vs-corpus pairs
+        # are never produced, which is the whole point of the shape
+        assert set(out) <= {100, 101}
