@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "repetition_docs",
     "vocab_topk_docs",
     "incremental_dedup_docs",
+    "stratified_sample_docs",
 ]
 
 

@@ -181,3 +181,31 @@ def quality_bernoulli_sample(
         scored.withColumn("u", F.round(u, ROUND_DP))
         .filter(u < F.col(quality_col))
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows within
+    each stratum by the salted md5 uniform and keep the first n — a
+    reproducible stratified subsample (eval-set carving, per-language
+    balancing) with no RNG and no global ordering.
+
+    The rank window partitions on the stratum, so the sample
+    parallelizes across strata; a skewed stratum costs one partition's
+    sort of its own rows only.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        u01(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -268,3 +268,28 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_band_dedup(
         new, corpus, P.MINHASH_NUM, P.MINHASH_BANDS, P.JACCARD_SHINGLE_K
     )
+
+
+_STRAT_N = 20
+
+
+@query(
+    "stratified_sample_docs",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             {_U01_SQL.format(salt="strat")} AS u
+      FROM documents),
+    r AS (SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+          FROM u)
+    SELECT lang, doc_id, n_chars FROM r WHERE rk <= {_STRAT_N}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language deterministic subsample via the salted
+    md5 uniform rank — per-stratum windows, no global sort."""
+    from mnemo_spark.operators.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return stratified_sample(docs, _STRAT_N, "lang")
