@@ -1,0 +1,68 @@
+"""ANN-quality eval: recall@k of the approximate similarity paths
+(sign-LSH buckets, IVF nprobe cells) against exact brute-force cosine
+top-k on the same embeddings — the approximation-quality axis the
+reference tracks for its HNSW index (its CI fails when per-strategy
+recall@10 regresses; `.github/scripts/check_bench_regression.py`).
+
+Every strategy runs as ONE batch DataFrame program over a queries
+frame — recall is measured per query then averaged.
+
+Usage: python tools/eval_ann.py [sf_dir] [n_queries]
+Prints one JSON line {strategy: {recall@k: ...}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from mnemo_spark import params as P
+from mnemo_spark.io import load_table
+from mnemo_spark.operators.vector import ann_lsh_topk, ivf_topk, topk_cosine
+from mnemo_spark.session import get_spark
+
+K_EVAL = (1, 5, 10)
+
+
+def recall_at(approx, exact, k: int) -> float:
+    """Mean over queries of |approx∩exact|/k within rank ≤ k."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    n_q = e.select("query_id").distinct().count()
+    hits = a.join(e, ["query_id", "vec_id"], "left_semi").count()
+    return round(hits / (n_q * k), 4) if n_q else 0.0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    spark = get_spark("eval_ann")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    k_max = max(K_EVAL)
+    exact = topk_cosine(emb, queries, k_max).persist()
+    exact.count()
+
+    lsh = ann_lsh_topk(emb, queries, P.LSH_HYPERPLANES, k_max)
+    centroids = emb.filter(F.col("vec_id").isin(P.IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    ivf = ivf_topk(emb, queries, centroids, P.IVF_NPROBE, k_max)
+
+    out = {}
+    for name, approx in (("lsh", lsh), ("ivf", ivf)):
+        a = approx.persist()
+        a.count()
+        out[name] = {f"recall@{k}": recall_at(a, exact, k) for k in K_EVAL}
+    print(json.dumps({"n_queries": n_queries, "sf_dir": sf_dir, "strategies": out}))
+
+
+if __name__ == "__main__":
+    main()
