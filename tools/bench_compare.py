@@ -49,23 +49,28 @@ def main() -> None:
 
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()  # warm up JVM
 
-    # min-of-2 on BOTH engines (same protocol as bench.py): run 1 pays
-    # one-time compilation (Spark codegen / DuckDB plan), and this host
-    # swings identical code by ±40% under external contention
-    def min2(fn):
-        a = [0.0, 0.0]
-        for i in range(2):
+    # min-of-2 (min-of-3 when the best is still sub-2s) on BOTH
+    # engines — same protocol as bench.py: run 1 pays one-time
+    # compilation (Spark codegen / DuckDB plan), and this host swings
+    # identical code by whole multiples under external contention,
+    # most visibly on the cheap queries
+    def min_t(fn):
+        best = None
+        for attempt in range(3):
             t0 = time.time()
             fn()
-            a[i] = time.time() - t0
-        return round(min(a), 3)
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+            if attempt == 1 and best >= 2.0:
+                break
+        return round(best, 3)
 
     rows = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES or name not in ORACLE:
             continue
-        spark_s = min2(lambda: QUERIES[name](spark, sf_dir).count())
-        duck_s = min2(lambda: con.execute(ORACLE[name]).fetchall())
+        spark_s = min_t(lambda: QUERIES[name](spark, sf_dir).count())
+        duck_s = min_t(lambda: con.execute(ORACLE[name]).fetchall())
         rows[name] = {
             "spark": spark_s,
             "duckdb": duck_s,
