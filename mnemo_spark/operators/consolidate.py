@@ -53,24 +53,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster").alias("nb_cluster"))
         )
+        # carry the change flag through the update projection: the
+        # convergence probe then reads the already-materialized frame
+        # instead of re-joining updated against the previous labels
+        # (one fewer shuffle per round)
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("nb_cluster"), F.col("cluster"))
-                ).alias("cluster"),
+                ).alias("new_cluster"),
+                (F.coalesce(F.col("nb_cluster"), F.col("cluster")) < F.col("cluster"))
+                .alias("_chg"),
             )
-            .localCheckpoint(eager=True)  # materialize before the diff
+            .localCheckpoint(eager=True)  # materialize before the probe
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.select("node", F.col("new_cluster").alias("cluster"))
         if changed == 0:
             break
     return labels
