@@ -167,3 +167,45 @@ def test_no_unpartitioned_window_in_ranked_queries(spark, sf_dir):
                 f"{name}: unpartitioned ordered Window (single-partition "
                 f"funnel at scale): {line.strip()[:160]}"
             )
+
+
+def test_q20_nested_ins_are_broadcast_semi_joins(plans):
+    p = plans("q20_part_promotion")
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q2_correlated_min_is_windowed_not_rescanned(plans):
+    p = plans("q2_min_cost_supplier")
+    # one window over the regional cost frame replaces the correlated
+    # subquery's per-part re-aggregation
+    assert "Window" in p
+    # part/supplier/nation/region dims all broadcast
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_pack_sequences_window_is_partitioned(plans):
+    p = plans("pack_sequences_docs")
+    # the packing window must partition on the group column — a global
+    # window would funnel the corpus through one task
+    assert "Window" in p
+    spec = " ".join(ln for ln in p.splitlines() if "windowspecdefinition" in ln)
+    # grp is the projected group column; a global window would show
+    # windowspecdefinition(<order-only> ...) with no partition key
+    assert "windowspecdefinition(grp" in spec
+
+
+def test_vocab_topk_plans_parallel_topk(plans):
+    p = plans("vocab_topk_docs")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_decontaminate_broadcasts_benchmark(plans):
+    p = plans("decontaminate_docs")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_incremental_dedup_is_equi_join(plans):
+    p = plans("incremental_dedup_docs")
+    assert "CartesianProduct" not in p

@@ -72,6 +72,16 @@ EXPECT_NONEMPTY = {
     "setops_customer_years",
     "array_funcs_docs",
     "rrf_explain_docs",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "decontaminate_docs",
+    "train_test_split_docs",
+    "pack_sequences_docs",
+    "quality_sample_docs",
+    "repetition_docs",
+    "vocab_topk_docs",
+    "incremental_dedup_docs",
+    "stratified_sample_docs",
 }
 
 
