@@ -23,12 +23,92 @@ Physical strategy at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-from mnemo_spark.functions.similarity import cosine, dot
+from mnemo_spark.functions.similarity import cosine, cosine_arrow, stack_batch
 
 ROUND_DP = 6
+
+
+def _collect_vec_side(df: DataFrame, id_col: str, vec_col: str):
+    """Collect a definitionally-small vector side (query set / centroid
+    codebook) to the driver, sorted by id: (ids, (n, dim) float64).
+
+    This is the same data movement a broadcast join performs — FAISS
+    ships the IVF codebook to every node identically. Only ever call
+    on the small side (queries / centroids), never the corpus.
+    """
+    rows = sorted(df.select(id_col, vec_col).collect(), key=lambda r: r[id_col])
+    ids = [r[id_col] for r in rows]
+    vecs = [r[vec_col] for r in rows]
+    if not ids or any(v is None for v in vecs):
+        # NULL vectors can't form a matmul block — signal the caller
+        # to fall back to the pairwise kernel path
+        return ids, None
+    return ids, np.asarray([list(v) for v in vecs], dtype=np.float64)
+
+
+# rounding quantum of ROUND_DP; local-top-k pruning keeps anything
+# within 2 quanta of the batch k-th best so no row that could ROUND
+# into the global top-k is ever dropped (two values >1e-6 apart land
+# in different round-6 buckets, so k strictly-greater rounded scores
+# always outrank the dropped row regardless of id tie-breaks)
+_PRUNE_MARGIN = 2e-6
+
+
+def _local_topk_frame(
+    qid_arr, ids, sims, valid, k: int, query_id: str, corpus_id: str
+) -> pd.DataFrame:
+    """Per-batch candidate pruning for scatter-gather top-k.
+
+    sims/valid are (n, nq). Emits, per query: every row within
+    _PRUNE_MARGIN of the batch's k-th best unrounded score, plus (only
+    when the batch has <k valid rows) the k lowest-id NULL-score rows
+    so the global NULLs-last ordering stays reproducible.
+    """
+    n, nq = sims.shape
+    out_q, out_i, out_s, out_null = [], [], [], []
+    for j in range(nq):
+        col = sims[:, j]
+        val = valid[:, j]
+        iv = np.flatnonzero(val)
+        if iv.size > k:
+            thr = np.partition(col[iv], -k)[-k]
+            iv = iv[col[iv] >= thr - _PRUNE_MARGIN]
+        keep_null = np.array([], dtype=np.int64)
+        if iv.size < k:
+            inv = np.flatnonzero(~val)
+            if inv.size:
+                order = np.argsort(ids[inv], kind="stable")  # lowest ids first
+                keep_null = inv[order[: k - iv.size]]
+        out_q.append(np.full(iv.size + keep_null.size, qid_arr[j]))
+        out_i.append(np.concatenate([ids[iv], ids[keep_null]]))
+        out_s.append(np.concatenate([col[iv], np.zeros(keep_null.size)]))
+        out_null.append(
+            np.concatenate(
+                [np.zeros(iv.size, dtype=bool), np.ones(keep_null.size, dtype=bool)]
+            )
+        )
+    if not out_q:
+        return pd.DataFrame(
+            {query_id: [], corpus_id: [], "cos_sim": pd.array([], dtype="Float64")}
+        )
+    svals = pd.array(np.concatenate(out_s), dtype="Float64")
+    nulls = np.concatenate(out_null)
+    if nulls.any():
+        svals[nulls] = pd.NA
+    return pd.DataFrame(
+        {
+            query_id: np.concatenate(out_q),
+            corpus_id: np.concatenate(out_i),
+            "cos_sim": svals,
+        }
+    )
 
 
 def topk_cosine(
@@ -40,12 +120,68 @@ def topk_cosine(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
 ) -> DataFrame:
-    """Exact top-k cosine per query. → (query_id, vec_id, cos_sim, rank)."""
-    joined = corpus.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.round(cosine(F.col(corpus_vec), F.col(query_vec)), ROUND_DP).alias("cos_sim"),
-    )
+    """Exact top-k cosine per query. → (query_id, vec_id, cos_sim, rank).
+
+    Scoring is one numpy matmul per corpus Arrow batch against the
+    collected query matrix (mapInPandas) — the query side is
+    definitionally small (it was broadcast before; collecting it is
+    the same data movement), and this keeps Arrow traffic linear in
+    the corpus instead of corpus×queries. The previous interpreted
+    higher-order-function fold measured 10-100× slower per row.
+    Ranking happens on the ROUND_DP-rounded score, so the kernel swap
+    cannot reorder results.
+    """
+    qids, Q = _collect_vec_side(queries, query_id, query_vec)
+    if Q is None:
+        # NULL/empty query vectors: pairwise Arrow kernel keeps the
+        # exact NULL contract of the expression form
+        joined = corpus.crossJoin(F.broadcast(queries)).select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(
+                cosine_arrow(F.col(corpus_vec), F.col(query_vec)), ROUND_DP
+            ).alias("cos_sim"),
+        )
+    else:
+        out_schema = StructType(
+            [
+                StructField(query_id, queries.schema[query_id].dataType, True),
+                StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
+                StructField("cos_sim", DoubleType(), True),
+            ]
+        )
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qid_arr = np.asarray(qids)
+
+        def score(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                nulls = pdf[corpus_vec].isna().to_numpy()
+                V = stack_batch(pdf[corpus_vec], nulls)
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                denom = np.outer(vn, qn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(
+                        denom > 0.0, (V @ Q.T) / np.where(denom == 0.0, 1.0, denom), 0.0
+                    )
+                valid = (denom > 0.0) & ~nulls[:, None]
+                yield _local_topk_frame(
+                    qid_arr,
+                    pdf[corpus_id].to_numpy(),
+                    sims,
+                    valid,
+                    k,
+                    query_id,
+                    corpus_id,
+                )
+
+        joined = (
+            corpus.select(corpus_id, corpus_vec)
+            .mapInPandas(score, out_schema)
+            .withColumn("cos_sim", F.round(F.col("cos_sim"), ROUND_DP))
+        )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
     return (
         joined.withColumn("rank", F.row_number().over(w))
@@ -53,26 +189,35 @@ def topk_cosine(
     )
 
 
-def lsh_sign_bucket(vec, hyperplanes: list[list[float]]):
+def lsh_sign_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """H-bit sign-LSH bucket of a vector column as a bit-string.
 
     hyperplanes are plain Python literals (deterministic, shared with
     the SQL oracle) — each contributes one bit: 1 iff dot(v, h) > 0.
 
-    The plane matrix ships as ONE nested-array literal: building it
-    from per-element F.lit columns costs H·dim py4j round-trips
-    (~2s of driver time for 8×64 — measured), which dwarfed the
-    actual scan at bench scale. Evaluation is unchanged: interpreted
-    higher-order dot per plane, same as before.
+    One Arrow-batched numpy kernel computes all H dots per batch as a
+    single (n, dim) @ (dim, H) matmul — the previous interpreted
+    per-plane higher-order fold was the measured bottleneck of
+    `ann_lsh_topk`. A NULL vector stacks as the zero vector and gets
+    the all-'0' bucket, exactly like the old expression form
+    (`when(NULL > 0, '1').otherwise('0')` → '0' per plane).
     """
-    planes = F.lit([[float(x) for x in h] for h in hyperplanes])
-    return F.concat_ws(
-        "",
-        F.transform(
-            planes,
-            lambda h: F.when(dot(vec, h) > 0, F.lit("1")).otherwise(F.lit("0")),
-        ),
-    )
+    P = np.asarray([[float(x) for x in h] for h in hyperplanes], dtype=np.float64)
+
+    @pandas_udf(StringType())
+    def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        nulls = v.isna().to_numpy()
+        V = stack_batch(v, nulls)
+        if V.shape[1] == 0:  # all-NULL batch
+            return pd.Series(["0" * P.shape[0]] * len(v))
+        bits = (V @ P.T) > 0.0
+        return pd.Series(
+            ["".join("1" if x else "0" for x in row) for row in bits]
+        )
+
+    return bucket(vec)
 
 
 def ann_lsh_topk(
@@ -87,17 +232,76 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
-    The crossJoin of `topk_cosine` becomes an equi-join on bucket —
-    the join Spark shuffles/broadcasts by key, so corpus partitions
-    holding other buckets are never scored.
+    Logically the crossJoin of `topk_cosine` becomes an equi-join on
+    bucket; physically (codebook path) the query set is collected, its
+    buckets computed driver-side, and ONE mapInPandas pass over the
+    corpus buckets + scores + locally prunes — only buckets some query
+    occupies are ever scored, and nothing but pruned candidates leaves
+    the pass. Falls back to the bucket equi-join when query vectors
+    are NULL/empty.
     """
-    c = corpus.withColumn("_bucket", lsh_sign_bucket(F.col(corpus_vec), hyperplanes))
-    q = queries.withColumn("_bucket", lsh_sign_bucket(F.col(query_vec), hyperplanes))
-    joined = c.join(F.broadcast(q), "_bucket").select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.round(cosine(F.col(corpus_vec), F.col(query_vec)), ROUND_DP).alias("cos_sim"),
-    )
+    qids, Q = _collect_vec_side(queries, query_id, query_vec)
+    if Q is not None:
+        P = np.asarray(
+            [[float(x) for x in h] for h in hyperplanes], dtype=np.float64
+        )
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qbits = (Q @ P.T) > 0.0
+        bucket_queries: dict[tuple, list[int]] = {}
+        for qi in range(len(qids)):
+            bucket_queries.setdefault(tuple(qbits[qi]), []).append(qi)
+        qid_arr = np.asarray(qids)
+        out_schema = StructType(
+            [
+                StructField(query_id, queries.schema[query_id].dataType, True),
+                StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
+                StructField("cos_sim", DoubleType(), True),
+            ]
+        )
+
+        def bucket_score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nulls = pdf[corpus_vec].isna().to_numpy()
+                V = stack_batch(pdf[corpus_vec], nulls)
+                ids = pdf[corpus_id].to_numpy()
+                vbits = (V @ P.T) > 0.0
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                for bucket, qidx in bucket_queries.items():
+                    mask = (vbits == np.asarray(bucket)).all(axis=1)
+                    if not mask.any():
+                        continue
+                    Vm, vnm, nullm = V[mask], vn[mask], nulls[mask]
+                    d = np.outer(vnm, qn[qidx])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s = np.where(
+                            d > 0.0, (Vm @ Q[qidx].T) / np.where(d == 0.0, 1.0, d), 0.0
+                        )
+                    valid = (d > 0.0) & ~nullm[:, None]
+                    yield _local_topk_frame(
+                        qid_arr[qidx], ids[mask], s, valid, k, query_id, corpus_id
+                    )
+
+        joined = (
+            corpus.select(corpus_id, corpus_vec)
+            .mapInPandas(bucket_score, out_schema)
+            .withColumn("cos_sim", F.round(F.col("cos_sim"), ROUND_DP))
+        )
+    else:
+        c = corpus.withColumn(
+            "_bucket", lsh_sign_bucket(F.col(corpus_vec), hyperplanes)
+        )
+        q = queries.withColumn(
+            "_bucket", lsh_sign_bucket(F.col(query_vec), hyperplanes)
+        )
+        joined = c.join(F.broadcast(q), "_bucket").select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(
+                cosine_arrow(F.col(corpus_vec), F.col(query_vec)), ROUND_DP
+            ).alias("cos_sim"),
+        )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
     return (
         joined.withColumn("rank", F.row_number().over(w))
@@ -234,33 +438,114 @@ def ivf_topk(
     Centroids here come from a deterministic seed set (k-means would
     drift between engines; the reference's HNSW is equally an
     approximation choice, SURVEY §4).
+
+    Physical plan (codebook path): collect the centroid codebook and
+    query set (both definitionally small — FAISS ships the codebook to
+    every node identically), compute the query→cell probe map driver-
+    side, then ONE mapInPandas pass over the corpus does assignment
+    (argmax matmul) + probe-scoped scoring + local top-k pruning; a
+    final window merges the per-batch candidates. Zero joins, zero
+    corpus re-shuffles, Arrow traffic linear in corpus size.
     """
-    cw = Window.partitionBy(corpus_id).orderBy(F.desc("_cs"), F.asc(cent_id))
-    assign = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("_cs", cosine(F.col(corpus_vec), F.col(cent_vec)))
-        .withColumn("_rn", F.row_number().over(cw))
-        .filter(F.col("_rn") == 1)
-        .select(corpus_id, cent_id)
-    )
-    qw = Window.partitionBy(query_id).orderBy(F.desc("_cs"), F.asc(cent_id))
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("_cs", cosine(F.col(query_vec), F.col(cent_vec)))
-        .withColumn("_rn", F.row_number().over(qw))
-        .filter(F.col("_rn") <= nprobe)
-        .select(query_id, cent_id, query_vec)
-    )
-    cand = assign.join(F.broadcast(probes), cent_id).join(corpus, corpus_id)
+    cids, C = _collect_vec_side(centroids, cent_id, cent_vec)
+    qids, Q = _collect_vec_side(queries, query_id, query_vec)
+    if C is not None and Q is not None:
+        cn = np.sqrt((C * C).sum(axis=1))
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        # driver-side probe: nprobe nearest cells per query; stable
+        # argsort of -sims ties→lowest centroid index = lowest cent_id
+        # (centroid rows are sorted by id), matching the SQL
+        # row_number() ORDER BY _cs DESC, cent_id contract
+        denom_qc = np.outer(qn, cn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims_qc = np.where(
+                denom_qc > 0.0,
+                (Q @ C.T) / np.where(denom_qc == 0.0, 1.0, denom_qc),
+                -np.inf,
+            )
+        order = np.argsort(-sims_qc, axis=1, kind="stable")
+        cell_queries: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for ci in order[qi, :nprobe]:
+                cell_queries.setdefault(int(ci), []).append(qi)
+        qid_arr = np.asarray(qids)
+        out_schema = StructType(
+            [
+                StructField(query_id, queries.schema[query_id].dataType, True),
+                StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
+                StructField("cos_sim", DoubleType(), True),
+            ]
+        )
+
+        def probe_score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nulls = pdf[corpus_vec].isna().to_numpy()
+                V = stack_batch(pdf[corpus_vec], nulls)
+                ids = pdf[corpus_id].to_numpy()
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                denom = np.outer(vn, cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims_vc = np.where(
+                        denom > 0.0,
+                        (V @ C.T) / np.where(denom == 0.0, 1.0, denom),
+                        -np.inf,
+                    )
+                cell = sims_vc.argmax(axis=1)  # first max = lowest cent_id
+                for ci, qidx in cell_queries.items():
+                    mask = cell == ci
+                    if not mask.any():
+                        continue
+                    Vm, vnm, nullm = V[mask], vn[mask], nulls[mask]
+                    Qs = Q[qidx]
+                    d = np.outer(vnm, qn[qidx])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s = np.where(
+                            d > 0.0, (Vm @ Qs.T) / np.where(d == 0.0, 1.0, d), 0.0
+                        )
+                    valid = (d > 0.0) & ~nullm[:, None]
+                    yield _local_topk_frame(
+                        qid_arr[qidx], ids[mask], s, valid, k, query_id, corpus_id
+                    )
+
+        cand = (
+            corpus.select(corpus_id, corpus_vec)
+            .mapInPandas(probe_score, out_schema)
+            .withColumn("cos_sim", F.round(F.col("cos_sim"), ROUND_DP))
+        )
+    else:
+        # NULL/empty codebook or query vectors: declarative fallback
+        # keeps the exact expression-form NULL contract
+        cw = Window.partitionBy(corpus_id).orderBy(F.desc("_cs"), F.asc(cent_id))
+        assign = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .withColumn("_cs", cosine_arrow(F.col(corpus_vec), F.col(cent_vec)))
+            .withColumn("_rn", F.row_number().over(cw))
+            .filter(F.col("_rn") == 1)
+            .select(corpus_id, cent_id)
+        )
+        qw = Window.partitionBy(query_id).orderBy(F.desc("_cs"), F.asc(cent_id))
+        probes = (
+            queries.crossJoin(F.broadcast(centroids))
+            .withColumn("_cs", cosine(F.col(query_vec), F.col(cent_vec)))
+            .withColumn("_rn", F.row_number().over(qw))
+            .filter(F.col("_rn") <= nprobe)
+            .select(query_id, cent_id, query_vec)
+        )
+        cand = (
+            assign.join(F.broadcast(probes), cent_id)
+            .join(corpus, corpus_id)
+            .select(
+                F.col(query_id),
+                F.col(corpus_id),
+                F.round(
+                    cosine_arrow(F.col(corpus_vec), F.col(query_vec)), ROUND_DP
+                ).alias("cos_sim"),
+            )
+        )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
     return (
-        cand.select(
-            F.col(query_id),
-            F.col(corpus_id),
-            F.round(cosine(F.col(corpus_vec), F.col(query_vec)), ROUND_DP).alias(
-                "cos_sim"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -15,8 +15,9 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
@@ -29,12 +30,17 @@ K_EVAL = (1, 5, 10)
 
 
 def recall_at(approx, exact, k: int) -> float:
-    """Mean over queries of |approx∩exact|/k within rank ≤ k."""
+    """Mean over queries of |approx∩exact| / |exact| within rank ≤ k.
+
+    Divides by the ACTUAL number of exact top-k rows, not n_queries·k —
+    a small corpus (or k > corpus size) yields fewer than k exact rows
+    per query, and n_q·k would understate recall for every strategy.
+    """
     a = approx.filter(F.col("rank") <= k).select("query_id", "vec_id")
     e = exact.filter(F.col("rank") <= k).select("query_id", "vec_id")
-    n_q = e.select("query_id").distinct().count()
+    n_exact = e.count()
     hits = a.join(e, ["query_id", "vec_id"], "left_semi").count()
-    return round(hits / (n_q * k), 4) if n_q else 0.0
+    return round(hits / n_exact, 4) if n_exact else 0.0
 
 
 def main() -> None:
