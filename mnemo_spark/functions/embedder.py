@@ -47,6 +47,8 @@ def hash_bag_embedding(
     tokens produce no rows (the reference's no-op-embedder fail-loud
     analog: absence is detectable).
     """
+    from mnemo_spark.cache import cached_persist
+
     tok = docs.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     )
@@ -56,7 +58,7 @@ def hash_bag_embedding(
         .agg(F.count("*").alias("_c"))
     )
     w = Window.partitionBy("_id")
-    return (
+    out = (
         cnt.withColumn("_l2", F.sqrt(F.sum(F.col("_c") * F.col("_c")).over(w)))
         .select(
             F.col("_id").alias(id_col),
@@ -64,3 +66,8 @@ def hash_bag_embedding(
             F.round(F.col("_c") / F.col("_l2"), ROUND_DP).alias("weight"),
         )
     )
+    # the sparse embedding frame IS the vector index the reference
+    # persists (USearch/pgvector); cache it per (corpus, dim) so every
+    # consumer (hybrid recall cosine lane, embedding queries) reuses
+    # one materialization instead of re-tokenizing the corpus
+    return cached_persist(out, "hash_bag_emb", dim)

@@ -138,8 +138,11 @@ def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lanes, P.RECALL_WEIGHTS, P.RRF_K, lane_limit=P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT
     )
     trust = F.when(F.col("source").isin(*P.TRUSTED_SOURCES), 1.0).otherwise(0.1)
+    # fused is candidate-sized (≤ lanes·overfetch·limit rows) — broadcast
+    # it into the corpus-side provenance lookup, never shuffle docs
     adj = (
-        fused.join(docs.select("doc_id", "source"), "doc_id")
+        docs.select("doc_id", "source")
+        .join(F.broadcast(fused), "doc_id")
         .select("doc_id", F.round(F.col("rrf_score") * trust, 6).alias("score"))
     )
     return top_k_ranked(
