@@ -29,9 +29,20 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    method: str = "label",
 ) -> DataFrame:
     """(node, cluster) for every node in the pair graph; cluster =
-    min node id reachable. Deterministic for any edge order."""
+    min node id reachable. Deterministic for any edge order.
+
+    method='label' (default): min-label propagation — rounds = graph
+    diameter; the right choice for near-dup clusters (tiny cliques,
+    2-4 rounds). method='star': the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of diameter; the planet-scale choice
+    for long-chain graphs.
+    """
+    if method == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iter)
     # materialize the edge list ONCE — the pair graph upstream (e.g.
     # a shingle-join) is the expensive part and must not re-execute
     # every round
@@ -74,6 +85,79 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Large-star/small-star connected components.
+
+    Each round: large-star hangs every neighbor larger than u onto
+    u's minimum neighborhood label; small-star re-points each node's
+    smaller neighbors (and itself) at the neighborhood minimum. The
+    edge set contracts toward a forest of stars rooted at component
+    minima in O(log n) rounds (vs diameter rounds for label
+    propagation). Every step is explode-free relational: one groupBy
+    per star + one equi-join — MapReduce-shaped by construction.
+    """
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star over both orientations
+        bi = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mmin = bi.groupBy("u").agg(F.min("v").alias("_nmin"))
+        m = mmin.select(
+            "u", F.least(F.col("u"), F.col("_nmin")).alias("_m")
+        )
+        e1 = (
+            bi.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .distinct()
+        )
+        # small-star over edges directed larger→smaller
+        d = e1.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        smin = d.groupBy("u").agg(F.min("v").alias("_m"))
+        e2 = (
+            d.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .unionByName(smin.select("u", F.col("_m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        )
+        e = e2
+        if converged:
+            break
+    # converged edge set is a forest of depth-1 stars (node → component
+    # min); everything without an outgoing edge labels itself — that
+    # covers star roots AND nodes that only appeared in self-pairs
+    non_roots = e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+    self_labeled = (
+        all_nodes.join(non_roots.select("node"), "node", "left_anti")
+        .withColumn("cluster", F.col("node"))
+    )
+    return non_roots.unionByName(self_labeled)
 
 
 def consolidate_clusters(

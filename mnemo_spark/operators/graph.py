@@ -25,30 +25,49 @@ def expand(
     dst_col: str = "dst",
     seed_col: str = "id",
     bidirectional: bool = False,
+    dedup_per_hop: bool = True,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """BFS from seed ids along edges, ≤ `hops`, score = decay^hop.
 
     → (id, hop, score) with hop = min hop reaching the node; seeds
     themselves are hop 0 / score 1. Mirrors the reference's dedup-by-
     first-visit and per-hop decay (recall.rs:479-555).
+
+    dedup_per_hop=False skips the per-hop distinct (one shuffle per
+    hop): correct for graphs where paths to a node are unique within
+    a hop — e.g. parent-pointer trees, where out-degree toward the
+    walk direction is ≤1 — the final min-hop groupBy still dedups.
+    broadcast_frontier=True hash-broadcasts the frontier into each
+    hop join so the edge table never shuffles: the right plan when
+    the seed set is small relative to edges (a trace from a handful
+    of roots over a 100-TB event log never moves the log).
     """
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     if bidirectional:
         e = e.unionByName(
             edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
         ).distinct()
+    if hops > 1:
+        # the edge list is referenced once per hop; persist it so a
+        # derived edge frame (e.g. a window over events) computes once
+        # per plan instead of once per hop (CacheManager keys on the
+        # canonicalized plan, so repeated calls share the entry)
+        e = e.persist()
 
     frontier = seeds.select(F.col(seed_col).alias("_id")).distinct().withColumn(
         "hop", F.lit(0)
     )
     layers = [frontier]
     for h in range(1, hops + 1):
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
         frontier = (
-            frontier.join(e, frontier["_id"] == e["_s"])
+            fr.join(e, fr["_id"] == e["_s"])
             .select(F.col("_d").alias("_id"))
-            .distinct()
-            .withColumn("hop", F.lit(h))
         )
+        if dedup_per_hop:
+            frontier = frontier.distinct()
+        frontier = frontier.withColumn("hop", F.lit(h))
         layers.append(frontier)
 
     all_nodes = layers[0]
@@ -82,6 +101,10 @@ def trace_causality(
         e = edges.select(F.col("_p").alias("_s"), F.col("_id").alias("_d"))
     else:
         e = edges.select(F.col("_id").alias("_s"), F.col("_p").alias("_d"))
+    # parent-pointer DAG: following parents, each node advances to at
+    # most one next node, so per-hop dedup is redundant; roots are a
+    # filtered subset of events, so broadcasting the frontier keeps
+    # the event log from shuffling once per hop
     return expand(
         e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()),
         root_ids,
@@ -90,6 +113,8 @@ def trace_causality(
         src_col="_s",
         dst_col="_d",
         seed_col=id_col,
+        dedup_per_hop=(direction == "down"),
+        broadcast_frontier=True,
     ).select(id_col, F.col("hop").alias("depth"))
 
 

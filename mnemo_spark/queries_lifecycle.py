@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from mnemo_spark import params as P
 from mnemo_spark.operators.consolidate import connected_components, consolidate_clusters
 from mnemo_spark.operators.dedup import ngram_jaccard_pairs
-from mnemo_spark.operators.graph import trace_causality
 from mnemo_spark.operators.lifecycle import decay_pass, ttl_sweep
 from mnemo_spark.registry import _t, query
 
@@ -265,19 +264,28 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def causality_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Causality trace (SURVEY J7, query/causality.rs): ancestor walk
     over a parent-pointer DAG (parent = previous event of the same
-    user), ≤3 levels, min-depth dedup — each level one equi-join."""
+    user), ≤3 levels, min-depth dedup.
+
+    The parent edge IS `lag(event_id)` over the user sequence, so the
+    k-hop ancestor chain is exactly `lag(event_id, d)` for d ≤ k: the
+    whole iterative walk collapses into ONE window projection +
+    posexplode + min-depth groupBy — two shuffles total, no per-hop
+    join cascade. (The general-graph form stays in operators/graph.py
+    `trace_causality` for DAGs that aren't sequence-derived.)"""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    with_parent = e.select(
-        "event_id", F.lag("event_id").over(w).alias("parent_event_id")
+    anc = e.select(
+        "event_id",
+        "event_type",
+        *[F.lag("event_id", d).over(w).alias(f"_a{d}") for d in (1, 2, 3)],
+    ).filter(F.col("event_type") == "error")
+    walk = anc.select(
+        F.posexplode(
+            F.array(F.col("event_id"), F.col("_a1"), F.col("_a2"), F.col("_a3"))
+        ).alias("_depth", "_eid")
+    ).filter(F.col("_eid").isNotNull())
+    return (
+        walk.groupBy("_eid")
+        .agg(F.min("_depth").alias("depth"))
+        .select(F.col("_eid").alias("event_id"), "depth")
     )
-    roots = e.filter(F.col("event_type") == "error").select("event_id")
-    out = trace_causality(
-        with_parent,
-        roots,
-        max_depth=3,
-        id_col="event_id",
-        parent_col="parent_event_id",
-        direction="up",
-    )
-    return out.select("event_id", "depth")

@@ -198,3 +198,46 @@ def test_evidence_scorers_cosine_and_delta(spark):
     # so candidate 3 still enters before the bar trips
     kept = evidence_budget_prefix(delta, "sufficiency", 1.0, 10)
     assert {r.id for r in kept.collect()} == {1, 2, 3}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Star CC and label-propagation CC agree on a mixed graph
+    (two cliques, a path, a self-pair, an isolated pair)."""
+    from mnemo_spark.operators.consolidate import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),          # clique {1,2,3}
+            (10, 11), (11, 12),              # path {10,11,12}
+            (20, 20),                        # self-pair
+            (30, 31),                        # isolated pair
+        ],
+        "id_a int, id_b int",
+    )
+    expected = {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20,
+        30: 30, 31: 30,
+    }
+    for method in ("label", "star"):
+        got = {
+            r.node: r.cluster
+            for r in connected_components(pairs, method=method).collect()
+        }
+        assert got == expected, method
+
+
+def test_connected_components_star_long_chain_olog_rounds(spark):
+    """A chain of diameter 63 converges for the star variant well
+    inside O(log n) rounds (label propagation would need 63)."""
+    from mnemo_spark.operators.consolidate import _connected_components_star
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    # 2·log2(64) + slack = 14 rounds is plenty; label-prop would need 63
+    labels = _connected_components_star(pairs, max_iter=14)
+    got = {r.node: r.cluster for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
