@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -73,9 +75,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts is parquet TIMESTAMP(NANOS) — surfaced as epoch-nanos long
         # under spark.sql.legacy.parquet.nanosAsLong; truncate to µs
         # exactly like DuckDB's µs-precision timestamp type does.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div — epoch-ns exceeds double's 2^53 mantissa
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -84,9 +83,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # unix_micros/epoch math reject. Cast to the session-zoned type:
     # the naive wall-clock value round-trips unchanged in any single
     # session timezone, matching DuckDB's naive TIMESTAMP rendering.
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampNTZType
-
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))

@@ -56,9 +56,16 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     the batch loader.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_long = isinstance(
-        spark.read.parquet(path).schema["ts"].dataType, LongType
-    )
+    try:
+        ts_is_long = isinstance(
+            spark.read.parquet(path).schema["ts"].dataType, LongType
+        )
+    except Exception:  # noqa: BLE001
+        # empty or not-yet-created directory: fall back to the nanos
+        # LONG schema (the generator's native unit) so the stream can
+        # be DEFINED before its source exists — files are re-probed by
+        # the running query, not by this one-time schema choice
+        ts_is_long = True
     raw = (
         spark.readStream.schema(_event_schema(ts_is_long))
         .option("maxFilesPerTrigger", 1)
@@ -188,9 +195,17 @@ def chained_hashes_stream(events: DataFrame) -> DataFrame:
     is API-compatible with this shape but its Python driver worker
     needs google.protobuf, absent in this container — the processor
     would be a mechanical port.) Within a batch, rows fold in
-    (ts, event_id) order; across batches, arrival order — the same
+    (ts, event_id) order; across batches, ARRIVAL order — the same
     single-writer-per-agent serialization contract as the reference's
-    connection mutex.
+    connection mutex. A late event (earlier ts landing in a later
+    micro-batch) therefore chains where it ARRIVED, diverging from the
+    batch assign_chain fold over the same rows: chains stay internally
+    verifiable (each prev_hash still links), but cross-checking against
+    a batch rebuild requires either in-order delivery upstream
+    (dedup_stream's watermark bound is the natural gate) or rejecting
+    out-of-window events before this operator. This is deliberate —
+    an append-only audit chain must never rewrite committed hashes to
+    re-admit a late row.
 
     → append stream of (user_id, event_id, prev_hash, chain_hash).
     """
