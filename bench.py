@@ -94,29 +94,30 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
-    # Each query runs twice and the MINIMUM is reported: run 1 pays
-    # whole-stage-codegen compilation for that query shape, which at
-    # the 100 TB design point compiles once and amortizes over the
-    # whole scan — steady-state throughput is the quantity this bench
-    # tracks. Min-of-2 also suppresses host-contention noise (measured
-    # swings of ±40% on this shared box with identical code).
+    # Three full INTERLEAVED passes over the query list; per query the
+    # MINIMUM across passes is reported. Pass 1 pays whole-stage-codegen
+    # compilation (compiles once and amortizes over the whole scan at
+    # the 100 TB design point — steady-state throughput is the tracked
+    # quantity). Interleaving is the contention guard: this shared box
+    # swings identical code by whole multiples for seconds at a time,
+    # and back-to-back repeats of ONE query can both land inside a bad
+    # window (r3: q21 posted 8.1s for a 1.1s plan); with whole-list
+    # passes the same window hits DIFFERENT queries each pass, so the
+    # per-query min recovers.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in QUERIES:
-            continue
-        best, n = None, 0
-        for attempt in range(3):
+    counts: dict[str, int] = {}
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            if name not in QUERIES:
+                continue
             t0 = time.time()
-            n = QUERIES[name](spark, sf_dir).count()
+            counts[name] = QUERIES[name](spark, sf_dir).count()
             dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-            # a third run only for cheap queries: they are the ones
-            # host-contention noise distorts by whole multiples, and
-            # re-running them costs little; heavy queries are stable
-            if attempt == 1 and best >= 2.0:
-                break
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {name: round(t, 3) for name, t in timings.items()}
+    for name, t in timings.items():
+        print(f"# {name}: {t}s ({counts[name]} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
