@@ -43,10 +43,9 @@ def recall_at(approx, exact, k: int) -> float:
     return round(hits / n_exact, 4) if n_exact else 0.0
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    spark = get_spark("eval_ann")
+def evaluate(spark, sf_dir: str, n_queries: int = 50) -> dict:
+    """recall@k of each ANN strategy vs exact top-k — importable for
+    the pytest regression gate."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.filter(F.col("vec_id") < n_queries)
@@ -67,7 +66,14 @@ def main() -> None:
         a = approx.persist()
         a.count()
         out[name] = {f"recall@{k}": recall_at(a, exact, k) for k in K_EVAL}
-    print(json.dumps({"n_queries": n_queries, "sf_dir": sf_dir, "strategies": out}))
+    return {"n_queries": n_queries, "sf_dir": sf_dir, "strategies": out}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    spark = get_spark("eval_ann")
+    print(json.dumps(evaluate(spark, sf_dir, n_queries)))
 
 
 if __name__ == "__main__":

@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,10 +72,10 @@ def metrics(rank_df: DataFrame, n_total: int) -> dict:
     return out
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    spark = get_spark("quality_eval")
+def evaluate(spark, sf_dir: str, n_q: int = 100) -> dict:
+    """recall@k/MRR per strategy — importable so the pytest regression
+    gate (tests/test_quality_gate.py) runs the identical program the
+    CLI publishes."""
     docs = load_table(spark, sf_dir, "documents")
     qs = eval_set(docs, n_q).localCheckpoint(eager=True)
     n_total = qs.count()
@@ -124,8 +125,14 @@ def main() -> None:
     results["hybrid"] = metrics(
         ranks_of_expected(fused, "query_id", "doc_id", "rrf"), n_total
     )
+    return {"n_queries": n_total, "sf_dir": sf_dir, "strategies": results}
 
-    print(json.dumps({"n_queries": n_total, "sf_dir": sf_dir, "strategies": results}))
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("quality_eval")
+    print(json.dumps(evaluate(spark, sf_dir, n_q)))
 
 
 if __name__ == "__main__":
