@@ -92,6 +92,12 @@ AUDIT_SCHEMA = StructType(
         StructField("event_type", StringType(), False),  # MemoryWrite|MemoryDelete|MemoryRedact|MemoryExpired
         StructField("memory_id", StringType(), True),
         StructField("ts", TimestampType(), True),
+        # T6: per-agent monotone sequence (reference AgentEvent.
+        # logical_clock) — the CHAIN order. Wall-clock ts alone cannot
+        # order the chain: two verbs appended in separate batches at
+        # the same ts would verify in (ts, event_id) order, not append
+        # order, and report a spurious break.
+        StructField("logical_clock", LongType(), True),
         StructField("content_hash", StringType(), True),
         StructField("prev_hash", StringType(), True),
         StructField("chain_hash", StringType(), True),
@@ -288,13 +294,33 @@ class MnemoSparkEngine:
                 256,
             ).alias("content_hash"),
         )
+        # T6 logical clock: new rows extend each agent's sequence past
+        # its stored maximum, so chain order == append order even when
+        # several verbs share a wall-clock ts across batches
+        from pyspark.sql import Window
+
+        base = self.events.groupBy("agent_id").agg(
+            F.max("logical_clock").alias("_base")
+        )
+        wclk = Window.partitionBy("agent_id").orderBy("ts", "event_id")
+        clocked = (
+            hashed.join(F.broadcast(base), "agent_id", "left")
+            .withColumn(
+                "logical_clock",
+                (
+                    F.coalesce(F.col("_base"), F.lit(0))
+                    + F.row_number().over(wclk)
+                ).cast("long"),
+            )
+            .drop("_base")
+        )
         heads = (
             self.events.groupBy("agent_id")
-            .agg(F.max(F.struct("ts", "event_id", "chain_hash")).alias("m"))
+            .agg(F.max(F.struct("logical_clock", "chain_hash")).alias("m"))
             .select("agent_id", F.col("m.chain_hash").alias("chain_head"))
         )
         chained = assign_chain(
-            hashed, ["agent_id"], ["ts", "event_id"], "content_hash", prev_head=heads
+            clocked, ["agent_id"], ["logical_clock"], "content_hash", prev_head=heads
         )
         return self.events.unionByName(
             chained.select(*[f.name for f in AUDIT_SCHEMA.fields])
@@ -1335,8 +1361,9 @@ class MnemoSparkEngine:
         return self._clone(memories=mem, events=events), report
 
     def verify_event_integrity(self) -> DataFrame:
-        """A9 on the audit log itself (verify_event_chain)."""
-        return verify_chain(self.events, ["agent_id"], ["ts", "event_id"])
+        """A9 on the audit log itself (verify_event_chain); chain
+        order is the T6 logical clock, not wall-clock ts."""
+        return verify_chain(self.events, ["agent_id"], ["logical_clock"])
 
     # -- integrity (A9) --------------------------------------------------
 
