@@ -29,12 +29,22 @@ from pyspark.sql import DataFrame
 _CACHE: dict[tuple, DataFrame] = {}
 
 
-def cached_persist(df: DataFrame, *key_parts) -> DataFrame:
+def cached_persist(
+    df: DataFrame, *key_parts, key_plan: DataFrame | None = None
+) -> DataFrame:
+    """key_plan: hash THIS frame's plan instead of df's own. Needed
+    when df's lineage contains a Spark ML transform — every
+    Transformer instance wraps a fresh ScalaUDF whose canonical form
+    is NOT stable across rebuilds, so df.semanticHash() differs for
+    identical programs and the cache both misses and leaks a persisted
+    copy per call. Callers pass the pre-ML input projection (a stable
+    plan) plus key_parts that pin the transform's own parameters."""
     if os.environ.get("MNEMO_CACHE_TABLES", "") != "1":
         return df
     try:
         app_id = df.sparkSession.sparkContext.applicationId
-        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+        src = key_plan if key_plan is not None else df
+        plan_hash = src._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # noqa: BLE001 - cache is best-effort
         return df
     key = (app_id, plan_hash, *key_parts)

@@ -46,6 +46,29 @@ def exact_dedup(
     )
 
 
+_ML_STAGES: dict[tuple, tuple] = {}
+
+
+def _ml_shingle_stages(text_col: str, shingle_k: int):
+    """Memoized RegexTokenizer/NGram instances. Every ML Transformer
+    instance mints a fresh uid that lands in the plan's canonical
+    form, so two otherwise-identical shingle plans hash differently —
+    which silently defeated `cached_persist` (each call re-materialized
+    AND leaked a persisted copy). One shared instance per
+    (text_col, k) keeps the semantic hash stable."""
+    key = (text_col, shingle_k)
+    if key not in _ML_STAGES:
+        from pyspark.ml.feature import NGram, RegexTokenizer
+
+        tk = RegexTokenizer(
+            inputCol=text_col, outputCol="_toks", pattern=TOKEN_PATTERN,
+            gaps=False, toLowercase=True,
+        )
+        ng = NGram(n=shingle_k, inputCol="_toks", outputCol="_shs")
+        _ML_STAGES[key] = (tk, ng)
+    return _ML_STAGES[key]
+
+
 def _shingle_rows(
     docs: DataFrame, id_col: str, text_col: str, shingle_k: int
 ) -> DataFrame:
@@ -57,15 +80,9 @@ def _shingle_rows(
     slower end-to-end on the sf0.1 corpus.) Output is byte-identical:
     lowercased [a-z0-9]+ tokens, space-joined k-grams.
     """
-    from pyspark.ml.feature import NGram, RegexTokenizer
-
-    tk = RegexTokenizer(
-        inputCol=text_col, outputCol="_toks", pattern=TOKEN_PATTERN,
-        gaps=False, toLowercase=True,
-    )
     from mnemo_spark.cache import cached_persist
 
-    ng = NGram(n=shingle_k, inputCol="_toks", outputCol="_shs")
+    tk, ng = _ml_shingle_stages(text_col, shingle_k)
     out = ng.transform(tk.transform(docs)).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct("_shs")).alias("_sh"),
@@ -74,7 +91,14 @@ def _shingle_rows(
     # all start from this frame — one materialization per corpus under
     # the bench cache (cluster-scale analog: a shingle table written
     # once per snapshot)
-    return cached_persist(out, "shingles", id_col, text_col, shingle_k)
+    return cached_persist(
+        out,
+        "shingles",
+        id_col,
+        text_col,
+        shingle_k,
+        key_plan=docs.select(id_col, text_col),
+    )
 
 
 def _minhash_wide(
@@ -264,11 +288,24 @@ def ngram_jaccard_pairs(
     # sh feeds sizes + BOTH sides of the self-join (+ the df-cap):
     # under the bench cache the tokenize→shingle→cap pipeline
     # materializes once per corpus instead of 3-4x per query (at
-    # cluster scale: the shingle table is written once per snapshot)
+    # cluster scale: the shingle table is written once per snapshot).
+    # It persists PRE-PARTITIONED on the join key, so the self-join
+    # reads two co-partitioned sides and needs no exchange — the
+    # in-memory form of writing the shingle table bucketed by hash.
     from mnemo_spark.cache import cached_persist
 
-    sh = cached_persist(sh, "ngram_capped_sh", shingle_k, max_df)
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh = cached_persist(
+        sh.repartition(n_part, "_hh"), "ngram_capped_sh", shingle_k, max_df
+    )
+    # per-doc set sizes are one row per document — broadcast them into
+    # the pair frame instead of shuffling the pair frame twice
+    sizes = cached_persist(
+        sh.groupBy("_id").agg(F.count("*").alias("_sz")).coalesce(1),
+        "ngram_sizes",
+        shingle_k,
+        max_df,
+    )
     inter = (
         sh.select(F.col("_id").alias("id_a"), "_hh")
         .join(sh.select(F.col("_id").alias("id_b"), "_hh"), "_hh")
@@ -276,9 +313,11 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
+    sz_a = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza")
+    sz_b = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb")
     return (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
         .withColumn(
             "jaccard",
             F.round(
