@@ -1329,6 +1329,7 @@ def assign_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from mnemo_spark import (  # noqa: E402,F401
     queries_embed,
+    queries_engine,
     queries_lifecycle,
     queries_pipeline,
     queries_recall,

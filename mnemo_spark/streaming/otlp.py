@@ -149,8 +149,12 @@ def otlp_spans_to_events(
     latency_ms = F.when(
         end_ns > start_ns, ((end_ns - start_ns) / F.lit(1_000_000)).cast("long")
     )
+    # integer `div`, never `/`: epoch-nanos (~1.7e18 for current dates)
+    # exceed double's 2^53 mantissa, so float division here would skew
+    # ts by up to ~256 µs (the same failure mode io.py guards against)
     ts = F.when(
-        start_ns > 0, F.timestamp_micros((start_ns / F.lit(1000)).cast("long"))
+        start_ns > 0,
+        F.timestamp_micros(F.expr("CAST(_sp.startTimeUnixNano AS BIGINT) div 1000")),
     ).otherwise(F.current_timestamp())
 
     return spans.select(

@@ -82,13 +82,36 @@ EXPECT_NONEMPTY = {
     "vocab_topk_docs",
     "incremental_dedup_docs",
     "stratified_sample_docs",
+    "point_lookup_orders",
+    "merge_upsert_orders",
+    "sync_conflicts_orders",
+    "soft_delete_events",
+    "tier_state_events",
+    "logical_clock_events",
+    "replay_checkpoints_events",
+    "delegation_closure_users",
+    "bitemporal_walk_events",
+    "lineage_ancestry_events",
+    "agent_id_validation_docs",
+    "recall_plan_docs",
+    "uuid7_assign_events",
+    "orientation_distill_docs",
+    "envelope_lines_docs",
+    "otlp_roundtrip_events",
+    "md_flush_docs",
+    "hmac_receipts_events",
+    "aes_roundtrip_docs",
 }
 
 
+# non-SQL-expressible ops (DuckDB has no binary-safe sha256 / no AES):
+# the driver records a rows-only check for these; keep the list
+# explicit so drift is visible
+ORACLE_EXEMPT = {"hmac_receipts_events", "aes_roundtrip_docs"}
+
+
 def test_every_query_has_oracle():
-    missing = set(QUERIES) - set(ORACLE)
-    # non-SQL-expressible ops may legitimately omit the oracle; keep
-    # the list explicit so drift is visible
+    missing = set(QUERIES) - set(ORACLE) - ORACLE_EXEMPT
     assert missing == set(), f"queries without oracle SQL: {missing}"
 
 
