@@ -75,6 +75,17 @@ BENCH_QUERIES = [
     "vocab_topk_docs",
     "incremental_dedup_docs",
     "stratified_sample_docs",
+    # round-4 engine-verb surfaces (representative pick per family)
+    "point_lookup_orders",
+    "merge_upsert_orders",
+    "sync_conflicts_orders",
+    "logical_clock_events",
+    "replay_checkpoints_events",
+    "delegation_closure_users",
+    "uuid7_assign_events",
+    # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
+    # only: their oracles are deliberately closed-form twins of walk/
+    # parse work, so a perf comparison against them is meaningless)
 ]
 
 

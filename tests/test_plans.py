@@ -209,3 +209,68 @@ def test_decontaminate_broadcasts_benchmark(plans):
 def test_incremental_dedup_is_equi_join(plans):
     p = plans("incremental_dedup_docs")
     assert "CartesianProduct" not in p
+
+
+# --- round-4 engine-verb surfaces ------------------------------------------
+
+
+def test_point_lookup_filter_reaches_scan(plans):
+    """S4: the key-set probe must push the IN filter into the parquet
+    scan — at 100 TB this is the difference between row-group pruning
+    and a full table read."""
+    p = plans("point_lookup_orders")
+    pushed = " ".join(ln for ln in p.splitlines() if "PushedFilters" in ln)
+    assert "o_orderkey" in pushed
+
+
+def test_merge_upsert_is_single_window_pass(plans):
+    """S5: LWW merge must be one union + one keyed window, never a
+    join back against the full current table per update row."""
+    p = plans("merge_upsert_orders")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_delegation_walk_broadcasts_frontier(plans):
+    """J2: with a handful of root principals the frontier must
+    broadcast into each hop so the edge table never shuffles."""
+    p = plans("delegation_closure_users")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_replay_broadcasts_checkpoints(plans):
+    """T5: 3 checkpoint rows broadcast into the event log — the log
+    scans once; a shuffle join here re-sorts 100 TB three times."""
+    p = plans("replay_checkpoints_events")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_soft_delete_is_projection_only(plans):
+    """S6: the tombstone pass is a projection + a broadcast `now` —
+    any Exchange beyond the 1-row aggregate is a regression."""
+    p = plans("soft_delete_events")
+    assert "SortMergeJoin" not in p
+
+
+def test_logical_clock_window_is_partitioned(plans):
+    p = plans("logical_clock_events")
+    spec = " ".join(
+        ln for ln in p.splitlines() if "windowspecdefinition" in ln
+    )
+    assert "user_id" in spec
+
+
+def test_otlp_roundtrip_no_python_udf(plans):
+    """S11: the adapter is pure column expressions — a Python hop in
+    the span-flattening path would bottleneck trace backfills."""
+    p = plans("otlp_roundtrip_events")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_uuid7_is_shuffle_free(plans):
+    """F14: id assignment is a pure projection; any Exchange means the
+    layout computation forced a shuffle."""
+    p = plans("uuid7_assign_events")
+    assert "Exchange" not in p
