@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "replay_checkpoints_events",
     "delegation_closure_users",
     "uuid7_assign_events",
+    "pii_scrub_docs",
+    "token_entropy_docs",
+    "source_mixture_docs",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

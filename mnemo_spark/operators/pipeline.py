@@ -209,3 +209,23 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def source_mixture_weights(
+    docs: DataFrame, alpha: float = 0.5, source_col: str = "source"
+) -> DataFrame:
+    """Domain-mixing weights: sampling share per source ∝ n^alpha,
+    normalized (alpha<1 up-weights small domains — the standard
+    temperature-smoothed mixture used to balance pre-training
+    corpora). One groupBy on the source key + a 1-row broadcast of
+    the normalizer; the corpus itself never re-shuffles.
+    → (source, n, mix_weight)."""
+    agg = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+    z = agg.agg(F.sum(F.pow(F.col("n").cast("double"), alpha)).alias("_z"))
+    return agg.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n",
+        F.round(
+            F.pow(F.col("n").cast("double"), alpha) / F.col("_z"), ROUND_DP
+        ).alias("mix_weight"),
+    )

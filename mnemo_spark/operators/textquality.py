@@ -191,3 +191,33 @@ def vocab_topk(
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(k)
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy (bits) of each doc's token distribution — the
+    perplexity-proxy quality signal: near-zero entropy = degenerate
+    repetition, unusually high = token soup. H = log2(n) − Σc·log2(c)/n
+    (the factored form keeps both engines on the identical float
+    expression). One explode + one keyed aggregation — a single
+    shuffle on (doc, token), map-side combined.
+    → (id, n_tokens, entropy_bits)."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    )
+    cnt = tok.groupBy("_id", "_t").agg(F.count("*").alias("_c"))
+    return (
+        cnt.groupBy("_id")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.log2("_c")).alias("_sclogc"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.round(
+                F.log2("_n") - F.col("_sclogc") / F.col("_n"), ROUND_DP
+            ).alias("entropy_bits"),
+        )
+    )

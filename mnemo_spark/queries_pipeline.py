@@ -293,3 +293,134 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     return stratified_sample(docs, _STRAT_N, "lang")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / token entropy / source mixture (round-4 curation additions)
+# ---------------------------------------------------------------------------
+
+from mnemo_spark.operators.pipeline import source_mixture_weights  # noqa: E402
+from mnemo_spark.operators.redact import (  # noqa: E402
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    SSN_RE,
+    scrub_pii,
+)
+from mnemo_spark.operators.textquality import token_entropy  # noqa: E402
+
+# the corpus text is synthetic lowercase words — inject deterministic
+# PII identically on both sides so detection has real positives
+_PII_BUILT_SQL = """
+    built AS (
+      SELECT doc_id,
+             substr(text, 1, 40)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents)
+"""
+
+
+def _pii_built(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    t = F.substring(F.col("text"), 1, 40)
+    t = F.concat(
+        t,
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-4567")),
+        ).otherwise(""),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" from 192.168."), (d % 256).cast("string"), F.lit(".17")),
+        ).otherwise(""),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+@query(
+    "pii_scrub_docs",
+    f"""
+    WITH {_PII_BUILT_SQL.strip()}
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(text, '{SSN_RE}')) AS n_ssn,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone,
+           len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{SSN_RE}', '<SSN>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g'),
+                 '{IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+    FROM built
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/redact.py): per-type detection counts
+    + deterministic masking over text with injected emails / phones /
+    IPs / SSNs. Map-only pass, no shuffle; the scrubbed text is
+    md5-compared so the masking itself is value-checked."""
+    built = _pii_built(_t(spark, sf_dir, "documents"))
+    out = scrub_pii(built)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        F.md5(F.col("scrubbed")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "token_entropy_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy (operators/textquality.py
+    token_entropy): the perplexity-proxy quality gate — degenerate
+    repetition scores near zero, token soup scores near log2(n)."""
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_mixture_docs",
+    """
+    WITH agg AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM agg)
+    SELECT a.source, CAST(a.n AS BIGINT) AS n,
+           round(pow(CAST(a.n AS DOUBLE), 0.5) / z.z, 6) AS mix_weight
+    FROM agg a CROSS JOIN z
+    """,
+)
+def source_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights (operators/pipeline.py
+    source_mixture_weights): temperature-smoothed (alpha=0.5) sampling
+    share per source for corpus balancing."""
+    return source_mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.5)

@@ -101,6 +101,9 @@ EXPECT_NONEMPTY = {
     "md_flush_docs",
     "hmac_receipts_events",
     "aes_roundtrip_docs",
+    "pii_scrub_docs",
+    "token_entropy_docs",
+    "source_mixture_docs",
 }
 
 
