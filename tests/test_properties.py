@@ -131,3 +131,98 @@ def test_minhash_identical_docs_collide(spark):
              minhash_band_pairs(docs, 12, 4).collect()}
     assert pairs.get((1, 2)) == 4  # identical docs share EVERY band
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --- round-4 operator invariants -------------------------------------------
+
+texts = st.lists(
+    st.text(
+        alphabet="abc XY.@-0123456789\n", min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=texts)
+@SETTINGS
+def test_pii_scrub_is_idempotent_and_clean(spark, texts):
+    """Scrubbing twice equals scrubbing once, and a scrubbed text has
+    zero remaining PII hits — the mask tokens must never re-match."""
+    from mnemo_spark.operators.redact import scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    once = scrub_pii(df).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    twice = scrub_pii(once)
+    for r in twice.collect():
+        assert r.n_email == 0 and r.n_ssn == 0 and r.n_phone == 0 and r.n_ip == 0
+    again = {r.doc_id: r.scrubbed for r in twice.collect()}
+    first = {r.doc_id: r.text for r in once.collect()}
+    assert again == first
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=24
+    )
+)
+@SETTINGS
+def test_token_entropy_bounds(spark, toks):
+    """0 ≤ H ≤ log2(n_tokens); H = 0 iff all tokens identical."""
+    import math
+
+    from mnemo_spark.operators.textquality import token_entropy
+
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id int, text string")
+    r = token_entropy(df).collect()[0]
+    assert 0.0 <= r.entropy_bits <= math.log2(r.n_tokens) + 1e-9
+    if len(set(toks)) == 1:
+        assert r.entropy_bits == 0.0
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=6)
+)
+@SETTINGS
+def test_source_mixture_weights_normalize(spark, counts):
+    """Weights sum to 1 (±rounding) and preserve the n^alpha order."""
+    from mnemo_spark.operators.pipeline import source_mixture_weights
+
+    rows = [
+        (i * 1000 + j, f"s{i}") for i, n in enumerate(counts) for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = source_mixture_weights(df, alpha=0.5).collect()
+    assert abs(sum(r.mix_weight for r in out) - 1.0) < 1e-4
+    by_n = sorted(out, key=lambda r: r.n)
+    for a, b in zip(by_n, by_n[1:]):
+        assert a.mix_weight <= b.mix_weight + 1e-9
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=10),
+    upd_keys=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=6),
+)
+@SETTINGS
+def test_merge_upsert_lww(spark, keys, upd_keys):
+    """Result keys = current ∪ updates; every updated key carries the
+    update payload when its version is ≥ current (tie → update wins);
+    one row per key always."""
+    from mnemo_spark.operators.upsert import merge_upsert
+
+    cur = spark.createDataFrame(
+        [(k, "cur", 1) for k in set(keys)], "k int, payload string, v int"
+    )
+    upd = spark.createDataFrame(
+        [(k, "upd", 1) for k in set(upd_keys)], "k int, payload string, v int"
+    )
+    out = merge_upsert(cur, upd, ["k"], "v").collect()
+    got = {r.k: r.payload for r in out}
+    assert set(got) == set(keys) | set(upd_keys)
+    assert len(out) == len(got)
+    for k in set(upd_keys):
+        assert got[k] == "upd"  # equal version: update side wins the tie
