@@ -69,6 +69,20 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in ORACLE:
+            # rows-only queries are SELF-verifying: any boolean check
+            # column (valid, roundtrip_ok, ...) must be uniformly true
+            check_cols = [
+                i
+                for i, c in enumerate(scols)
+                if c in ("valid", "roundtrip_ok", "ciphertext_differs")
+            ]
+            bad = [
+                r for r in srows if any(r[i] is not True for i in check_cols)
+            ]
+            if check_cols and bad:
+                print(f"FAIL {name}: self-check column false on {len(bad)} rows")
+                failures.append(name)
+                continue
             print(f"SKIP {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
