@@ -558,8 +558,10 @@ def recall_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    import re
+
     qt = sorted(
-        {t for t in __import__("re").split(r"[^0-9a-z]+", _PLAN_QUERY.lower()) if len(t) >= 3}
+        {t for t in re.split(r"[^0-9a-z]+", _PLAN_QUERY.lower()) if len(t) >= 3}
     )
     qt_col = F.array(*[F.lit(t) for t in qt])
     plans = d.filter(F.col("doc_id") % 10 == 0).select(
