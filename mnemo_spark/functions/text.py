@@ -57,3 +57,20 @@ def excerpt(col: Column | str, max_chars: int = 120) -> Column:
     # F.get is null-safe on empty arrays (element_at throws under ANSI)
     first = F.coalesce(F.get(lines, 0), F.lit(""))
     return F.substring(first, 1, max_chars)
+
+
+# GPT-2-style pre-tokenizer, restricted to the RE2 ∩ java.util.regex
+# common subset (the upstream pattern's trailing-space lookahead is
+# dropped — lookaround doesn't exist in RE2, and the count differs
+# only on runs of trailing whitespace): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-shaped token count: the number of GPT-2-style
+    pre-tokens is the standard fast proxy for BPE token cost (every
+    BPE merge happens INSIDE one pre-token, so this upper-bounds the
+    sequence length far tighter than ceil(chars/4))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))

@@ -105,3 +105,8 @@ TRUSTED_SOURCES = [f"src{i}" for i in range(0, 20, 2)]
 
 # candidate over-fetch per lane before fusion (recall.rs:397 limit*3)
 RECALL_LANE_OVERFETCH = 3
+
+# PQ ANN (deterministic codebook: sub-vectors of the first PQ_KSUB
+# corpus rows — k-means would drift between engines/runs)
+PQ_M = 8  # sub-spaces (dim 64 → 8 dims each)
+PQ_KSUB = 16  # centroids per sub-space (4-bit codes)

@@ -284,3 +284,73 @@ def conflict_resolution_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("loser_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN (operators/pq.py) — the compressed-vector scale path
+# ---------------------------------------------------------------------------
+
+_DSUB = 64 // P.PQ_M
+
+
+@query(
+    "pq_ann_topk",
+    f"""
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE embedding IS NOT NULL),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM raw),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / nn) AS v
+          FROM n WHERE nn > 0),
+    ms AS (SELECT unnest(range(0, {P.PQ_M})) AS m),
+    -- codebook: sub-vectors of the first {P.PQ_KSUB} ids; centroid
+    -- INDEX == vec_id because ids 0..{P.PQ_KSUB - 1} sort to positions 0..{P.PQ_KSUB - 1}
+    bs AS (SELECT vec_id AS c, ms.m,
+                  v[ms.m * {_DSUB} + 1 : ms.m * {_DSUB} + {_DSUB}] AS cs
+           FROM u CROSS JOIN ms WHERE vec_id < {P.PQ_KSUB}),
+    vs AS (SELECT vec_id, ms.m,
+                  v[ms.m * {_DSUB} + 1 : ms.m * {_DSUB} + {_DSUB}] AS s
+           FROM u CROSS JOIN ms),
+    enc AS (SELECT vec_id, m, c AS code FROM (
+              SELECT vs.vec_id, vs.m, bs.c,
+                     row_number() OVER (
+                       PARTITION BY vs.vec_id, vs.m
+                       ORDER BY list_dot_product(bs.cs, bs.cs)
+                                - 2 * list_dot_product(vs.s, bs.cs),
+                                bs.c) AS rn
+              FROM vs JOIN bs USING (m))
+            WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, m, s FROM vs
+           WHERE vec_id IN ({", ".join(str(i) for i in P.VECTOR_QUERY_IDS)})),
+    t AS (SELECT q.query_id, b.m, b.c,
+                 list_dot_product(q.s, q.s)
+                 - 2 * list_dot_product(q.s, b.cs)
+                 + list_dot_product(b.cs, b.cs) AS d
+          FROM qs q JOIN bs b USING (m)),
+    dist AS (SELECT t.query_id, e.vec_id, round(sum(t.d), 6) AS adc_dist
+             FROM enc e JOIN t ON t.m = e.m AND t.c = e.code
+             GROUP BY t.query_id, e.vec_id)
+    SELECT query_id, vec_id, adc_dist, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, vec_id) AS rank
+          FROM dist)
+    WHERE rank <= {P.VECTOR_TOPK}
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (operators/pq.py; the reference's
+    USearch quantization axis, index/usearch.rs): vectors compress to
+    {m}×4-bit codes, queries score by asymmetric distance over
+    driver-built lookup tables. The oracle re-derives codebook,
+    encoding, ADC tables and ranking in pure SQL — the approximation
+    itself is deterministic, so it IS contractable; recall-vs-exact is
+    measured separately by tools/eval_ann.py.
+    """
+    from mnemo_spark.operators.pq import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=P.PQ_M, ksub=P.PQ_KSUB)
+    queries = emb.filter(F.col("vec_id").isin(P.VECTOR_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(emb, queries, books, k=P.VECTOR_TOPK)

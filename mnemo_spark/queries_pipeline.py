@@ -424,3 +424,32 @@ def source_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source_mixture_weights): temperature-smoothed (alpha=0.5) sampling
     share per source for corpus balancing."""
     return source_mixture_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+from mnemo_spark.functions.text import BPE_PATTERN, bpe_token_count, token_count, token_estimate  # noqa: E402
+
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+
+@query(
+    "bpe_token_count_docs",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+           CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_est
+    FROM documents
+    """,
+)
+def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (functions/text.py): GPT-2-style
+    pre-tokenizer regex (the BPE-cost proxy), whitespace/alnum word
+    count, and the reference's ceil(chars/4) estimate (F13) — the
+    pipeline's sequence-length budgeting inputs, all codegen-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe"),
+        token_count("text").alias("n_words"),
+        token_estimate("text").alias("n_est"),
+    )

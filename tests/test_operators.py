@@ -241,3 +241,66 @@ def test_connected_components_star_long_chain_olog_rounds(spark):
     labels = _connected_components_star(pairs, max_iter=14)
     got = {r.node: r.cluster for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_pq_matches_independent_reference(spark, sf_dir):
+    """pq_encode/pq_topk against a from-scratch numpy reimplementation
+    (normalize → per-subspace argmin → ADC table gather) — independent
+    of the operator's own einsum formulation, so a formula slip in
+    either shows up as a mismatch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mnemo_spark import params as P
+    from mnemo_spark.io import load_table
+    from mnemo_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=P.PQ_M, ksub=P.PQ_KSUB)
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    V = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = np.asarray([r.vec_id for r in rows])
+    norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
+    U = np.where(norms > 0, V / np.where(norms == 0, 1, norms), 0.0)
+    m, ksub, dsub = books.shape
+
+    # reference encode: explicit per-row, per-subspace argmin
+    def ref_code(u):
+        return [
+            int(
+                np.argmin(
+                    [((u[i * dsub:(i + 1) * dsub] - books[i, c]) ** 2).sum()
+                     for c in range(ksub)]
+                )
+            )
+            for i in range(m)
+        ]
+
+    ref_codes = {int(i): ref_code(u) for i, u in zip(ids, U)}
+    got_codes = {
+        r.vec_id: r.codes for r in pq_encode(emb, books).collect()
+    }
+    assert got_codes == ref_codes
+
+    # reference ADC top-k for one query
+    qid = P.VECTOR_QUERY_IDS[0]
+    q = U[ids == qid][0]
+    T = np.array(
+        [[((q[i * dsub:(i + 1) * dsub] - books[i, c]) ** 2).sum()
+          for c in range(ksub)] for i in range(m)]
+    )
+    scored = sorted(
+        (round(sum(T[i, c] for i, c in enumerate(ref_codes[int(v)])), 6), int(v))
+        for v in ids[(norms[:, 0] > 0)]
+    )[: P.VECTOR_TOPK]
+    queries = emb.filter(F.col("vec_id") == qid).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        (r.adc_dist, r.vec_id)
+        for r in pq_topk(emb, queries, books, k=P.VECTOR_TOPK)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [(round(d, 6), v) for d, v in scored] == got

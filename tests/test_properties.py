@@ -179,7 +179,8 @@ def test_token_entropy_bounds(spark, toks):
 
     df = spark.createDataFrame([(0, " ".join(toks))], "doc_id int, text string")
     r = token_entropy(df).collect()[0]
-    assert 0.0 <= r.entropy_bits <= math.log2(r.n_tokens) + 1e-9
+    # entropy_bits is rounded to 6dp — allow the half-quantum overshoot
+    assert 0.0 <= r.entropy_bits <= math.log2(r.n_tokens) + 5.1e-7
     if len(set(toks)) == 1:
         assert r.entropy_bits == 0.0
 

@@ -104,6 +104,8 @@ EXPECT_NONEMPTY = {
     "pii_scrub_docs",
     "token_entropy_docs",
     "source_mixture_docs",
+    "pq_ann_topk",
+    "bpe_token_count_docs",
 }
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from mnemo_spark import params as P
 from mnemo_spark.io import load_table
+from mnemo_spark.operators.pq import pq_topk, pq_train
 from mnemo_spark.operators.vector import ann_lsh_topk, ivf_topk, topk_cosine
 from mnemo_spark.session import get_spark
 
@@ -60,9 +61,13 @@ def evaluate(spark, sf_dir: str, n_queries: int = 50) -> dict:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     ivf = ivf_topk(emb, queries, centroids, P.IVF_NPROBE, k_max)
+    books = pq_train(emb, m=P.PQ_M, ksub=P.PQ_KSUB)
+    pq = pq_topk(emb, queries, books, k=k_max).withColumnRenamed(
+        "adc_dist", "score"
+    )
 
     out = {}
-    for name, approx in (("lsh", lsh), ("ivf", ivf)):
+    for name, approx in (("lsh", lsh), ("ivf", ivf), ("pq", pq)):
         a = approx.persist()
         a.count()
         out[name] = {f"recall@{k}": recall_at(a, exact, k) for k in K_EVAL}
