@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "source_mixture_docs",
     "pq_ann_topk",
     "bpe_token_count_docs",
+    "chunk_docs",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

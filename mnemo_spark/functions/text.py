@@ -74,3 +74,22 @@ def bpe_token_count(col: Column | str) -> Column:
     sequence length far tighter than ceil(chars/4))."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))
+
+
+def chunk_text(
+    col: Column | str, size: int = 200, stride: int = 150
+) -> Column:
+    """Overlapping character chunks: array of substrings starting at
+    1, 1+stride, 1+2·stride, … each `size` chars (the last one
+    shorter). stride < size gives the overlap embedding pipelines use
+    so no boundary context is lost. Pure column expression — chunking
+    fuses into the scan, and the downstream explode is map-side."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    c = F.col(col) if isinstance(col, str) else col
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(c) - 1, F.lit(1)),
+        F.lit(stride),
+    )
+    return F.transform(starts, lambda s: F.substring(c, s, size))

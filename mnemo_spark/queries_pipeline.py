@@ -453,3 +453,47 @@ def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_words"),
         token_estimate("text").alias("n_est"),
     )
+
+
+from mnemo_spark.functions.text import chunk_text  # noqa: E402
+
+_CHUNK_SIZE = 180
+_CHUNK_STRIDE = 120
+
+
+@query(
+    "chunk_docs",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(text) - 1, 1) + 1, {_CHUNK_STRIDE}),
+               s -> substr(text, CAST(s AS INT), {_CHUNK_SIZE}))) AS chunk,
+             unnest(range(1, greatest(len(text) - 1, 1) + 1, {_CHUNK_STRIDE})) AS start
+      FROM documents WHERE doc_id % 5 = 0)
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_no,
+           len(chunk) AS n_chars_chunk,
+           md5(chunk) AS chunk_md5
+    FROM c
+    """,
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (functions/text.chunk_text)
+    — the embedding-prep shape: stride {_CHUNK_STRIDE} < size
+    {_CHUNK_SIZE} so consecutive chunks share context. posexplode
+    keeps the chunk index; both the chunk list and the explode are
+    map-side (no shuffle anywhere)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(chunk_text("text", _CHUNK_SIZE, _CHUNK_STRIDE)).alias(
+            "chunk_no", "chunk"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_no").cast("int"),
+        F.length("chunk").alias("n_chars_chunk"),
+        F.md5("chunk").alias("chunk_md5"),
+    )

@@ -158,3 +158,40 @@ def test_otlp_stream_matches_batch(spark, tmp_path):
         for r in otlp_spans_to_events(batch_df).collect()
     }
     assert streamed == batch and len(streamed) == 3
+
+
+def test_otlp_adapter_survives_malformed_input(spark):
+    """Backfill robustness: truncated JSON, wrong shapes, missing
+    attributes, and absent timestamps must produce NULL-field rows or
+    no rows — never a job failure (a 100-TB trace archive always
+    contains garbage)."""
+    from pyspark.sql import functions as F
+
+    from mnemo_spark.streaming.otlp import otlp_spans_to_events
+
+    good = (
+        '{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":'
+        '[{"spans":[{"traceId":"t1","spanId":"s1","name":"chat",'
+        '"startTimeUnixNano":"0","endTimeUnixNano":"0","attributes":[]}]}]}]}'
+    )
+    cases = [
+        ("truncated", '{"resourceSpans":[{"resou'),
+        ("not json", "hello world"),
+        ("empty", ""),
+        ("null", None),
+        ("wrong shape", '{"foo": 1}'),
+        ("spans not array", '{"resourceSpans":[{"scopeSpans":[{"spans":42}]}]}'),
+        ("good minimal", good),
+    ]
+    df = spark.createDataFrame(cases, "label string, value string")
+    rows = otlp_spans_to_events(df).collect()
+    # only the good envelope produces a span row
+    assert len(rows) == 1
+    r = rows[0]
+    # no agent attrs -> default; chat name -> assistant_message;
+    # zero start -> wall-clock fallback (NOT NULL); zero latency -> NULL
+    assert r.agent_id == "default"
+    assert r.event_type == "assistant_message"
+    assert r.ts is not None
+    assert r.latency_ms is None
+    assert r.tokens_input is None and r.cost_usd is None

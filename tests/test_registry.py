@@ -106,6 +106,7 @@ EXPECT_NONEMPTY = {
     "source_mixture_docs",
     "pq_ann_topk",
     "bpe_token_count_docs",
+    "chunk_docs",
 }
 
 
