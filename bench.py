@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "pq_ann_topk",
     "bpe_token_count_docs",
     "chunk_docs",
+    "kmeans_step_embeddings",
+    "approx_distinct_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -549,3 +549,53 @@ def ivf_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF build step / one half of a
+    Lloyd iteration): → corpus columns + cent_id, by max cosine with
+    ties to the lowest centroid id — the same contract as ivf_topk's
+    inline assignment. Codebook is driver-collected (it is the
+    broadcast constant); one Arrow pass over the corpus, no joins."""
+    cids, C = _collect_vec_side(centroids, cent_id, cent_vec)
+    if C is None:
+        raise ValueError("centroid side is empty or carries NULL vectors")
+    cn = np.sqrt((C * C).sum(axis=1))
+    cid_arr = np.asarray(cids)
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        [corpus.schema[corpus_id], corpus.schema[corpus_vec]]
+    ).add("cent_id", centroids.schema[cent_id].dataType, True)
+
+    from mnemo_spark.functions.similarity import stack_batch
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nulls = pdf[corpus_vec].isna().to_numpy()
+            V = stack_batch(pdf[corpus_vec], nulls)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            denom = np.outer(vn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(
+                    denom > 0.0,
+                    (V @ C.T) / np.where(denom == 0.0, 1.0, denom),
+                    -np.inf,
+                )
+            cell = cid_arr[sims.argmax(axis=1)]  # first max = lowest cent_id
+            out = pdf[[corpus_id, corpus_vec]].copy()
+            out["cent_id"] = cell
+            out.loc[nulls, "cent_id"] = None
+            yield out
+
+    return corpus.select(corpus_id, corpus_vec).mapInPandas(run, schema)

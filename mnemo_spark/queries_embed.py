@@ -354,3 +354,48 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_topk(emb, queries, books, k=P.VECTOR_TOPK)
+
+
+@query(
+    "kmeans_step_embeddings",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+                  FROM embeddings WHERE vec_id IN ({_CIDS})),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    assign AS (
+      SELECT vec_id, cent_id, v FROM (
+        SELECT c.vec_id, cent.cent_id, c.v,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_COS_RAW.format(a='c.v', b='cent.cvec')} DESC,
+                                           cent.cent_id) AS rn
+        FROM c CROSS JOIN cent)
+      WHERE rn = 1),
+    dims AS (SELECT unnest(range(1, 65)) AS d)
+    SELECT cent_id, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_members,
+           round(avg(v[CAST(d AS INT)]) FILTER (WHERE d = 1), 6) AS mean_d1,
+           round(avg(v[CAST(d AS INT)]) FILTER (WHERE d = 64), 6) AS mean_d64
+    FROM assign CROSS JOIN dims
+    GROUP BY cent_id
+    """,
+)
+def kmeans_step_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration (assign → recompute means) — the iterative-
+    algorithm shape behind IVF codebook training, kept to a single
+    oracle-checkable step (a full k-means run is just this step under
+    a driver loop; each step is one broadcast-assign + one groupBy).
+    Outputs per-cell membership and the first/last mean dimensions so
+    the 64-wide mean vector stays row-sized for the compare."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    centroids = emb.filter(F.col("vec_id").isin(P.IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    from mnemo_spark.operators.vector import assign_cells
+
+    assigned = assign_cells(emb, centroids)
+    means = assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), 1)), 6).alias("mean_d1"),
+        F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), 64)), 6).alias("mean_d64"),
+    )
+    return means

@@ -134,3 +134,30 @@ def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "spark").alias("has_spark"),
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
     )
+
+
+@query("approx_distinct_events")
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per event_type — THE
+    cardinality primitive at 100 TB, where exact countDistinct pays a
+    full shuffle of every key and the sketch pays a constant few KB
+    per partition. No SQL oracle on values: DuckDB's approx sketch is
+    a different estimator, so cross-engine equality is not a contract.
+    Instead the query is SELF-verifying (rows-only check): the sketch
+    must land within HLL++'s configured rsd=2% of the exact count
+    (asserted at 5x slack), which is exactly the guarantee a planner
+    relies on when swapping it in."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.1, F.lit(2.0))
+        ).alias("valid"),
+    )
