@@ -274,3 +274,28 @@ def test_uuid7_is_shuffle_free(plans):
     layout computation forced a shuffle."""
     p = plans("uuid7_assign_events")
     assert "Exchange" not in p
+
+
+def test_pq_is_single_arrow_pass(plans):
+    """PQ: encode+ADC-score must be one MapInPandas over the corpus —
+    no join, no cartesian; the only shuffle is the candidate-sized
+    rank exchange."""
+    p = plans("pq_ann_topk")
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_chunking_is_map_only(plans):
+    """Chunking fuses into the scan: generate + project, zero
+    Exchange."""
+    p = plans("chunk_docs")
+    assert "Exchange" not in p
+
+
+def test_kmeans_step_single_aggregation(plans):
+    """Assign is one Arrow pass; the mean recompute is one partial
+    aggregation — more than one shuffle means the assignment joined
+    instead of mapping."""
+    p = plans("kmeans_step_embeddings")
+    assert "MapInPandas" in p
+    assert p.count("Exchange") <= 2  # agg exchange (+AQE read) only
