@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "chunk_docs",
     "kmeans_step_embeddings",
     "approx_distinct_events",
+    "simhash_near_dup_pairs",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -368,3 +368,58 @@ def simhash(
         )
         .select(F.col("_id").alias(id_col), "simhash")
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs via hamming-band bucketing — never
+    all-pairs: a pair with hamming ≤ bands−1 must agree on at least
+    one of `bands` signature slices (pigeonhole), so candidates come
+    from an equi-join on (band_no, band_bits) and only candidates pay
+    the exact hamming check. Defaults (2 bands × 8 bits over the
+    16-bit signature) are COMPLETE for max_hamming ≤ 1; a 64-bit
+    production signature uses 4×16 bands for hamming ≤ 3 with the
+    identical plan shape. → (id_a, id_b, hamming)."""
+    if SIMHASH_BITS % bands:
+        raise ValueError(f"bands={bands} must divide {SIMHASH_BITS}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees pairs up to "
+            f"hamming {bands - 1}; raise bands for max_hamming={max_hamming}"
+        )
+    width = SIMHASH_BITS // bands
+    sig = simhash(docs, id_col, text_col)
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_b"),
+    ).withColumn("_band", F.expr(f"substr(simhash, _b * {width} + 1, {width})"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "_b", "_band"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "_b", "_band"
+    )
+    cand = (
+        a.join(b, ["_b", "_band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+            lambda i: F.col("_sa").substr(i, F.lit(1))
+            != F.col("_sb").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -187,3 +187,57 @@ def poisoning_flags_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisoning_flags(
         _t(spark, sf_dir, "documents"), group_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-band near-dup pairs (round 4 — completes the simhash
+# family: signatures existed, the bucketed pair join did not)
+# ---------------------------------------------------------------------------
+
+from mnemo_spark.operators.dedup import simhash_near_dup_pairs  # noqa: E402
+
+_SIMHASH_SIG_SQL = """
+    tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents WHERE doc_id % 3 = 0),
+    sb AS (SELECT doc_id, p.i,
+                 CASE WHEN substr(md5(t), p.i, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END AS c
+          FROM tok, range(1, 17) p(i)),
+    sagg AS (SELECT doc_id, i, sum(c) AS s FROM sb GROUP BY doc_id, i),
+    sig AS (SELECT doc_id,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+                     AS simhash
+            FROM sagg GROUP BY doc_id)
+"""
+
+
+@query(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH {_SIMHASH_SIG_SQL.strip()},
+    banded AS (SELECT doc_id, simhash, bb.b,
+                      substr(simhash, CAST(bb.b * 8 + 1 AS INT), 8) AS band
+               FROM sig, range(0, 2) bb(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                             a.simhash AS sa, b.simhash AS sb
+             FROM banded a
+             JOIN banded b ON a.b = b.b AND a.band = b.band
+                          AND a.doc_id < b.doc_id),
+    h AS (SELECT id_a, id_b,
+                 len(list_filter(range(1, 17),
+                     i -> substr(sa, CAST(i AS INT), 1)
+                          <> substr(sb, CAST(i AS INT), 1))) AS hamming
+          FROM cand)
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM h WHERE hamming <= 1
+    """,
+)
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (operators/dedup.py
+    simhash_near_dup_pairs): hamming-band bucketing — candidates come
+    only from an equi-join on signature slices (complete for
+    hamming ≤ bands−1), exact hamming on candidates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return simhash_near_dup_pairs(docs, max_hamming=1, bands=2).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )

@@ -109,6 +109,7 @@ EXPECT_NONEMPTY = {
     "chunk_docs",
     "kmeans_step_embeddings",
     "approx_distinct_events",
+    "simhash_near_dup_pairs",
 }
 
 
