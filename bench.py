@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "kmeans_step_embeddings",
     "approx_distinct_events",
     "simhash_near_dup_pairs",
+    "interval_join_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

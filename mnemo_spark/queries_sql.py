@@ -161,3 +161,57 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("exact_users") * 0.1, F.lit(2.0))
         ).alias("valid"),
     )
+
+
+_WINDOWS = [
+    # (win_id, day, start_hour, end_hour) — maintenance-window shapes
+    (1, "2024-01-10", 2, 8),
+    (2, "2024-01-25", 6, 18),
+    (3, "2024-02-07", 0, 12),
+    (4, "2024-02-20", 12, 24),
+]
+_WIN_SQL = ", ".join(
+    f"({w}, DATE '{d}', TIMESTAMP '{d} 00:00:00' + INTERVAL {a} HOUR,"
+    f" TIMESTAMP '{d} 00:00:00' + INTERVAL {b} HOUR)"
+    for w, d, a, b in _WINDOWS
+)
+
+
+@query(
+    "interval_join_events",
+    f"""
+    WITH w(win_id, day, w_start, w_end) AS (VALUES {_WIN_SQL})
+    SELECT w.win_id, e.event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 2) AS total
+    FROM events e
+    JOIN w ON CAST(e.ts AS DATE) = w.day
+          AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.win_id, e.event_type
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (the range-join shape asof_join
+    doesn't cover): events against literal maintenance windows. The
+    range predicate alone would force a nested-loop plan; carrying
+    the window's DAY as an equi-key turns it into a broadcast hash
+    join with a range residual — the same day/hour time-bucketing
+    that co-partitions interval joins at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    w = spark.createDataFrame(
+        [(w, d, f"{d} 00:00:00", a, b) for w, d, a, b in _WINDOWS],
+        "win_id int, day string, midnight string, a int, b int",
+    ).select(
+        "win_id",
+        F.to_date("day").alias("day"),
+        (F.to_timestamp("midnight") + F.col("a") * F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        (F.to_timestamp("midnight") + F.col("b") * F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    joined = e.join(
+        F.broadcast(w),
+        (F.to_date("ts") == F.col("day"))
+        & (F.col("ts") >= F.col("w_start"))
+        & (F.col("ts") < F.col("w_end")),
+    )
+    return joined.groupBy("win_id", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )

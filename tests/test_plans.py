@@ -299,3 +299,12 @@ def test_kmeans_step_single_aggregation(plans):
     p = plans("kmeans_step_embeddings")
     assert "MapInPandas" in p
     assert p.count("Exchange") <= 2  # agg exchange (+AQE read) only
+
+
+def test_interval_join_is_hash_not_nested_loop(plans):
+    """The day equi-key must turn the range join into a (broadcast)
+    hash join with a range residual — a bare BroadcastNestedLoopJoin
+    re-evaluates the range predicate per (row × window) at 100 TB."""
+    p = plans("interval_join_events")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p

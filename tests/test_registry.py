@@ -110,6 +110,7 @@ EXPECT_NONEMPTY = {
     "kmeans_step_embeddings",
     "approx_distinct_events",
     "simhash_near_dup_pairs",
+    "interval_join_events",
 }
 
 
