@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "approx_distinct_events",
     "simhash_near_dup_pairs",
     "interval_join_events",
+    "approx_quantiles_lineitem",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -215,3 +215,28 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("win_id", "event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
+
+
+@query("approx_quantiles_lineitem")
+def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Spark's KLL/Greenwald-Khanna
+    percentile_approx) per return flag — the other sketch a planner
+    reaches for at 100 TB, where exact percentile sorts every
+    partition. Like approx_distinct_events this is rows-only: sketch
+    estimators differ across engines, so the contract is the error
+    bound, asserted against the exact percentile (rank error ≤ 1/acc
+    → value bracketed by exact p±2% neighbors at accuracy 10000)."""
+    e = _t(spark, sf_dir, "lineitem")
+    agg = e.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.48)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.52)").alias("hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("approx_p50", 2).alias("approx_p50"),
+        (
+            (F.col("approx_p50") >= F.col("lo"))
+            & (F.col("approx_p50") <= F.col("hi"))
+        ).alias("valid"),
+    )
