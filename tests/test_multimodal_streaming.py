@@ -173,3 +173,55 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
     got = spark.table("dedup_out")
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """Batch/stream unification for the curation family: scrub_pii is
+    pure column arithmetic, so the SAME operator call applies to a
+    readStream frame unchanged, and a streaming pass over the corpus
+    produces byte-identical scrubbed text to the batch pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mnemo_spark.operators.redact import scrub_pii
+
+    rows = [
+        (0, "mail me at a.b@example.com or call 555-123-4567"),
+        (1, "server 10.0.0.1 holds ssn 123-45-6789"),
+        (2, "clean text, nothing to mask"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df.filter(F.col("doc_id") < 2).coalesce(1).write.parquet(src + "/b0")
+    df.filter(F.col("doc_id") >= 2).coalesce(1).write.parquet(src + "/b1")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: (r.n_email, r.n_ssn, r.n_phone, r.n_ip, r.scrubbed)
+        for r in spark.table("pii_stream").collect()
+    }
+    batch = {
+        r.doc_id: (r.n_email, r.n_ssn, r.n_phone, r.n_ip, r.scrubbed)
+        for r in scrub_pii(df).collect()
+    }
+    assert streamed == batch
+    assert streamed[0][4] == "mail me at <EMAIL> or call <PHONE>"
+    assert streamed[1][4] == "server <IP> holds ssn <SSN>"
