@@ -370,6 +370,41 @@ def simhash(
     )
 
 
+def simhash_int(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Integer form of `simhash` (bit p of the string form = bit
+    16−p of the int): → (id, sim_int). The int form keeps banding
+    and hamming in codegen'd bit arithmetic — shift/mask for band
+    extraction, bit_count(xor) for distance — instead of per-char
+    string compares."""
+    tok = docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+    tok = tok.withColumn("_md5", F.md5("_t"))
+    bits = tok.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("p"),
+        "_md5",
+    ).withColumn(
+        "_contrib",
+        F.when(F.substring(F.col("_md5"), F.col("p"), 1).isin(*"89abcdef"), 1).otherwise(-1),
+    )
+    agg = bits.groupBy("_id", "p").agg(F.sum("_contrib").alias("_s"))
+    return (
+        agg.groupBy("_id")
+        .agg(
+            F.sum(
+                # shiftleft's python wrapper takes only a literal shift
+                # count — the SQL form accepts an expression
+                F.when(
+                    F.col("_s") > 0,
+                    F.expr(f"CAST(shiftleft(1, {SIMHASH_BITS} - p) AS BIGINT)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sim_int")
+        )
+        .select(F.col("_id").alias(id_col), "sim_int")
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 1,
@@ -393,17 +428,18 @@ def simhash_near_dup_pairs(
             f"hamming {bands - 1}; raise bands for max_hamming={max_hamming}"
         )
     width = SIMHASH_BITS // bands
-    sig = simhash(docs, id_col, text_col)
+    mask = (1 << width) - 1
+    sig = simhash_int(docs, id_col, text_col)
     banded = sig.select(
         F.col(id_col).alias("_id"),
-        "simhash",
+        "sim_int",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_b"),
-    ).withColumn("_band", F.expr(f"substr(simhash, _b * {width} + 1, {width})"))
+    ).withColumn("_band", F.expr(f"shiftright(sim_int, _b * {width}) & {mask}"))
     a = banded.select(
-        F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "_b", "_band"
+        F.col("_id").alias("id_a"), F.col("sim_int").alias("_sa"), "_b", "_band"
     )
     b = banded.select(
-        F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "_b", "_band"
+        F.col("_id").alias("id_b"), F.col("sim_int").alias("_sb"), "_b", "_band"
     )
     cand = (
         a.join(b, ["_b", "_band"])
@@ -411,13 +447,8 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()
     )
-    ham = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-            lambda i: F.col("_sa").substr(i, F.lit(1))
-            != F.col("_sb").substr(i, F.lit(1)),
-        )
-    )
+    # hamming = popcount of the xor — stays in codegen'd integer ops
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -215,21 +215,20 @@ _SIMHASH_SIG_SQL = """
     "simhash_near_dup_pairs",
     f"""
     WITH {_SIMHASH_SIG_SQL.strip()},
-    banded AS (SELECT doc_id, simhash, bb.b,
-                      substr(simhash, CAST(bb.b * 8 + 1 AS INT), 8) AS band
-               FROM sig, range(0, 2) bb(b)),
+    sigi AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN s > 0 THEN 1 << (16 - i) ELSE 0 END)
+                         AS BIGINT) AS sim_int
+             FROM sagg GROUP BY doc_id),
+    banded AS (SELECT doc_id, sim_int, bb.b,
+                      (sim_int >> (bb.b * 8)) & 255 AS band
+               FROM sigi, range(0, 2) bb(b)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                             a.simhash AS sa, b.simhash AS sb
+                             a.sim_int AS sa, b.sim_int AS sb
              FROM banded a
              JOIN banded b ON a.b = b.b AND a.band = b.band
-                          AND a.doc_id < b.doc_id),
-    h AS (SELECT id_a, id_b,
-                 len(list_filter(range(1, 17),
-                     i -> substr(sa, CAST(i AS INT), 1)
-                          <> substr(sb, CAST(i AS INT), 1))) AS hamming
-          FROM cand)
-    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-    FROM h WHERE hamming <= 1
+                          AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 1
     """,
 )
 def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
