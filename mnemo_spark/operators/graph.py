@@ -27,6 +27,7 @@ def expand(
     bidirectional: bool = False,
     dedup_per_hop: bool = True,
     broadcast_frontier: bool = False,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """BFS from seed ids along edges, ≤ `hops`, score = decay^hop.
 
@@ -42,13 +43,21 @@ def expand(
     hop join so the edge table never shuffles: the right plan when
     the seed set is small relative to edges (a trace from a handful
     of roots over a 100-TB event log never moves the log).
+    broadcast_edges=True broadcasts the EDGE table instead — the
+    right plan when the edge set itself is small (ACL delegation
+    tables, checkpoint parents): every hop becomes a map-side
+    broadcast join, so with dedup_per_hop=False the whole walk chains
+    in ONE job with no per-hop shuffle at all. Mutually exclusive
+    with broadcast_frontier; only for edge sets that fit a broadcast.
     """
+    if broadcast_edges and broadcast_frontier:
+        raise ValueError("broadcast_edges and broadcast_frontier are exclusive")
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     if bidirectional:
         e = e.unionByName(
             edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
         ).distinct()
-    if hops > 1:
+    if hops > 1 and not broadcast_edges:
         # the edge list is referenced once per hop; persist it so a
         # derived edge frame (e.g. a window over events) computes once
         # per plan instead of once per hop (CacheManager keys on the
@@ -61,8 +70,9 @@ def expand(
     layers = [frontier]
     for h in range(1, hops + 1):
         fr = F.broadcast(frontier) if broadcast_frontier else frontier
+        hop_edges = F.broadcast(e) if broadcast_edges else e
         frontier = (
-            fr.join(e, fr["_id"] == e["_s"])
+            fr.join(hop_edges, fr["_id"] == hop_edges["_s"])
             .select(F.col("_d").alias("_id"))
         )
         if dedup_per_hop:

@@ -361,13 +361,18 @@ def delegation_closure_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     seeds = spark.range(5).select(F.col("id").cast("long").alias("user_id"))
+    # a delegation table is definitionally small (principals, not
+    # events): broadcast the EDGES and skip per-hop dedup, so the
+    # whole depth-3 walk chains map-side in a single job — the
+    # min-hop groupBy at the end still dedups the result
     return expand(
         edges,
         seeds,
         hops=3,
         decay=0.5,
         seed_col="user_id",
-        broadcast_frontier=True,
+        broadcast_edges=True,
+        dedup_per_hop=False,
     ).select("user_id", "hop", "score")
 
 
