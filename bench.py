@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "simhash_near_dup_pairs",
     "interval_join_events",
     "approx_quantiles_lineitem",
+    "fuzzy_match_docs",
+    "weighted_sample_docs",
+    "triangle_count_users",
+    "grouping_sets_orders",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

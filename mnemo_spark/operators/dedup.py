@@ -454,3 +454,40 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def fuzzy_match_pairs(
+    docs: DataFrame,
+    block_len: int = 16,
+    probe_len: int = 60,
+    max_dist: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Record-linkage fuzzy matching: blocking + edit distance.
+
+    Candidates come ONLY from an equi-join on a blocking key (the
+    normalized text prefix) — the classic linkage trade: a true match
+    that differs inside the block prefix is missed, and in exchange
+    the pair space collapses from O(n²) to Σ_block O(|block|²).
+    Candidates then pay levenshtein (JVM builtin) on a bounded probe
+    prefix. → (id_a, id_b, edit_dist)."""
+    norm = F.lower(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.substring(norm, 1, block_len).alias("_block"),
+        F.substring(norm, 1, probe_len).alias("_probe"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), "_block", F.col("_probe").alias("_pa")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), "_block", F.col("_probe").alias("_pb")
+    )
+    return (
+        a.join(b, "_block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

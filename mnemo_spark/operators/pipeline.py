@@ -229,3 +229,31 @@ def source_mixture_weights(
             F.pow(F.col("n").cast("double"), alpha) / F.col("_z"), ROUND_DP
         ).alias("mix_weight"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): key_i = ln(u_i)/w_i with deterministic u_i = md5-uniform;
+    the k LARGEST keys are the sample — one pass, no RNG coordination,
+    reshuffle-stable, exactly the data-mixing draw (sample quality-
+    weighted docs) at any scale. ln(u)/w is the monotone-equivalent of
+    the textbook u^(1/w), numerically gentler.
+    → (id, weight, samp_key, rank)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u01(F.col(id_col), salt)) / w, 9)
+    scored = docs.filter(w > 0).select(
+        F.col(id_col), w.alias("weight"), key.alias("samp_key")
+    )
+    win = Window.orderBy(F.desc("samp_key"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

@@ -956,3 +956,46 @@ def aes_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (decrypt_content(F.col("wrapped"), key) == F.col("text")).alias("roundtrip_ok"),
         (F.col("wrapped") != F.col("text")).alias("ciphertext_differs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: triangle counting (beyond walks — the canonical
+# multi-join graph aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count_users",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(user_id, CAST(floor(value) AS BIGINT)) AS a,
+                      greatest(user_id, CAST(floor(value) AS BIGINT)) AS b
+      FROM events
+      WHERE event_type = 'signup' AND user_id <> CAST(floor(value) AS BIGINT))
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e0 e1
+    JOIN e0 e2 ON e2.a = e1.b
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the undirected signup graph — two
+    equi-joins on canonically ordered edges (a<b<c), each triangle
+    counted exactly once. At 100 TB the standard refinement is
+    degree-ordering the edge direction so high-degree hubs never fan
+    out; the join shape is unchanged."""
+    e = _t(spark, sf_dir, "events")
+    dst = F.floor("value").cast("long")
+    e0 = (
+        e.filter((F.col("event_type") == "signup") & (F.col("user_id") != dst))
+        .select(
+            F.least(F.col("user_id"), dst).alias("a"),
+            F.greatest(F.col("user_id"), dst).alias("b"),
+        )
+        .distinct()
+    )
+    e1 = e0.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e0.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e0.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count("*").alias("n_triangles"))

@@ -497,3 +497,58 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").alias("n_chars_chunk"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+from mnemo_spark.operators.dedup import fuzzy_match_pairs  # noqa: E402
+from mnemo_spark.operators.pipeline import weighted_sample  # noqa: E402
+
+
+@query(
+    "fuzzy_match_docs",
+    """
+    WITH b AS (
+      SELECT doc_id, substr(lower(text), 1, 16) AS blk,
+             substr(lower(text), 1, 60) AS probe
+      FROM documents)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.probe, c.probe) AS INT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.probe, c.probe) <= 8
+    """,
+)
+def fuzzy_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy matching (operators/dedup.py
+    fuzzy_match_pairs): blocking on the normalized 16-char prefix
+    collapses the pair space, then candidates pay levenshtein on a
+    60-char probe — the standard linkage plan at any corpus size."""
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "documents"), block_len=16, probe_len=60, max_dist=8
+    ).withColumn("edit_dist", F.col("edit_dist").cast("int"))
+
+
+_WS_K = 50
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             round(ln(CAST(('0x' || substr(md5('wsample#' || CAST(doc_id AS VARCHAR)), 1, 6))
+                           AS BIGINT) / 16777216.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS samp_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, weight, samp_key, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY samp_key DESC, doc_id) AS rank
+          FROM s)
+    WHERE rank <= {_WS_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/pipeline.py
+    weighted_sample, Efraimidis-Spirakis A-ES): longer documents draw
+    proportionally more often, deterministically — the quality-weighted
+    data-mixing draw, one pass, no RNG coordination."""
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), k=_WS_K, weight_col="n_chars"
+    )

@@ -112,6 +112,10 @@ EXPECT_NONEMPTY = {
     "simhash_near_dup_pairs",
     "interval_join_events",
     "approx_quantiles_lineitem",
+    "fuzzy_match_docs",
+    "weighted_sample_docs",
+    "triangle_count_users",
+    "grouping_sets_orders",
 }
 
 
