@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "triangle_count_users",
     "grouping_sets_orders",
+    "ewma_user_values",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -62,3 +62,59 @@ def ttl_sweep(
     return df.filter(expires_at.isNotNull() & (expires_at <= now)).select(
         *id_cols, expires_at.alias("expired_at")
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    alpha: float,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the recursive
+    fold s_i = α·v_i + (1−α)·s_{i−1} (s_1 = v_1), the standard
+    smoothing for per-agent health/latency series.
+
+    Arrow-batched applyInPandas per key (the same physical shape as
+    chain assignment): sequential within a key, parallel across keys,
+    one shuffle on the key. The recursion is the scale-safe form
+    (closed-form power sums overflow/underflow on long series). The
+    carried state is QUANTIZED to round_dp each step: a raw float
+    fold drifts by 1 ulp between engines on long series (FMA
+    contraction), so the quantized fold is the portable contract.
+    → input key/order cols + ewma."""
+    import pandas as pd
+
+    out_fields = key_cols + order_cols + [value_col, "ewma"]
+
+    import math
+
+    q = float(10 ** round_dp)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        s, out = None, []
+        for v in pdf[value_col]:
+            s = float(v) if s is None else alpha * float(v) + (1.0 - alpha) * s
+            # floor(x·10^dp + 0.5)/10^dp, NOT round(): python rounds
+            # half-even on the exact double, most engines round the
+            # scaled double half-away — on a quantized fold the scaled
+            # values land on .5 constantly and the two diverge. The
+            # explicit floor form is the same float ops everywhere.
+            s = math.floor(s * q + 0.5) / q
+            out.append(s)
+        pdf = pdf[key_cols + order_cols + [value_col]].copy()
+        pdf["ewma"] = out
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in set(out_fields)
+    ) + ", ewma double"
+    return (
+        df.select(*key_cols, *order_cols, value_col)
+        .groupBy(*key_cols)
+        .applyInPandas(fold, schema)
+    )

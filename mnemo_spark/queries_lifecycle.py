@@ -289,3 +289,41 @@ def causality_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("_depth").alias("depth"))
         .select(F.col("_eid").alias("event_id"), "depth")
     )
+
+
+from mnemo_spark.operators.lifecycle import ewma_by_key  # noqa: E402
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_user_values",
+    f"""
+    WITH RECURSIVE r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 50),
+    f(user_id, rn, event_id, s) AS (
+      SELECT user_id, rn, event_id,
+             floor(value * 1000000.0 + 0.5) / 1000000.0
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.rn, r.event_id,
+             floor(({_EWMA_ALPHA} * r.value + (1.0 - {_EWMA_ALPHA}) * f.s)
+                   * 1000000.0 + 0.5) / 1000000.0
+      FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+    SELECT user_id, event_id, s AS ewma FROM f
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/lifecycle.ewma_by_key):
+    the sequential fold runs Arrow-batched per user — parallel across
+    users, exact within — while the oracle walks the identical
+    recursion as a recursive CTE. The carried state quantizes to 6dp
+    each step on BOTH sides (a raw float fold drifts 1 ulp between
+    engines via FMA contraction on long series)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = ewma_by_key(
+        e, _EWMA_ALPHA, ["user_id"], ["ts", "event_id"], "value"
+    )
+    return out.select("user_id", "event_id", "ewma")

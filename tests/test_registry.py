@@ -116,6 +116,7 @@ EXPECT_NONEMPTY = {
     "weighted_sample_docs",
     "triangle_count_users",
     "grouping_sets_orders",
+    "ewma_user_values",
 }
 
 
