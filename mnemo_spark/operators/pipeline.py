@@ -245,15 +245,13 @@ def weighted_sample(
     weighted docs) at any scale. ln(u)/w is the monotone-equivalent of
     the textbook u^(1/w), numerically gentler.
     → (id, weight, samp_key, rank)."""
-    from pyspark.sql import Window
+    from mnemo_spark.operators.window_ops import top_k_ranked
 
     w = F.col(weight_col).cast("double")
     key = F.round(F.log(u01(F.col(id_col), salt)) / w, 9)
     scored = docs.filter(w > 0).select(
         F.col(id_col), w.alias("weight"), key.alias("samp_key")
     )
-    win = Window.orderBy(F.desc("samp_key"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
-    )
+    # parallel partial top-k (TakeOrderedAndProject), never a global
+    # single-partition rank window
+    return top_k_ranked(scored, [F.desc("samp_key"), F.asc(id_col)], k)

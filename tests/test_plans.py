@@ -308,3 +308,25 @@ def test_interval_join_is_hash_not_nested_loop(plans):
     p = plans("interval_join_events")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_plans_parallel_topk(plans):
+    p = plans("weighted_sample_docs")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_fuzzy_match_blocks_equi_join(plans):
+    p = plans("fuzzy_match_docs")
+    assert "CartesianProduct" not in p
+    # blocking key join, not a nested loop over all pairs
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_triangle_count_is_equi_joins(plans):
+    p = plans("triangle_count_users")
+    assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_single_expand(plans):
+    p = plans("grouping_sets_orders")
+    assert "Expand" in p
