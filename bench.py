@@ -99,6 +99,13 @@ BENCH_QUERIES = [
     "triangle_count_users",
     "grouping_sets_orders",
     "ewma_user_values",
+    # round-4 analytics surfaces
+    "scd2_user_state",
+    "mad_outliers_events",
+    "pagerank_step_users",
+    "tfidf_topk_docs",
+    "value_histogram_events",
+    "sliding_window_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -1,0 +1,346 @@
+"""Warehouse-analytics surfaces rounding out the engine: SCD2 history
+build, robust (MAD) outliers, one PageRank iteration, TF-IDF keyword
+extraction, fixed-bin histograms, and sliding (hopping) event-time
+windows.
+
+Each is the batch-relational form of a capability the reference keeps
+procedural (versioned memories `storage/duckdb.rs` history tables;
+outlier gates `anomaly/outlier.rs`; graph walks `mnemo-graph`) or that
+a 100-TB training-data pipeline needs around it (keyword extraction,
+distribution profiling, time-windowed rollups). All are single- or
+two-shuffle shapes with scalar statistics broadcast, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.text import tokens
+from mnemo_spark.registry import _t, query
+
+# ---------------------------------------------------------------------------
+# SCD2 history build: the full-version twin of current_fact / as_of.
+# One window pass (lead over the per-key change sequence) — no
+# self-join; at 100 TB this shuffles once on user_id, exactly like the
+# reference's UPDATE-to-history trigger would be batched.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_user_state",
+    """
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           round(value, 6) AS state_value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build over the purchase stream:
+    each change becomes a version row with [valid_from, valid_to)
+    validity and an is_current flag (reference versioned memories,
+    storage/duckdb.rs UPDATE-preserving history; `as_of_user_state` is
+    the point-in-time read of exactly this table)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.round("value", 6).alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via MAD (median absolute deviation) — the
+# median-based sibling of the z-score gate (A3/A4): immune to the very
+# outliers it hunts. Exact `percentile` matches DuckDB quantile_cont
+# interpolation (same contract as quantile_stats_lineitem).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mad_outliers_events",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           round(d.med, 6) AS median_value,
+           round(mad.mad, 6) AS mad,
+           CAST(count(*) FILTER (
+             WHERE abs(d.value - d.med) > 3 * 1.4826 * mad.mad
+           ) AS BIGINT) AS n_outliers,
+           round(max(d.value), 6) AS max_value
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type, d.med, mad.mad
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outlier profile per event_type: median, MAD, and the
+    count beyond the 3·1.4826·MAD fence (1.4826 scales MAD to σ under
+    normality). Two grouped exact-percentile passes; the per-group
+    scalars flow through joins Catalyst broadcasts — nothing collects.
+    At 100 TB swap `percentile` for percentile_approx/t-digest and the
+    shape is unchanged (reference anomaly/outlier.rs uses mean/var for
+    the same gate; MAD is the heavy-tail-safe variant)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    fence = 3 * 1.4826 * F.col("mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count_if(F.abs(F.col("value") - F.col("med")) > fence)
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "max_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One PageRank iteration over the signup graph — the fixed-point step
+# (power iteration) stated relationally: contributions = pr/outdeg
+# routed along edges, one groupBy(dst). Iterating = re-running this
+# plan; at 100 TB each step is one shuffle on dst with map-side
+# combine, and the rank vector stays co-partitioned with the edge
+# list across steps (same posture as the k-means step).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pagerank_step_users",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT user_id AS src, CAST(floor(value) AS BIGINT) AS dst
+      FROM events
+      WHERE event_type = 'signup' AND user_id <> CAST(floor(value) AS BIGINT)),
+    nodes AS (
+      SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    outdeg AS (
+      SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+    contrib AS (
+      SELECT e.dst AS node, sum(1.0 / d.deg) AS c
+      FROM e0 e JOIN outdeg d USING (src) GROUP BY e.dst)
+    SELECT n.node, round(0.15 + 0.85 * coalesce(c.c, 0.0), 6) AS pr
+    FROM nodes n LEFT JOIN contrib c USING (node)
+    """,
+)
+def pagerank_step_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step of PageRank (damping 0.85, uniform
+    initial rank 1.0) over the directed signup graph. Sibling of
+    `triangle_count_users` (same edge derivation) and
+    `kmeans_step_embeddings` (same one-step-oracle pattern for an
+    iterative algorithm — the loop re-runs one auditable plan)."""
+    e = _t(spark, sf_dir, "events")
+    dst = F.floor("value").cast("long")
+    e0 = (
+        e.filter((F.col("event_type") == "signup") & (F.col("user_id") != dst))
+        .select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select("dst"))
+        .distinct()
+    )
+    outdeg = e0.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib = (
+        e0.join(outdeg, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.lit(1.0) / F.col("deg")).alias("c"))
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        F.round(F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0)), 6).alias(
+            "pr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 terms per document. The corpus-wide
+# statistics (N, df) are the same index-time aggregates BM25 uses;
+# scoring is one map-side-combinable groupBy(doc,term) + a per-doc
+# window over ≤|vocab∩doc| candidate rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_topk_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM tok),
+    tfc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tfc GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+      FROM tfc t JOIN dfreq d USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS INTEGER) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document
+    (idf = ln(N/df); scores rounded before ranking so ties break
+    identically in both engines — SURVEY §7 tiebreak contract).
+    The lexical twin of the BM25 lane with the roles flipped:
+    documents are the queries, the vocabulary is the target."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram — distribution profiling for the curation
+# pipeline (quality-score / length histograms drive filter thresholds).
+# Bounds come from one scalar aggregate broadcast into the binning
+# projection; one shuffle on the 20 bin keys.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_histogram_events",
+    """
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT CAST(least(floor((e.value - b.lo) / (b.hi - b.lo) * 20), 19)
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(e.value), 6) AS bin_min,
+           round(max(e.value), 6) AS bin_max
+    FROM events e CROSS JOIN bounds b
+    GROUP BY 1
+    """,
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of event values (bounds from the
+    data, last bin right-closed). The binning arithmetic is identical
+    IEEE double math in both engines, so bin assignment is exact."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) event-time windows — the batch twin of the
+# streaming windowed_counts with slide < width. Spark's window()
+# generator emits each event into width/slide windows JVM-side; the
+# oracle states the same membership closed-form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sliding_window_events",
+    """
+    WITH starts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events)
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM starts
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping every hour over the event stream: each
+    event lands in exactly two windows (epoch-hour aligned, the same
+    alignment as DuckDB's date_trunc). One Expand + one shuffle —
+    Spark's window() generator is the JVM-side form of the oracle's
+    two-row UNION ALL."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

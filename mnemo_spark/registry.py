@@ -1355,6 +1355,7 @@ def assign_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from mnemo_spark import (  # noqa: E402,F401
+    queries_analytics,
     queries_embed,
     queries_engine,
     queries_lifecycle,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -330,3 +331,46 @@ def test_triangle_count_is_equi_joins(plans):
 def test_grouping_sets_single_expand(plans):
     p = plans("grouping_sets_orders")
     assert "Expand" in p
+
+
+def test_scd2_is_single_window_pass(plans):
+    p = plans("scd2_user_state")
+    # one shuffle on user_id feeds version + lead + is_current together
+    assert p.count("(1) Scan parquet") == 1 and p.count("Exchange") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p
+
+
+def test_mad_outliers_broadcasts_group_medians(plans):
+    p = plans("mad_outliers_events")
+    # the per-group scalar tables (median, MAD) must broadcast into the
+    # fact side, never sort-merge against it
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_step_aggregates_partial(plans):
+    p = plans("pagerank_step_users")
+    # contribution sum must map-side combine before the dst shuffle
+    assert "partial_" in p or p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_tfidf_no_python_udf(plans):
+    p = plans("tfidf_topk_docs")
+    # tokenize/score/rank all JVM-side
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_histogram_bounds_broadcast(plans):
+    p = plans("value_histogram_events")
+    # min/max scalar row joins via broadcast nested loop (1-row side),
+    # never a shuffled cartesian
+    assert "CartesianProduct" not in p
+
+
+def test_sliding_window_single_shuffle(plans):
+    p = plans("sliding_window_events")
+    # window() expansion happens map-side; one shuffle for the groupBy
+    assert "Expand" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1

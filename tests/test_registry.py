@@ -117,6 +117,12 @@ EXPECT_NONEMPTY = {
     "triangle_count_users",
     "grouping_sets_orders",
     "ewma_user_values",
+    "scd2_user_state",
+    "mad_outliers_events",
+    "pagerank_step_users",
+    "tfidf_topk_docs",
+    "value_histogram_events",
+    "sliding_window_events",
 }
 
 
