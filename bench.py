@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "tfidf_topk_docs",
     "value_histogram_events",
     "sliding_window_events",
+    "funnel_users",
+    "cohort_retention_users",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -344,3 +344,116 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: signup → view → purchase, each stage's timestamp
+# strictly after the previous stage's. Conditional-min aggregation per
+# user (3 grouped scans fused by Catalyst into one shuffle on
+# user_id), then one global count — the sequence-matching shape of
+# MATCH_RECOGNIZE stated with plain aggregates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_users",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_view_after,
+           CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase_after
+    """,
+)
+def funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel conversion: users whose first view
+    follows their first signup, and whose first purchase follows that
+    view. Each stage is a grouped min joined forward — the strictly-
+    ordered sequence semantics, not mere event-type co-occurrence."""
+    e = _t(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count("*").cast("long").alias("n_signup"))
+        .crossJoin(t2.agg(F.count("*").cast("long").alias("n_view_after")))
+        .crossJoin(t3.agg(F.count("*").cast("long").alias("n_purchase_after")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week, counted by weeks
+# elapsed when active again. One per-user min (shuffle on user_id),
+# one distinct-count shuffle on (cohort, age) — the canonical
+# engagement-matrix build.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_week,
+           CAST(datediff('week', f.cohort_week,
+                         CAST(date_trunc('week', e.ts) AS DATE))
+                AS BIGINT) AS week_age,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: (cohort_week, week_age) →
+    distinct active users. Week truncation is ISO-Monday in both
+    engines; age in whole weeks between truncated weeks, so the
+    arithmetic is integer-exact."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.to_date(F.date_trunc("week", F.col("ts"))),
+                        F.col("cohort_week"),
+                    )
+                    / 7
+                )
+            )
+            .cast("long")
+            .alias("week_age"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+        .select("cohort_week", "week_age", "active_users")
+    )

@@ -254,3 +254,57 @@ def chained_hashes_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_stream(
+    events: DataFrame, dims: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch left-joins the
+    static dimension snapshot (reference: recall hydrates agent
+    profiles per request; the streaming form hydrates per batch).
+
+    The static side is broadcast — stream-static joins cannot shuffle
+    the stream side into a sort-merge, and at 100 TB the dimension
+    snapshot is exactly the side small enough to ship. File-backed
+    static frames are re-resolved per micro-batch, so a refreshed
+    dimension snapshot lands without restarting the query.
+    """
+    return events.join(F.broadcast(dims), on, "left")
+
+
+def merge_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+):
+    """Idempotent append sink via foreachBatch: each micro-batch
+    anti-joins the sink's existing keys before appending, so a
+    REPLAYED batch (restart between write and epoch commit, or a
+    whole-stream re-run over the same files) never duplicates rows —
+    upgrading the file sink's at-least-once to effective
+    exactly-once on the key.
+
+    This is the parquet stand-in for transactional MERGE (reference
+    gets it from DuckDB upsert, storage/duckdb.rs:136-256; the
+    production Spark form is Delta/Iceberg MERGE, DESIGN.md) — the
+    key-scan cost is one column's footer-pruned read per batch, and at
+    scale the sink table is partitioned so the anti-join prunes to
+    recent partitions. Returns the DataStreamWriter (caller starts it).
+    """
+    keys = list(key_cols)
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(out_dir).select(*keys)
+            fresh = batch_df.join(existing, keys, "left_anti")
+        except Exception:  # noqa: BLE001 — sink dir not created yet
+            fresh = batch_df
+        fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -374,3 +374,17 @@ def test_sliding_window_single_shuffle(plans):
     # window() expansion happens map-side; one shuffle for the groupBy
     assert "Expand" in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_funnel_stage_joins_are_equi(plans):
+    p = plans("funnel_users")
+    assert "CartesianProduct" not in p.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # only the 1-row stage-count crossJoins may nest
+
+
+def test_cohort_retention_two_shuffle_shape(plans):
+    p = plans("cohort_retention_users")
+    # per-user first-seen + (cohort, age) distinct-count only
+    assert "CartesianProduct" not in p
+    assert "partial_" in p or p.count("HashAggregate") >= 2

@@ -123,6 +123,8 @@ EXPECT_NONEMPTY = {
     "tfidf_topk_docs",
     "value_histogram_events",
     "sliding_window_events",
+    "funnel_users",
+    "cohort_retention_users",
 }
 
 

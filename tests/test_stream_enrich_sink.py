@@ -1,0 +1,87 @@
+"""Stream-static enrichment + idempotent merge sink: the streaming
+ingest path must enrich against static dimensions exactly like the
+batch join, and a replayed stream over the same source files must not
+duplicate sink rows."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mnemo_spark.io import load_table
+from mnemo_spark.streaming.events import enrich_stream, merge_parquet_sink
+
+
+def _two_file_source(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    events.filter(F.col("ts") <= cut).coalesce(1).write.parquet(src + "/b0")
+    events.filter(F.col("ts") > cut).coalesce(1).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    return events, stream
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, tmp_path):
+    events, stream = _two_file_source(spark, sf_dir, tmp_path)
+    dims = (
+        events.select("user_id")
+        .distinct()
+        .withColumn(
+            "tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+        )
+    )
+    q = (
+        enrich_stream(stream, dims)
+        .writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.table("enriched_stream").select("event_id", "tier").collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in events.join(dims, "user_id", "left")
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_merge_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
+    events, stream = _two_file_source(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "sink")
+    n = events.count()
+
+    q1 = merge_parquet_sink(stream, out, str(tmp_path / "ck1")).start()
+    q1.awaitTermination()
+    assert spark.read.parquet(out).count() == n
+
+    # full replay: fresh checkpoint over the SAME source files — the
+    # file sink alone would double every row; the keyed anti-join
+    # must keep the sink exactly once per event_id
+    _, stream2 = (events, None)
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "src"))
+    )
+    q2 = merge_parquet_sink(stream2, out, str(tmp_path / "ck2")).start()
+    q2.awaitTermination()
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == n
+    assert sunk.select("event_id").distinct().count() == n
