@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "sliding_window_events",
     "funnel_users",
     "cohort_retention_users",
+    "profile_columns_orders",
+    "event_pair_lift",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

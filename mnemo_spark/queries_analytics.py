@@ -457,3 +457,165 @@ def cohort_retention_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
         .select("cohort_week", "week_age", "active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: the data-quality pass every curation pipeline runs
+# before training (null rates, cardinalities, numeric ranges). ONE
+# scan computes every statistic (Spark fuses the aggregates); the
+# 1-row wide result pivots to long form driver-free via explode.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_columns_orders",
+    """
+    SELECT 'o_custkey' AS col_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           round(min(o_custkey), 6) AS min_val,
+           round(max(o_custkey), 6) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 6), round(max(o_totalprice), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL
+    FROM orders
+    """,
+)
+def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (null count, cardinality, numeric range) in
+    ONE scan: all aggregates compute together, then the single wide
+    row explodes to (col_name, stats) rows. The oracle re-states it as
+    per-column UNION scans — same values, DuckDB's planner shape.
+    Numeric ranges stay DOUBLE (strings get NULL) so the long-form
+    schema is uniform and float-rendering differences can't bite."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count_if(F.col("o_custkey").isNull()).cast("long").alias("ck_nulls"),
+        F.count_distinct("o_custkey").cast("long").alias("ck_card"),
+        F.round(F.min("o_custkey").cast("double"), 6).alias("ck_min"),
+        F.round(F.max("o_custkey").cast("double"), 6).alias("ck_max"),
+        F.count_if(F.col("o_totalprice").isNull()).cast("long").alias("tp_nulls"),
+        F.count_distinct("o_totalprice").cast("long").alias("tp_card"),
+        F.round(F.min("o_totalprice"), 6).alias("tp_min"),
+        F.round(F.max("o_totalprice"), 6).alias("tp_max"),
+        F.count_if(F.col("o_orderstatus").isNull()).cast("long").alias("os_nulls"),
+        F.count_distinct("o_orderstatus").cast("long").alias("os_card"),
+        F.count_if(F.col("o_orderpriority").isNull()).cast("long").alias("op_nulls"),
+        F.count_distinct("o_orderpriority").cast("long").alias("op_card"),
+    )
+    null_d = F.lit(None).cast("double")
+    rows = F.array(
+        F.struct(
+            F.lit("o_custkey").alias("col_name"),
+            F.col("ck_nulls").alias("n_nulls"),
+            F.col("ck_card").alias("n_distinct"),
+            F.col("ck_min").alias("min_val"),
+            F.col("ck_max").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_totalprice").alias("col_name"),
+            F.col("tp_nulls").alias("n_nulls"),
+            F.col("tp_card").alias("n_distinct"),
+            F.col("tp_min").alias("min_val"),
+            F.col("tp_max").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_orderstatus").alias("col_name"),
+            F.col("os_nulls").alias("n_nulls"),
+            F.col("os_card").alias("n_distinct"),
+            null_d.alias("min_val"),
+            null_d.alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_orderpriority").alias("col_name"),
+            F.col("op_nulls").alias("n_nulls"),
+            F.col("op_card").alias("n_distinct"),
+            null_d.alias("min_val"),
+            null_d.alias("max_val"),
+        ),
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Event-type association (market-basket lift over per-user behavior):
+# the user×type incidence is bounded (|types| distinct rows per user),
+# so the pair self-join is |users|·C(|types|,2) — never quadratic in
+# events. The canonical a<b ordering counts each pair once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_pair_lift",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+    marg AS (
+      SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_both,
+           round(CAST(n.n_users AS DOUBLE) * p.n_ab / (ma.n_t * mb.n_t), 6)
+             AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def event_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types over per-user incidence:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) on the distinct user×type table.
+    Marginals and the user count are tiny aggregates broadcast into
+    the pair counts; the self-join key is user_id, so skew is bounded
+    by the (constant) type vocabulary."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    marg = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_users").cast("double")
+                * F.col("n_ab")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -388,3 +388,16 @@ def test_cohort_retention_two_shuffle_shape(plans):
     # per-user first-seen + (cohort, age) distinct-count only
     assert "CartesianProduct" not in p
     assert "partial_" in p or p.count("HashAggregate") >= 2
+
+
+def test_profile_is_single_scan(plans):
+    p = plans("profile_columns_orders")
+    # all per-column statistics fuse into ONE pass over the table
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_event_pair_lift_broadcasts_marginals(plans):
+    p = plans("event_pair_lift")
+    # pair counts shuffle on user_id; marginals/user-count broadcast
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

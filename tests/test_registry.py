@@ -125,6 +125,8 @@ EXPECT_NONEMPTY = {
     "sliding_window_events",
     "funnel_users",
     "cohort_retention_users",
+    "profile_columns_orders",
+    "event_pair_lift",
 }
 
 
