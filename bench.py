@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "cohort_retention_users",
     "profile_columns_orders",
     "event_pair_lift",
+    "regr_price_qty_lineitem",
+    "activity_streaks_users",
+    "revenue_mom_orders",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

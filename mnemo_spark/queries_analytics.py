@@ -619,3 +619,132 @@ def event_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregates: slope/intercept/R² of price vs
+# quantity per return flag — the closed-form OLS family
+# (regr_slope/regr_intercept/regr_r2), all single-pass algebraic
+# aggregates with map-side combine, identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regr_price_qty_lineitem",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0
+             AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
+             AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regr_price_qty_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression of extended price on quantity per return flag —
+    the regr_* aggregate family (sibling of stats_agg_lineitem's
+    corr/covar). 4dp rounding + `+ 0.0`: higher moments accumulate in
+    engine-specific order; the addition collapses IEEE -0.0."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
+            "slope"
+        ),
+        (
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4) + 0.0
+        ).alias("intercept"),
+        (F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6) + 0.0).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user via the
+# classic daynum − row_number() island key — integer-exact in both
+# engines, one window shuffle on user_id + one groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "activity_streaks_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days),
+    runs AS (
+      SELECT user_id, island, count(*) AS run_len
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(run_len) AS BIGINT) AS longest_streak_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks (gaps-and-islands): distinct
+    active days per user, island key = daynum − row_number(), then
+    per-island run lengths. Engagement-streak analytics in two
+    shuffles, no self-join."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("run_len").cast("long").alias("longest_streak_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period reporting: monthly revenue with MoM delta — one
+# aggregation + one ordered window over the (tiny) month dimension.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_mom_orders",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+             AS mom_delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100, 4)
+             AS mom_pct
+    FROM m
+    """,
+)
+def revenue_mom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: grouped monthly sums, then lag
+    over the month axis (the ordered window runs over one row per
+    month — a single-partition window over a dimension-sized frame is
+    the correct shape; the fact scan never sees it)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_pct"),
+    )

@@ -401,3 +401,41 @@ def test_event_pair_lift_broadcasts_marginals(plans):
     # pair counts shuffle on user_id; marginals/user-count broadcast
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_regr_aggregates_partial(plans):
+    p = plans("regr_price_qty_lineitem")
+    assert "partial_" in p or p.count("HashAggregate") >= 2
+
+
+def test_streaks_no_self_join(plans):
+    p = plans("activity_streaks_users")
+    assert "Join" not in p  # islands come from a window, not a self-join
+    assert "Window" in p
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned sink layout: a day filter on read-back must
+    become a partition filter (pruned directory listing), never a
+    row-level scan filter over every file — the layout decision that
+    makes TTL sweeps / incremental scans O(touched partitions) at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from mnemo_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "by_day")
+    events.withColumn("day", F.to_date("ts")).write.partitionBy(
+        "day"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("day") == F.lit("2024-01-10").cast("date")
+    )
+    p = plan_of(back)
+    pf = " ".join(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "day" in pf and "2024-01-10" in pf
+    # and the filter must NOT appear as a pushed data filter instead
+    assert back.count() == events.filter(
+        F.to_date("ts") == F.lit("2024-01-10").cast("date")
+    ).count()

@@ -127,6 +127,9 @@ EXPECT_NONEMPTY = {
     "cohort_retention_users",
     "profile_columns_orders",
     "event_pair_lift",
+    "regr_price_qty_lineitem",
+    "activity_streaks_users",
+    "revenue_mom_orders",
 }
 
 
