@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "regr_price_qty_lineitem",
     "activity_streaks_users",
     "revenue_mom_orders",
+    "transition_matrix_events",
+    "zorder_key_events",
+    "incremental_rollup_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

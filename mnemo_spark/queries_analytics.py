@@ -748,3 +748,148 @@ def revenue_mom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: lead() per
+# user gives consecutive pairs (one shuffle), pair counts normalize by
+# source-type marginals (broadcast). The behavioral-analytics twin of
+# the funnel: all transitions, not one path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "transition_matrix_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    marg AS (
+      SELECT event_type, sum(n) AS n_src FROM pairs GROUP BY event_type)
+    SELECT p.event_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+           round(p.n / CAST(m.n_src AS DOUBLE), 6) AS p_next
+    FROM pairs p JOIN marg m USING (event_type)
+    """,
+)
+def transition_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: P(next | current) over each
+    user's time-ordered sequence. One window shuffle on user_id for
+    the lead pairs, then a vocabulary-sized aggregation — the full
+    Markov structure the three-stage funnel summarizes."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = pairs.groupBy("event_type").agg(F.sum("n").alias("n_src"))
+    return pairs.join(F.broadcast(marg), "event_type").select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("n_src").cast("double"), 6).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key: bit-interleave two dimensions so a
+# range on EITHER maps to few contiguous key ranges — the lakehouse
+# multi-dimensional data-skipping layout (Delta OPTIMIZE ZORDER).
+# The interleave is 32 pure bit-ops Catalyst folds into codegen; the
+# oracle states the identical arithmetic.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_key_events",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events WHERE event_id % 50 = 0)
+    SELECT event_id, user_id, v,
+           CAST({_z_sql("user_id", "v")} AS BIGINT) AS z_key
+    FROM src
+    """,
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key over (user_id, floor(value)): interleaves
+    16 bits of each dimension so sorting by z_key co-locates rows
+    close in BOTH dimensions — the write-layout that lets min/max
+    file statistics skip on either predicate at 100 TB. Pure integer
+    bit arithmetic, byte-identical across engines."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    src = e.select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("v")
+    )
+    return src.withColumn(
+        "z_key", F.expr(_z_sql("user_id", "v")).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: merge yesterday's aggregate state
+# with today's delta by RE-AGGREGATING THE PARTIALS (counts and sums
+# are algebraic) — the oracle recomputes from scratch, proving
+# merge(base, delta) == full. At 100 TB this is the difference
+# between an O(delta) nightly job and an O(corpus) one.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_CUT = "2024-06-01 00:00:00"
+
+
+@query(
+    "incremental_rollup_events",
+    f"""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the pre-cutoff base rollup
+    and the post-cutoff delta rollup merge by summing partials —
+    never touching base FACT rows again. The oracle recomputes the
+    rollup over all events directly, so the green row IS the proof
+    that the incremental path equals the full recompute."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit(_ROLLUP_CUT).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        )
+
+    base = rollup(e.filter(F.col("ts") < cut))
+    delta = rollup(e.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+    )

@@ -439,3 +439,44 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     assert back.count() == events.filter(
         F.to_date("ts") == F.lit("2024-01-10").cast("date")
     ).count()
+
+
+def test_transition_matrix_one_window_shuffle(plans):
+    p = plans("transition_matrix_events")
+    assert "Window" in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # marginals broadcast
+
+
+def test_zorder_key_stays_in_codegen(plans):
+    p = plans("zorder_key_events")
+    # 32 bit-ops must fold into the projection — no Python evaluation
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_incremental_rollup_merges_partials(plans):
+    p = plans("incremental_rollup_events")
+    # base+delta rollups then a merge re-aggregation: ≥2 agg layers,
+    # and never a join back to fact rows
+    assert p.count("HashAggregate") >= 4
+    assert "Join" not in p
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir):
+    """Sorting by z_key must co-locate ranges of BOTH dimensions:
+    within any contiguous z-sorted block, the user_id spread is far
+    below the global spread (the data-skipping property)."""
+    rows = (
+        QUERIES["zorder_key_events"](spark, sf_dir)
+        .orderBy("z_key")
+        .select("user_id")
+        .collect()
+    )
+    ids = [r["user_id"] for r in rows]
+    block = max(4, len(ids) // 8)
+    spreads = [
+        max(ids[i : i + block]) - min(ids[i : i + block])
+        for i in range(0, len(ids) - block, block)
+    ]
+    global_spread = max(ids) - min(ids)
+    assert sum(spreads) / len(spreads) < global_spread * 0.55

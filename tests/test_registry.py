@@ -130,6 +130,9 @@ EXPECT_NONEMPTY = {
     "regr_price_qty_lineitem",
     "activity_streaks_users",
     "revenue_mom_orders",
+    "transition_matrix_events",
+    "zorder_key_events",
+    "incremental_rollup_events",
 }
 
 
