@@ -308,3 +308,39 @@ def merge_parquet_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def view_purchase_join_stream(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase pairs with the same
+    user's view events from the preceding `max_gap` — attribution at
+    ingest time. Both sides carry watermarks and the join condition
+    bounds event-time distance, so state for unmatched rows ages out
+    (unbounded stream-stream joins without a time bound are rejected
+    by Spark for exactly the 100-TB reason).
+
+    The same expression over batch frames is the oracle twin — tests
+    prove set equality.
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    return p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts <= p.ts)
+        & (v.v_ts >= p.ts - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("user_id", "purchase_id", "view_id", "ts", "v_ts")

@@ -85,3 +85,28 @@ def test_merge_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == n
     assert sunk.select("event_id").distinct().count() == n
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    from mnemo_spark.streaming.events import view_purchase_join_stream
+
+    events, stream = _two_file_source(spark, sf_dir, tmp_path)
+    q = (
+        view_purchase_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName("vp_join_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_vp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.table("vp_join_stream").collect()
+    }
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in view_purchase_join_stream(events).collect()
+    }
+    assert got == want and len(got) > 0
