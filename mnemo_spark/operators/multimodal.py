@@ -145,3 +145,42 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             "meta"
         ),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+        StructField("orig_bytes", LongType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 512) -> DataFrame:
+    """Resize/downsample stage: shrink each payload to ≤ target_bytes
+    by stride sampling (deterministic fake for PIL resize / audio
+    resample — swap the per-batch body, keep the schema and batch
+    shape). Emits the SAME media schema (+orig_bytes) so it chains
+    before `decode_media`, exactly where a real pipeline puts the
+    resolution cut to shrink shuffle width early."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["content"]
+            sizes = payloads.map(lambda b: len(b) if b is not None else 0)
+
+            def shrink(b):
+                if b is None or len(b) <= target_bytes:
+                    return b
+                stride = -(-len(b) // target_bytes)  # ceil
+                return bytes(b[::stride])
+
+            out = pdf[["media_id", "media_type"]].copy()
+            out["content"] = payloads.map(shrink)
+            out["meta"] = pdf["meta"]
+            out["orig_bytes"] = sizes
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -53,6 +53,28 @@ def test_decode_media_real_codec_is_loud(media):
         decode_media(media, codec="gif")
 
 
+def test_resize_then_decode_chains(media):
+    from mnemo_spark.operators.multimodal import resize_media
+
+    resized = resize_media(media, target_bytes=64)
+    rows = resized.collect()
+    assert rows
+    for r in rows:
+        assert len(r["content"] or b"") <= 64
+        assert r["orig_bytes"] >= len(r["content"] or b"")
+        assert r["meta"] is not None  # metadata survives the stage
+    # the resized frame feeds decode_media unchanged (schema-compatible)
+    feats = decode_media(
+        resized.select("media_id", "media_type", "content", "meta"),
+        codec="raw",
+    ).collect()
+    assert len(feats) == len(rows)
+    assert all(len(f["feature"]) == 16 for f in feats)
+    # determinism across runs
+    again = {r["media_id"]: r["content"] for r in resize_media(media, 64).collect()}
+    assert {r["media_id"]: r["content"] for r in rows} == again
+
+
 def test_frame_sample_plan_shape(media):
     frames = frame_sample_plan(media, every_n=10)
     rows = frames.collect()
