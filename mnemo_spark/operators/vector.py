@@ -62,7 +62,7 @@ _PRUNE_MARGIN = 2e-6
 
 
 def _local_topk_frame(
-    qid_arr, ids, sims, valid, k: int, query_id: str, corpus_id: str
+    qid_arr, ids, sims, valid, k: int, query_id: str, corpus_id: str, extras=None
 ) -> pd.DataFrame:
     """Per-batch candidate pruning for scatter-gather top-k.
 
@@ -70,9 +70,14 @@ def _local_topk_frame(
     _PRUNE_MARGIN of the batch's k-th best unrounded score, plus (only
     when the batch has <k valid rows) the k lowest-id NULL-score rows
     so the global NULLs-last ordering stays reproducible.
+
+    extras: optional {col_name: (n,) array} of corpus columns carried
+    through candidate selection (hydration without a re-join).
     """
     n, nq = sims.shape
+    extras = extras or {}
     out_q, out_i, out_s, out_null = [], [], [], []
+    out_keep: list = []
     for j in range(nq):
         col = sims[:, j]
         val = valid[:, j]
@@ -89,26 +94,34 @@ def _local_topk_frame(
         out_q.append(np.full(iv.size + keep_null.size, qid_arr[j]))
         out_i.append(np.concatenate([ids[iv], ids[keep_null]]))
         out_s.append(np.concatenate([col[iv], np.zeros(keep_null.size)]))
+        out_keep.append(np.concatenate([iv, keep_null]))
         out_null.append(
             np.concatenate(
                 [np.zeros(iv.size, dtype=bool), np.ones(keep_null.size, dtype=bool)]
             )
         )
     if not out_q:
-        return pd.DataFrame(
-            {query_id: [], corpus_id: [], "cos_sim": pd.array([], dtype="Float64")}
-        )
+        frame = {
+            query_id: [],
+            corpus_id: [],
+            "cos_sim": pd.array([], dtype="Float64"),
+        }
+        for name, arr in extras.items():
+            frame[name] = arr[:0]
+        return pd.DataFrame(frame)
     svals = pd.array(np.concatenate(out_s), dtype="Float64")
     nulls = np.concatenate(out_null)
     if nulls.any():
         svals[nulls] = pd.NA
-    return pd.DataFrame(
-        {
-            query_id: np.concatenate(out_q),
-            corpus_id: np.concatenate(out_i),
-            "cos_sim": svals,
-        }
-    )
+    frame = {
+        query_id: np.concatenate(out_q),
+        corpus_id: np.concatenate(out_i),
+        "cos_sim": svals,
+    }
+    keep_all = np.concatenate(out_keep)
+    for name, arr in extras.items():
+        frame[name] = arr[keep_all]
+    return pd.DataFrame(frame)
 
 
 def topk_cosine(
@@ -119,8 +132,10 @@ def topk_cosine(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine per query. → (query_id, vec_id, cos_sim, rank).
+    """Exact top-k cosine per query. → (query_id, vec_id, cos_sim, rank
+    [, *carry_cols]).
 
     Scoring is one numpy matmul per corpus Arrow batch against the
     collected query matrix (mapInPandas) — the query side is
@@ -130,7 +145,12 @@ def topk_cosine(
     higher-order-function fold measured 10-100× slower per row.
     Ranking happens on the ROUND_DP-rounded score, so the kernel swap
     cannot reorder results.
+
+    carry_cols: corpus columns hydrated through the scoring pass
+    itself (candidates carry their attributes out of the batch), so
+    consumers like the kNN vote never re-scan or re-join the corpus.
     """
+    carry = list(carry_cols or [])
     qids, Q = _collect_vec_side(queries, query_id, query_vec)
     if Q is None:
         # NULL/empty query vectors: pairwise Arrow kernel keeps the
@@ -141,6 +161,7 @@ def topk_cosine(
             F.round(
                 cosine_arrow(F.col(corpus_vec), F.col(query_vec)), ROUND_DP
             ).alias("cos_sim"),
+            *[F.col(c) for c in carry],
         )
     else:
         out_schema = StructType(
@@ -149,6 +170,7 @@ def topk_cosine(
                 StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
                 StructField("cos_sim", DoubleType(), True),
             ]
+            + [StructField(c, corpus.schema[c].dataType, True) for c in carry]
         )
         qn = np.sqrt((Q * Q).sum(axis=1))
         qid_arr = np.asarray(qids)
@@ -175,10 +197,11 @@ def topk_cosine(
                     k,
                     query_id,
                     corpus_id,
+                    extras={c: pdf[c].to_numpy() for c in carry},
                 )
 
         joined = (
-            corpus.select(corpus_id, corpus_vec)
+            corpus.select(corpus_id, corpus_vec, *carry)
             .mapInPandas(score, out_schema)
             .withColumn("cos_sim", F.round(F.col("cos_sim"), ROUND_DP))
         )
@@ -397,13 +420,22 @@ def knn_label_vote(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
 ) -> DataFrame:
-    """k-NN majority-vote classification. → (query_id, pred_label, votes)."""
-    nn = topk_cosine(corpus, queries, k, corpus_id, corpus_vec, query_id, query_vec)
-    votes = (
-        nn.join(corpus.select(corpus_id, label_col), corpus_id)
-        .groupBy(query_id, label_col)
-        .agg(F.count("*").alias("votes"))
+    """k-NN majority-vote classification. → (query_id, pred_label, votes).
+
+    Labels ride through the scoring pass itself (carry_cols), so the
+    vote aggregates the top-k frame directly — no second corpus scan
+    and no hydration join."""
+    nn = topk_cosine(
+        corpus,
+        queries,
+        k,
+        corpus_id,
+        corpus_vec,
+        query_id,
+        query_vec,
+        carry_cols=[label_col],
     )
+    votes = nn.groupBy(query_id, label_col).agg(F.count("*").alias("votes"))
     w = Window.partitionBy(query_id).orderBy(F.desc("votes"), F.asc(label_col))
     return (
         votes.withColumn("_rn", F.row_number().over(w))
