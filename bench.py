@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "transition_matrix_events",
     "zorder_key_events",
     "incremental_rollup_events",
+    "winsorize_events",
+    "length_pctrank_docs",
+    "benford_profile_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -893,3 +893,128 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("total_value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip the value distribution at per-group p05/p95 —
+# the standard heavy-tail guard before training-weight computation.
+# Exact percentiles broadcast back into a pure projection.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winsorize_events",
+    """
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(least(greatest(e.value, f.lo), f.hi), 6) AS value_w,
+           (e.value < f.lo OR e.value > f.hi) AS clipped
+    FROM events e JOIN fences f USING (event_type)
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 5%/95% winsorization: exact-percentile fences
+    (broadcast, per-group scalars) clamp the value column; `clipped`
+    marks affected rows. Downstream of this sits every
+    outlier-robust quality weight in the curation pipeline."""
+    e = _t(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return e.join(F.broadcast(fences), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 6).alias(
+            "value_w"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile ranks: where each document's length sits within its
+# language — the normalized score the mixing weights consume. One
+# window shuffle on lang.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "length_pctrank_docs",
+    """
+    SELECT doc_id, lang,
+           round(percent_rank() OVER (
+             PARTITION BY lang ORDER BY n_chars, doc_id
+           ), 6) AS len_pct,
+           round(cume_dist() OVER (
+             PARTITION BY lang ORDER BY n_chars, doc_id
+           ), 6) AS len_cume
+    FROM documents
+    """,
+)
+def length_pctrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-language percentile rank + cumulative distribution of
+    document length (doc_id tiebreak keeps both engines' orderings
+    identical). The quantile-normalization primitive for
+    cross-language quality comparisons."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(F.percent_rank().over(w), 6).alias("len_pct"),
+        F.round(F.cume_dist().over(w), 6).alias("len_cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile: a fraud/synthetic-data smell test on
+# the value column — observed first-digit frequencies vs Benford's
+# log10(1+1/d) expectation. One scan, 9-row output.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "benford_profile_events",
+    """
+    WITH digits AS (
+      SELECT CAST(floor(value / power(10, floor(log10(value)))) AS BIGINT)
+               AS d
+      FROM events WHERE value > 0),
+    n AS (SELECT count(*) AS n FROM digits)
+    SELECT d, CAST(count(*) AS BIGINT) AS n_obs,
+           round(count(*) / CAST(n.n AS DOUBLE), 6) AS p_obs,
+           round(log10(1 + 1.0 / d), 6) AS p_benford
+    FROM digits CROSS JOIN n
+    GROUP BY d, n.n
+    """,
+)
+def benford_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic synthetic-data / tampering smell test for numeric
+    columns. floor(v / 10^floor(log10 v)) is exact IEEE in both
+    engines for the positive values it filters to."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digits = e.select(
+        F.floor(F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value"))))
+        .cast("long")
+        .alias("d")
+    )
+    n = digits.agg(F.count("*").alias("n"))
+    return (
+        digits.crossJoin(F.broadcast(n))
+        .groupBy("d", "n")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+        .select(
+            "d",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n").cast("double"), 6).alias("p_obs"),
+            F.round(F.log10(1 + 1.0 / F.col("d")), 6).alias("p_benford"),
+        )
+    )

@@ -480,3 +480,21 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir):
     ]
     global_spread = max(ids) - min(ids)
     assert sum(spreads) / len(spreads) < global_spread * 0.55
+
+
+def test_winsorize_fences_broadcast(plans):
+    p = plans("winsorize_events")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pctrank_window_is_partitioned(plans):
+    p = plans("length_pctrank_docs")
+    spec = " ".join(ln for ln in p.splitlines() if "windowspecdefinition" in ln)
+    assert "windowspecdefinition(lang" in spec
+
+
+def test_benford_single_scan_groupby(plans):
+    p = plans("benford_profile_events")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p or p.count("HashAggregate") >= 2

@@ -133,6 +133,9 @@ EXPECT_NONEMPTY = {
     "transition_matrix_events",
     "zorder_key_events",
     "incremental_rollup_events",
+    "winsorize_events",
+    "length_pctrank_docs",
+    "benford_profile_events",
 }
 
 
