@@ -227,3 +227,110 @@ def test_merge_upsert_lww(spark, keys, upd_keys):
     assert len(out) == len(got)
     for k in set(upd_keys):
         assert got[k] == "upd"  # equal version: update side wins the tie
+
+
+# --- round-4 analytics operator invariants -------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1000.0, allow_nan=False),
+        min_size=4,
+        max_size=24,
+    )
+)
+@SETTINGS
+def test_winsorize_clamp_is_fence_fixed_point(spark, vals):
+    """Clamping at fixed p05/p95 fences is a projection onto [lo, hi]:
+    re-applying the SAME fences changes nothing, every output lies in
+    [lo, hi], and interior values pass through untouched.
+    (Re-DERIVING fences from clamped values shrinks them — interpolated
+    percentiles move inward — which is why the operator computes
+    fences once; this test pins the distinction.)"""
+    df = spark.createDataFrame(
+        [(i, "t", float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    fences = df.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+
+    def clamp(frame):
+        return frame.join(fences, "event_type").select(
+            "event_id",
+            "event_type",
+            F.least(F.greatest("value", F.col("lo")), F.col("hi")).alias("value"),
+        )
+
+    once = clamp(df)
+    twice = clamp(once)
+    a = {r["event_id"]: round(r["value"], 9) for r in once.collect()}
+    b = {r["event_id"]: round(r["value"], 9) for r in twice.collect()}
+    assert a == b
+    f = fences.collect()[0]
+    assert all(f["lo"] - 1e-9 <= v <= f["hi"] + 1e-9 for v in a.values())
+    for i, v in enumerate(vals):
+        if f["lo"] <= v <= f["hi"]:
+            assert a[i] == round(v, 9)  # interior values untouched
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_zorder_key_is_bijective_within_16_bits(spark, pairs):
+    """Morton interleave must be a bijection on 16-bit×16-bit inputs:
+    distinct (a, b) pairs give distinct z-keys, and the key
+    deinterleaves back to (a, b)."""
+    from mnemo_spark.queries_analytics import _z_sql
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", F.expr(_z_sql("a", "b")).cast("long").alias("z")
+    ).collect()
+    assert len({r["z"] for r in rows}) == len(pairs)
+    for r in rows:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"])
+
+
+@given(
+    n=st.integers(min_value=5, max_value=40),
+    cut_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@SETTINGS
+def test_incremental_rollup_invariant_to_cutoff(spark, n, cut_frac):
+    """merge(base, delta) must equal the full rollup for ANY cutoff
+    position — counts and sums are algebraic, so where the batch
+    boundary falls cannot matter."""
+    rows = [(i, i % 3, float(i) * 0.5 + 0.25) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    cut = int(n * cut_frac)
+
+    def rollup(frame):
+        return frame.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s")
+        )
+
+    merged = (
+        rollup(df.filter(F.col("event_id") < cut))
+        .unionByName(rollup(df.filter(F.col("event_id") >= cut)))
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("s"), 6).alias("s"))
+    )
+    full = df.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s")
+    )
+    a = {r["user_id"]: (r["n"], r["s"]) for r in merged.collect()}
+    b = {r["user_id"]: (r["n"], r["s"]) for r in full.collect()}
+    assert a == b
