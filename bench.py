@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "winsorize_events",
     "length_pctrank_docs",
     "benford_profile_events",
+    "gap_fill_daily_events",
+    "rolling_7d_avg_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -1018,3 +1018,113 @@ def benford_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(1 + 1.0 / F.col("d")), 6).alias("p_benford"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series regularization: daily gap-fill + forward-fill per user.
+# The grid comes from sequence() exploded per user (bounded by each
+# user's own active span), missing days join as NULL and forward-fill
+# with last(ignorenulls) — the resample-and-pad step every
+# time-series feature pipeline runs before modeling.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gap_fill_daily_events",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span)
+    SELECT g.user_id, g.day,
+           (d.v IS NULL) AS was_gap,
+           last_value(d.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def gap_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample per user over each user's own active span:
+    missing days appear flagged (`was_gap`) and carry the last
+    observed daily total forward. The grid is generated inside the
+    plan (sequence → explode), so no driver-side calendar and the
+    shuffle key stays user_id end-to-end."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day mean per event type: RANGE frame over an integer day
+# axis, so days missing from the data still bound the window
+# correctly (a ROWS frame would silently widen across gaps).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_avg_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(d AS BIGINT) AS day_idx,
+           round(avg(v) OVER (
+             PARTITION BY event_type ORDER BY d
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS avg_7d
+    FROM daily
+    """,
+)
+def rolling_7d_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling mean of daily totals per event type, as a RANGE
+    frame over the integer day index — gap-correct (missing days
+    shrink the window instead of silently stretching it)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("d").cast("long").alias("day_idx"),
+        F.round(F.avg("v").over(w), 6).alias("avg_7d"),
+    )

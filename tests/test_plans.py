@@ -498,3 +498,15 @@ def test_benford_single_scan_groupby(plans):
     p = plans("benford_profile_events")
     assert "CartesianProduct" not in p
     assert "partial_" in p or p.count("HashAggregate") >= 2
+
+
+def test_gap_fill_stays_partitioned_on_user(plans):
+    p = plans("gap_fill_daily_events")
+    spec = " ".join(ln for ln in p.splitlines() if "windowspecdefinition" in ln)
+    assert "windowspecdefinition(user_id" in spec
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_avg_is_range_frame(plans):
+    p = plans("rolling_7d_avg_events")
+    assert "RANGE BETWEEN" in p or "specifiedwindowframe(RangeFrame" in p

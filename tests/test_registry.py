@@ -136,6 +136,8 @@ EXPECT_NONEMPTY = {
     "winsorize_events",
     "length_pctrank_docs",
     "benford_profile_events",
+    "gap_fill_daily_events",
+    "rolling_7d_avg_events",
 }
 
 
