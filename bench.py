@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "benford_profile_events",
     "gap_fill_daily_events",
     "rolling_7d_avg_events",
+    "approx_topk_terms_docs",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -1128,3 +1128,38 @@ def rolling_7d_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("day_idx"),
         F.round(F.avg("v").over(w), 6).alias("avg_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via approx_top_k — the frequent-items sketch next to
+# the HLL cardinality row. Self-verifying (rows-only, like
+# approx_distinct_events): with capacity ≥ the live vocabulary the
+# sketch is exact, so each estimate must equal the exact count
+# computed in the same query.
+# ---------------------------------------------------------------------------
+
+
+@query("approx_topk_terms_docs")
+def approx_topk_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy hitters over document tokens, joined to the
+    exact per-term counts from the same scan. At 100 TB the sketch is
+    the only viable form (constant memory per partition, one merge);
+    here capacity (10⁴) exceeds the corpus vocabulary, making the
+    estimates provably exact — `valid` must be uniformly true, and
+    the driver records the rows-only check (sketch layouts differ
+    across engines, same exemption as the HLL row)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("term"))
+    sk = tok.agg(
+        F.expr("approx_top_k(term, 20, 10000)").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"),
+        F.col("e.count").cast("long").alias("est_count"),
+    )
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact_count"))
+    return sk.join(exact, "term", "left").select(
+        "term",
+        "est_count",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (F.col("est_count") == F.col("exact_count")).alias("valid"),
+    )

@@ -138,6 +138,7 @@ EXPECT_NONEMPTY = {
     "benford_profile_events",
     "gap_fill_daily_events",
     "rolling_7d_avg_events",
+    "approx_topk_terms_docs",
 }
 
 
@@ -149,6 +150,7 @@ ORACLE_EXEMPT = {
     "aes_roundtrip_docs",
     "approx_distinct_events",  # sketch estimators differ across engines
     "approx_quantiles_lineitem",  # same: error-bound self-check instead
+    "approx_topk_terms_docs",  # same: exactness self-check vs exact counts
 }
 
 
