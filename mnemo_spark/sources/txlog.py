@@ -1,0 +1,193 @@
+"""Minimal parquet transaction log: versioned snapshots, time travel,
+optimistic concurrency — the Delta/Iceberg mechanism DESIGN.md maps
+`merge_upsert` / `changes_since` onto, implemented honestly at file
+level so the engine's versioning story does not depend on an absent
+lakehouse library.
+
+Layout (reference: the DuckDB store's transactional guarantees,
+`storage/duckdb.rs:136-256`, re-expressed as a log of immutable
+parquet files):
+
+    table_dir/
+      data/<uuid>.parquet          immutable data files
+      _txlog/<version>.json        one manifest per commit:
+                                   {"version", "adds", "removes", "ts"}
+
+Protocol:
+- A commit writes its data files FIRST, then publishes the manifest
+  with `open(path, "x")` — create-exclusive, so two writers racing to
+  the same version get exactly one winner; the loser re-reads the log
+  and retries at the next version (optimistic concurrency). On an
+  object store the `x`-open becomes put-if-absent / CAS; the protocol
+  is unchanged.
+- Readers list manifests up to a version and fold adds/removes into
+  the live file set — a snapshot is immutable by construction, so a
+  reader pinned to version V is isolated from every later commit
+  (overwrites REMOVE files from the log but never delete them from
+  disk until `vacuum`).
+- `append` never removes; `overwrite` removes the current live set.
+
+Scale notes: manifests are O(files-touched) JSON, the fold is
+O(commits) driver-side metadata work (checkpoint-compaction of the
+log is the standard fix at millions of commits); data-file IO is all
+executor-side parquet. Nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first."""
+
+
+class TxTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.log_dir = os.path.join(path, "_txlog")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- log ----------------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version}.json")) as fh:
+            return json.load(fh)
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        """Fold the log up to `version` (inclusive; default latest)."""
+        upto = self.latest_version() if version is None else version
+        live: list[str] = []
+        for v in self.versions():
+            if upto is None or v > upto:
+                break
+            m = self._manifest(v)
+            removed = set(m.get("removes", []))
+            live = [f for f in live if f not in removed]
+            live.extend(m.get("adds", []))
+        return live
+
+    # -- write --------------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        """Write df as immutable parquet under data/<uuid>/ and return
+        the file paths. Files are invisible until a manifest lists
+        them — a crashed writer leaves only unreferenced garbage."""
+        sub = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.parquet(sub)
+        return sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(sub)
+            if f.endswith(".parquet")
+        )
+
+    def _publish(self, manifest: dict, version: int) -> None:
+        tmp = os.path.join(self.log_dir, f".{version}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        target = os.path.join(self.log_dir, f"{version}.json")
+        try:
+            # create-exclusive link publishes atomically; EEXIST means
+            # another writer won this version
+            os.link(tmp, target)
+        except FileExistsError as e:
+            raise CommitConflict(version) from e
+        finally:
+            os.unlink(tmp)
+
+    def commit(
+        self, df: DataFrame, mode: str = "append", max_retries: int = 10
+    ) -> int:
+        """Commit df (append | overwrite). Returns the version written.
+        Data files are written ONCE; only the manifest publish retries
+        on conflict — and an `overwrite` recomputes its removes from
+        the fresh log before each retry, so it never un-publishes a
+        concurrent writer's files silently."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        adds = self._write_data_files(df)
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            version = 0 if latest is None else latest + 1
+            removes = self.live_files() if mode == "overwrite" else []
+            try:
+                self._publish(
+                    {
+                        "version": version,
+                        "mode": mode,
+                        "adds": adds,
+                        "removes": removes,
+                        "ts": time.time(),
+                    },
+                    version,
+                )
+                return version
+            except CommitConflict:
+                continue  # re-read log, retry at the next version
+        raise CommitConflict(
+            f"gave up after {max_retries} retries at version {version}"
+        )
+
+    # -- read ---------------------------------------------------------------
+
+    def snapshot(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Point-in-time read: the file list is resolved NOW, so the
+        returned frame is pinned to the snapshot even if later commits
+        overwrite the table (files are never deleted until vacuum)."""
+        files = self.live_files(version)
+        if not files:
+            raise ValueError(f"no data at version {version!r}")
+        return spark.read.parquet(*files)
+
+    def changes_between(
+        self, spark: SparkSession, v0: int, v1: int
+    ) -> DataFrame:
+        """CDF stand-in: rows added by commits in (v0, v1] — append
+        workloads only (an overwrite's delta is the snapshot diff)."""
+        added: list[str] = []
+        for v in self.versions():
+            if v0 < v <= v1:
+                added.extend(self._manifest(v).get("adds", []))
+        if not added:
+            raise ValueError(f"no adds in ({v0}, {v1}]")
+        return spark.read.parquet(*added)
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, retain_version: int) -> list[str]:
+        """Delete data files not live in ANY version ≥ retain_version.
+        Readers pinned at or after retain_version keep working;
+        earlier time travel is given up explicitly."""
+        keep: set[str] = set()
+        for v in self.versions():
+            if v >= retain_version:
+                keep.update(self.live_files(v))
+        deleted = []
+        for sub in os.listdir(self.data_dir):
+            subdir = os.path.join(self.data_dir, sub)
+            for f in os.listdir(subdir):
+                p = os.path.join(subdir, f)
+                if p.endswith(".parquet") and p not in keep:
+                    os.unlink(p)
+                    deleted.append(p)
+        return deleted

@@ -1,0 +1,97 @@
+"""Transaction-log store: versioned snapshots, time travel, snapshot
+isolation, optimistic-concurrency conflicts, CDF reads, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mnemo_spark.io import load_table
+from mnemo_spark.sources.txlog import CommitConflict, TxTable
+
+
+@pytest.fixture()
+def tx(tmp_path):
+    return TxTable(str(tmp_path / "tbl"))
+
+
+def _orders(spark, sf_dir, lo, hi):
+    return load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+    )
+
+
+def test_append_versions_and_time_travel(spark, sf_dir, tx):
+    a = _orders(spark, sf_dir, 0, 100)
+    b = _orders(spark, sf_dir, 100, 200)
+    assert tx.commit(a) == 0
+    assert tx.commit(b) == 1
+    na, nb = a.count(), b.count()
+    assert tx.snapshot(spark, version=0).count() == na
+    assert tx.snapshot(spark).count() == na + nb
+    # CDF: the delta between v0 and v1 is exactly batch b
+    got = {r["o_orderkey"] for r in tx.changes_between(spark, 0, 1).collect()}
+    want = {r["o_orderkey"] for r in b.collect()}
+    assert got == want
+
+
+def test_overwrite_preserves_snapshot_isolation(spark, sf_dir, tx):
+    a = _orders(spark, sf_dir, 0, 100)
+    tx.commit(a)
+    pinned = tx.snapshot(spark, version=0)  # file list resolved now
+    n0 = pinned.count()
+    replacement = _orders(spark, sf_dir, 500, 550)
+    tx.commit(replacement, mode="overwrite")
+    # latest sees only the replacement…
+    assert tx.snapshot(spark).count() == replacement.count()
+    # …while the pinned reader still sees version 0, file-for-file
+    assert pinned.count() == n0
+    assert tx.snapshot(spark, version=0).count() == n0
+
+
+def test_commit_conflict_retries_to_next_version(spark, sf_dir, tx):
+    tx.commit(_orders(spark, sf_dir, 0, 50))
+    # another writer publishes version 1 between our read and publish:
+    # pre-create the manifest it would write
+    with open(os.path.join(tx.log_dir, "1.json"), "w") as fh:
+        json.dump({"version": 1, "adds": [], "removes": [], "ts": 0}, fh)
+    v = tx.commit(_orders(spark, sf_dir, 50, 80))
+    assert v == 2, "loser must retry and land at the next free version"
+    assert tx.versions() == [0, 1, 2]
+
+
+def test_conflict_exhaustion_raises(spark, sf_dir, tx, monkeypatch):
+    tx.commit(_orders(spark, sf_dir, 0, 20))
+
+    def always_conflict(manifest, version):
+        raise CommitConflict(version)
+
+    monkeypatch.setattr(tx, "_publish", always_conflict)
+    with pytest.raises(CommitConflict):
+        tx.commit(_orders(spark, sf_dir, 20, 30), max_retries=3)
+
+
+def test_vacuum_drops_old_files_keeps_retained(spark, sf_dir, tx):
+    tx.commit(_orders(spark, sf_dir, 0, 100))
+    tx.commit(_orders(spark, sf_dir, 500, 550), mode="overwrite")
+    n1 = tx.snapshot(spark, version=1).count()
+    deleted = tx.vacuum(retain_version=1)
+    assert deleted, "the overwritten v0 files must be reclaimed"
+    # retained snapshot unaffected
+    assert tx.snapshot(spark, version=1).count() == n1
+    # time travel to v0 is now explicitly gone
+    with pytest.raises(Exception):
+        tx.snapshot(spark, version=0).count()
+
+
+def test_crashed_writer_leaves_no_visible_rows(spark, sf_dir, tx):
+    tx.commit(_orders(spark, sf_dir, 0, 50))
+    n = tx.snapshot(spark).count()
+    # simulate a crash after data-file write, before manifest publish
+    tx._write_data_files(_orders(spark, sf_dir, 50, 90))
+    assert tx.snapshot(spark).count() == n, (
+        "unpublished data files must stay invisible"
+    )
