@@ -1396,6 +1396,63 @@ class MnemoSparkEngine:
             events=self._append_events(expired),
         )
 
+    # -- durable store (sources/txlog.py) -------------------------------
+
+    def save(self, store_path: str, mode: str = "overwrite") -> int:
+        """Persist the memory state as one transactional commit
+        (memories + audit events in sibling TxTables, committed
+        memories-first). Returns the memories-table version. Each save
+        is a durable, time-travelable snapshot — the store-level form
+        of the reference's checkpointing, with readers isolated from
+        in-flight saves by the manifest protocol."""
+        import os as _os
+
+        from mnemo_spark.sources.txlog import TxTable
+
+        v = TxTable(_os.path.join(store_path, "memories")).commit(
+            self.memories, mode=mode
+        )
+        # audit log is append-only BY CONSTRUCTION at the store level:
+        # every save appends the full current log as a new snapshot
+        # would double rows, so persist only rows not yet stored
+        ev_table = TxTable(_os.path.join(store_path, "events"))
+        if ev_table.latest_version() is None:
+            ev_table.commit(self.events, mode="append")
+        else:
+            stored = ev_table.snapshot(self.spark).select("event_id")
+            fresh = self.events.join(stored, "event_id", "left_anti")
+            ev_table.commit(fresh, mode="append")
+        return v
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        store_path: str,
+        version: int | None = None,
+        embedding_dim: int = 64,
+        embedder=None,
+    ) -> "MnemoSparkEngine":
+        """Reconstruct an engine from a stored snapshot — pass
+        `version` for point-in-time recovery of the memory state (the
+        audit log always loads in full: history is never rolled
+        back, matching the append-only trigger semantics)."""
+        import os as _os
+
+        from mnemo_spark.sources.txlog import TxTable
+
+        mems = TxTable(_os.path.join(store_path, "memories")).snapshot(
+            spark, version
+        )
+        events = TxTable(_os.path.join(store_path, "events")).snapshot(spark)
+        return cls(
+            spark,
+            memories=mems,
+            events=events,
+            embedding_dim=embedding_dim,
+            embedder=embedder,
+        )
+
 
 CHECKPOINT_SCHEMA = StructType(
     [

@@ -95,3 +95,51 @@ def test_crashed_writer_leaves_no_visible_rows(spark, sf_dir, tx):
     assert tx.snapshot(spark).count() == n, (
         "unpublished data files must stay invisible"
     )
+
+
+def test_engine_save_load_roundtrip_with_time_travel(spark, tmp_path):
+    import datetime as dt
+
+    from mnemo_spark.engine import MnemoSparkEngine
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = spark.createDataFrame(
+        [
+            ("m1", "alice", "first fact", "semantic", "private", 0.9, ["a"], t0),
+            ("m2", "alice", "second fact", "semantic", "private", 0.5, ["b"], t0),
+        ],
+        "id string, agent_id string, content string, memory_type string, "
+        "scope string, importance float, tags array<string>, "
+        "created_at timestamp",
+    )
+    store = str(tmp_path / "store")
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    v0 = eng.save(store)
+    n_mem0 = eng.memories.count()
+    n_ev0 = eng.events.count()
+
+    more = spark.createDataFrame(
+        [("m3", "bob", "third fact", "semantic", "private", 0.7, ["c"], t0)],
+        rows.schema,
+    )
+    eng2 = eng.remember_batch(more)
+    v1 = eng2.save(store)
+    assert v1 == v0 + 1
+
+    # latest load sees all three; point-in-time load sees the first two
+    latest = MnemoSparkEngine.load(spark, store)
+    assert latest.memories.count() == 3
+    pinned = MnemoSparkEngine.load(spark, store, version=v0)
+    assert pinned.memories.count() == n_mem0
+    # the audit log NEVER rolls back: the pinned load still carries the
+    # full history, and no event was double-stored by the second save
+    assert pinned.events.count() == latest.events.count()
+    assert (
+        latest.events.count()
+        == latest.events.select("event_id").distinct().count()
+        > n_ev0 - 1
+    )
+    # hash chains survive the roundtrip byte-for-byte
+    a = {r["id"]: r["chain_hash"] for r in eng2.memories.collect()}
+    b = {r["id"]: r["chain_hash"] for r in latest.memories.collect()}
+    assert a == b
