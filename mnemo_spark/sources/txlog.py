@@ -61,7 +61,14 @@ class TxTable:
         return sorted(
             int(f[: -len(".json")])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def checkpoints(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
         )
 
     def latest_version(self) -> int | None:
@@ -73,10 +80,25 @@ class TxTable:
             return json.load(fh)
 
     def live_files(self, version: int | None = None) -> list[str]:
-        """Fold the log up to `version` (inclusive; default latest)."""
+        """Fold the log up to `version` (inclusive; default latest).
+        Starts from the newest checkpoint ≤ version, so the fold is
+        O(commits since checkpoint), not O(all commits) — the log-
+        compaction move that keeps metadata cost flat at millions of
+        commits."""
         upto = self.latest_version() if version is None else version
         live: list[str] = []
+        start = 0
+        cps = [c for c in self.checkpoints() if upto is not None and c <= upto]
+        if cps:
+            cp = cps[-1]
+            with open(
+                os.path.join(self.log_dir, f"{cp}.checkpoint.json")
+            ) as fh:
+                live = json.load(fh)["live"]
+            start = cp + 1
         for v in self.versions():
+            if v < start:
+                continue
             if upto is None or v > upto:
                 break
             m = self._manifest(v)
@@ -84,6 +106,19 @@ class TxTable:
             live = [f for f in live if f not in removed]
             live.extend(m.get("adds", []))
         return live
+
+    def checkpoint_log(self) -> int:
+        """Write a checkpoint of the CURRENT version's live set so
+        later reads fold from here. Returns the checkpointed version."""
+        v = self.latest_version()
+        if v is None:
+            raise ValueError("nothing to checkpoint")
+        live = self.live_files(v)
+        tmp = os.path.join(self.log_dir, f".cp.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "live": live}, fh)
+        os.replace(tmp, os.path.join(self.log_dir, f"{v}.checkpoint.json"))
+        return v
 
     # -- write --------------------------------------------------------------
 
@@ -144,6 +179,25 @@ class TxTable:
                 continue  # re-read log, retry at the next version
         raise CommitConflict(
             f"gave up after {max_retries} retries at version {version}"
+        )
+
+    def merge(
+        self, spark: SparkSession, updates: DataFrame, key: str
+    ) -> int:
+        """Transactional MERGE (last-writer-wins upsert on `key`):
+        copy-on-write — survivors (anti-join on the update keys) union
+        the updates into one overwrite commit. The file-level form of
+        operators/upsert.merge_upsert; at scale the rewrite scopes to
+        the files whose key ranges intersect the updates (file-level
+        stats pruning), which this minimal log omits."""
+        if self.latest_version() is None:
+            return self.commit(updates, mode="append")
+        current = self.snapshot(spark)
+        survivors = current.join(
+            updates.select(key).distinct(), key, "left_anti"
+        )
+        return self.commit(
+            survivors.unionByName(updates), mode="overwrite"
         )
 
     # -- read ---------------------------------------------------------------

@@ -143,3 +143,59 @@ def test_engine_save_load_roundtrip_with_time_travel(spark, tmp_path):
     a = {r["id"]: r["chain_hash"] for r in eng2.memories.collect()}
     b = {r["id"]: r["chain_hash"] for r in latest.memories.collect()}
     assert a == b
+
+
+def test_concurrent_writers_all_land_distinct_versions(spark, sf_dir, tmp_path):
+    """Eight threads commit concurrently through the create-exclusive
+    manifest protocol: every commit must land, versions must be
+    distinct and dense, and the final snapshot must hold every row."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tx = TxTable(str(tmp_path / "conc"))
+    batches = [
+        _orders(spark, sf_dir, i * 20, i * 20 + 20).persist() for i in range(8)
+    ]
+    counts = [b.count() for b in batches]  # materialize before racing
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(lambda b: tx.commit(b), batches))
+
+    assert sorted(versions) == list(range(8))
+    assert tx.snapshot(spark).count() == sum(counts)
+    for b in batches:
+        b.unpersist()
+
+
+def test_merge_is_lww_upsert(spark, sf_dir, tx):
+    base = _orders(spark, sf_dir, 0, 100)
+    tx.commit(base)
+    updates = (
+        _orders(spark, sf_dir, 50, 120)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    tx.merge(spark, updates, key="o_orderkey")
+    snap = tx.snapshot(spark)
+    rows = {r["o_orderkey"]: r["o_orderstatus"] for r in snap.collect()}
+    # updated keys carry the new status; untouched keys the old one
+    upd_keys = {r["o_orderkey"] for r in updates.collect()}
+    assert upd_keys and all(rows[k] == "U" for k in upd_keys)
+    base_only = {r["o_orderkey"] for r in base.collect()} - upd_keys
+    assert base_only and all(rows[k] != "U" for k in base_only)
+    assert snap.select("o_orderkey").distinct().count() == len(rows)
+
+
+def test_log_checkpoint_folds_identically(spark, sf_dir, tx):
+    for i in range(4):
+        tx.commit(_orders(spark, sf_dir, i * 30, i * 30 + 30))
+    full = sorted(tx.live_files())
+    cp = tx.checkpoint_log()
+    assert cp == 3
+    # post-checkpoint fold must see the same files...
+    assert sorted(tx.live_files()) == full
+    # ...and new commits stack on top of the checkpointed base
+    tx.commit(_orders(spark, sf_dir, 200, 220))
+    assert set(full) < set(tx.live_files())
+    # time travel BEFORE the checkpoint still folds from scratch
+    assert tx.snapshot(spark, version=0).count() == _orders(
+        spark, sf_dir, 0, 30
+    ).count()
