@@ -134,6 +134,35 @@ class TxTable:
             if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
+        """Per-file min/max from parquet FOOTERS (pyarrow metadata
+        read, no data IO) — the Delta/Iceberg file-statistics that
+        make predicate-pruned snapshots possible."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for path in files:
+            md = pq.read_metadata(path)
+            names = md.schema.names
+            stats: dict[str, list] = {}
+            for c in stats_cols:
+                if c not in names:
+                    continue
+                ci = names.index(c)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(ci).statistics
+                    if s is None or not s.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                if mins:
+                    stats[c] = [min(mins), max(maxs)]
+            out[path] = stats
+        return out
+
     def _publish(self, manifest: dict, version: int) -> None:
         tmp = os.path.join(self.log_dir, f".{version}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
@@ -149,16 +178,22 @@ class TxTable:
             os.unlink(tmp)
 
     def commit(
-        self, df: DataFrame, mode: str = "append", max_retries: int = 10
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        max_retries: int = 10,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit df (append | overwrite). Returns the version written.
         Data files are written ONCE; only the manifest publish retries
         on conflict — and an `overwrite` recomputes its removes from
         the fresh log before each retry, so it never un-publishes a
-        concurrent writer's files silently."""
+        concurrent writer's files silently. stats_cols records per-file
+        min/max in the manifest for predicate-pruned snapshots."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         adds = self._write_data_files(df)
+        stats = self._file_stats(adds, stats_cols) if stats_cols else {}
         for _ in range(max_retries):
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
@@ -170,6 +205,7 @@ class TxTable:
                         "mode": mode,
                         "adds": adds,
                         "removes": removes,
+                        "stats": stats,
                         "ts": time.time(),
                     },
                     version,
@@ -180,6 +216,19 @@ class TxTable:
         raise CommitConflict(
             f"gave up after {max_retries} retries at version {version}"
         )
+
+    def file_stats(self, version: int | None = None) -> dict:
+        """Manifest stats for the live files at `version` (files from
+        commits without stats_cols map to {})."""
+        live = set(self.live_files(version))
+        out: dict[str, dict] = {}
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            for path, st in self._manifest(v).get("stats", {}).items():
+                if path in live:
+                    out[path] = st
+        return {p: out.get(p, {}) for p in live}
 
     def merge(
         self, spark: SparkSession, updates: DataFrame, key: str
@@ -203,14 +252,40 @@ class TxTable:
     # -- read ---------------------------------------------------------------
 
     def snapshot(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
     ) -> DataFrame:
         """Point-in-time read: the file list is resolved NOW, so the
         returned frame is pinned to the snapshot even if later commits
-        overwrite the table (files are never deleted until vacuum)."""
+        overwrite the table (files are never deleted until vacuum).
+
+        where=(col, lo, hi) prunes by manifest file statistics BEFORE
+        any file opens: only files whose [min, max] overlaps [lo, hi]
+        are read (files without stats are conservatively kept), then
+        the row-level filter applies on top — the metadata-only data
+        skipping that makes a Z-ordered layout pay off at 100 TB."""
         files = self.live_files(version)
         if not files:
             raise ValueError(f"no data at version {version!r}")
+        if where is not None:
+            col, lo, hi = where
+            stats = self.file_stats(version)
+            files = [
+                f
+                for f in files
+                if col not in stats.get(f, {})
+                or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+            ]
+            if not files:
+                raise ValueError(f"no file overlaps {where!r}")
+            from pyspark.sql import functions as F
+
+            return (
+                spark.read.parquet(*files)
+                .filter(F.col(col).between(lo, hi))
+            )
         return spark.read.parquet(*files)
 
     def changes_between(

@@ -199,3 +199,38 @@ def test_log_checkpoint_folds_identically(spark, sf_dir, tx):
     assert tx.snapshot(spark, version=0).count() == _orders(
         spark, sf_dir, 0, 30
     ).count()
+
+
+def test_file_stats_prune_skips_files(spark, sf_dir, tmp_path):
+    """A key-sorted (clustered) layout + manifest min/max stats must
+    let a range snapshot skip non-overlapping files entirely —
+    metadata-only data skipping, and the pruned read returns exactly
+    the rows the unpruned filter would."""
+    tx = TxTable(str(tmp_path / "stats"))
+    orders = load_table(spark, sf_dir, "orders")
+    # clustered write: repartitionByRange gives each file a tight
+    # o_orderkey span (the layout OPTIMIZE ZORDER generalizes)
+    tx.commit(
+        orders.repartitionByRange(8, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )
+    stats = tx.file_stats()
+    assert len(stats) == 8 and all("o_orderkey" in s for s in stats.values())
+
+    lo, hi = 100, 180
+    pruned = tx.snapshot(spark, where=("o_orderkey", lo, hi))
+    read_files = {f for f in tx.live_files()
+                  if not (stats[f]["o_orderkey"][1] < lo
+                          or stats[f]["o_orderkey"][0] > hi)}
+    assert len(read_files) < 8, "tight spans must let the range skip files"
+    want = orders.filter(F.col("o_orderkey").between(lo, hi))
+    assert pruned.count() == want.count() > 0
+    # unclustered control: same data committed UNsorted keeps wide
+    # per-file spans, so the same predicate prunes nothing
+    tx2 = TxTable(str(tmp_path / "nostats"))
+    tx2.commit(orders.repartition(8), stats_cols=["o_orderkey"])
+    s2 = tx2.file_stats()
+    overlap2 = [f for f in tx2.live_files()
+                if not (s2[f]["o_orderkey"][1] < lo
+                        or s2[f]["o_orderkey"][0] > hi)]
+    assert len(overlap2) == 8, "random layout gives no skipping"
