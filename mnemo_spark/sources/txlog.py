@@ -138,7 +138,13 @@ class TxTable:
     def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
         """Per-file min/max from parquet FOOTERS (pyarrow metadata
         read, no data IO) — the Delta/Iceberg file-statistics that
-        make predicate-pruned snapshots possible."""
+        make predicate-pruned snapshots possible.
+
+        Long string/binary stats in parquet footers are truncated
+        bounds (min is a ≤-prefix, max an incremented prefix), which
+        stay CONSERVATIVE for overlap pruning — a file can survive
+        pruning spuriously but never be skipped wrongly; numeric
+        stats are exact."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict] = {}
