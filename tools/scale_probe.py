@@ -34,6 +34,7 @@ from mnemo_spark.operators.dedup import (  # noqa: E402
     minhash_band_pairs,
     simhash,
 )
+from mnemo_spark.operators.vector import topk_cosine  # noqa: E402
 from mnemo_spark.session import get_spark  # noqa: E402
 
 
@@ -61,16 +62,39 @@ def multiplied(docs, m: int):
     return out
 
 
+def multiplied_vectors(emb, m: int):
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mults = [int(x) for x in sys.argv[2:]] or [1, 2, 4]
     spark = get_spark("scale_probe")
     base = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
 
     ops = {
         "exact_dedup": lambda d: exact_dedup(d).count(),
         "minhash_lsh": lambda d: minhash_band_pairs(d).count(),
         "simhash": lambda d: simhash(d).count(),
+    }
+    vec_ops = {
+        "topk_cosine": lambda v: topk_cosine(v, qs, 10).count(),
     }
 
     # warm-up: codegen/JIT for every op once, untimed — without this
@@ -80,12 +104,18 @@ def main() -> None:
     for fn in ops.values():
         fn(warm)
     warm.unpersist()
+    warm_v = multiplied_vectors(emb, 1).localCheckpoint()
+    for fn in vec_ops.values():
+        fn(warm_v)
+    warm_v.unpersist()
 
     results: dict[str, dict] = {}
-    for name, fn in ops.items():
+    for name, fn in list(ops.items()) + list(vec_ops.items()):
+        mult_fn = multiplied_vectors if name in vec_ops else multiplied
+        src_df = emb if name in vec_ops else base
         row: dict[str, float] = {}
         for m in mults:
-            d = multiplied(base, m).localCheckpoint()  # isolate input build
+            d = mult_fn(src_df, m).localCheckpoint()  # isolate input build
             best = None
             for _ in range(2):
                 t0 = time.time()
