@@ -183,12 +183,25 @@ class TxTable:
         finally:
             os.unlink(tmp)
 
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest txn_version committed by app_id, or None — the
+        idempotence watermark for exactly-once writers (Delta's
+        txnAppId/txnVersion pattern): a replayed micro-batch checks
+        this before committing."""
+        best: int | None = None
+        for v in self.versions():
+            txn = self._manifest(v).get("txn")
+            if txn and txn[0] == app_id:
+                best = txn[1] if best is None else max(best, txn[1])
+        return best
+
     def commit(
         self,
         df: DataFrame,
         mode: str = "append",
         max_retries: int = 10,
         stats_cols: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit df (append | overwrite). Returns the version written.
         Data files are written ONCE; only the manifest publish retries
@@ -198,24 +211,29 @@ class TxTable:
         min/max in the manifest for predicate-pruned snapshots."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        if txn is not None:
+            last = self.last_txn(txn[0])
+            if last is not None and txn[1] <= last:
+                # replayed writer epoch: already durable, skip silently
+                return self.latest_version()
         adds = self._write_data_files(df)
         stats = self._file_stats(adds, stats_cols) if stats_cols else {}
         for _ in range(max_retries):
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
             removes = self.live_files() if mode == "overwrite" else []
+            manifest = {
+                "version": version,
+                "mode": mode,
+                "adds": adds,
+                "removes": removes,
+                "stats": stats,
+                "ts": time.time(),
+            }
+            if txn is not None:
+                manifest["txn"] = [txn[0], txn[1]]
             try:
-                self._publish(
-                    {
-                        "version": version,
-                        "mode": mode,
-                        "adds": adds,
-                        "removes": removes,
-                        "stats": stats,
-                        "ts": time.time(),
-                    },
-                    version,
-                )
+                self._publish(manifest, version)
                 return version
             except CommitConflict:
                 continue  # re-read log, retry at the next version

@@ -344,3 +344,53 @@ def view_purchase_join_stream(
         & (v.v_ts >= p.ts - F.expr(f"INTERVAL {max_gap}")),
         "inner",
     ).select("user_id", "purchase_id", "view_id", "ts", "v_ts")
+
+
+def rollup_merge_sink(
+    stream_df: DataFrame,
+    tx_path: str,
+    checkpoint_dir: str,
+    app_id: str = "rollup_sink",
+):
+    """Streaming incremental rollup maintained TRANSACTIONALLY: each
+    micro-batch aggregates its delta (user_id, event_type → count,
+    sum) and merges it into a TxTable snapshot by re-aggregating the
+    partials — the streaming form of `incremental_rollup_events`, with
+    exactly-once batch semantics via the txn watermark (a replayed
+    micro-batch sees its batch_id ≤ last_txn and skips — the
+    Delta txnAppId/txnVersion pattern at file level).
+
+    Every commit is a full-rollup snapshot, so the table's version
+    history IS the rollup's time travel. Returns the DataStreamWriter.
+    """
+    from mnemo_spark.sources.txlog import TxTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tx = TxTable(tx_path)
+        delta = batch_df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        if tx.latest_version() is None:
+            tx.commit(delta, mode="append", txn=(app_id, batch_id))
+            return
+        last = tx.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed epoch: already durable
+        merged = (
+            tx.snapshot(spark)
+            .unionByName(delta)
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+            )
+        )
+        tx.commit(merged, mode="overwrite", txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

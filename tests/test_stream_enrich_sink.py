@@ -110,3 +110,51 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         for r in view_purchase_join_stream(events).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_rollup_merge_matches_batch_and_replays_once(
+    spark, sf_dir, tmp_path
+):
+    from mnemo_spark.sources.txlog import TxTable
+    from mnemo_spark.streaming.events import rollup_merge_sink
+
+    events, stream = _two_file_source(spark, sf_dir, tmp_path)
+    tx_path = str(tmp_path / "rollup")
+    q = rollup_merge_sink(stream, tx_path, str(tmp_path / "ckr")).start()
+    q.awaitTermination()
+
+    tx = TxTable(tx_path)
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in tx.snapshot(spark).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in events.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # one commit per micro-batch → the version history is the rollup's
+    # time travel: v0 is the first file's partial rollup
+    assert len(tx.versions()) == 2
+    assert tx.snapshot(spark, version=0).count() <= len(got)
+
+    # replayed epoch: re-delivering batch 1 must be a no-op
+    before = tx.latest_version()
+    batch1 = events.limit(50)
+    import mnemo_spark.streaming.events as ev
+
+    # call the inner writer directly with an already-committed batch_id
+    writer = rollup_merge_sink(stream, tx_path, str(tmp_path / "ckr2"))
+    # simulate: the sink's idempotence lives in TxTable.last_txn
+    assert tx.last_txn("rollup_sink") == 1
+    tx.commit(batch1, mode="append", txn=("rollup_sink", 1))
+    assert tx.latest_version() == before, "replayed txn must not commit"
+    assert {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in tx.snapshot(spark).collect()
+    } == want
