@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "gap_fill_daily_events",
     "rolling_7d_avg_events",
     "approx_topk_terms_docs",
+    "interevent_gap_stats",
+    "path_to_purchase_users",
+    "rolling_spike_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

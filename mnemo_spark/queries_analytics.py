@@ -1163,3 +1163,157 @@ def approx_topk_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_count").cast("long").alias("exact_count"),
         (F.col("est_count") == F.col("exact_count")).alias("valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics: lag-diff per user, then grouped stats —
+# the arrival-process profile (telemetry cadence / session shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interevent_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(avg(gap_us) / 1e6, 6) AS mean_gap_s,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_gap_s,
+           round(max(gap_us) / 1e6, 6) AS max_gap_s
+    FROM gaps GROUP BY user_id
+    """,
+)
+def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics (mean/median/max gap in
+    seconds). Gap arithmetic runs in integer epoch-µs (the engine's
+    timestamp contract — float seconds drift); one window shuffle on
+    user_id feeds the lag and the aggregation alike."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 6).alias("mean_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias("median_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Path-to-conversion length: events before each user's FIRST purchase
+# — one cumulative window, no self-join (the funnel's "how long did
+# it take" companion).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "path_to_purchase_users",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(row_number() OVER w AS BIGINT) AS pos
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    firstp AS (
+      SELECT user_id, min(pos) AS first_purchase_pos
+      FROM seq WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT user_id,
+           first_purchase_pos,
+           first_purchase_pos - 1 AS events_before_purchase
+    FROM firstp
+    """,
+)
+def path_to_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events preceding each user's first purchase: one row_number
+    window over the per-user sequence, then a grouped min over the
+    purchase positions — sequence position analytics without a
+    self-join."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).cast("long").alias("pos")
+    )
+    firstp = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("first_purchase_pos"))
+    )
+    return firstp.select(
+        "user_id",
+        "first_purchase_pos",
+        (F.col("first_purchase_pos") - 1).alias("events_before_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling spike detection: each day's total vs the trailing 7-day
+# mean/stddev (current day EXCLUDED, so a spike can't mask itself) —
+# the rolling z-score alarm over the same RANGE frame as the rolling
+# mean surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_spike_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, d, v,
+             avg(v) OVER w AS mu,
+             stddev_samp(v) OVER w AS sd,
+             count(*) OVER w AS n_base
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(d AS BIGINT) AS day_idx,
+           round(v, 2) AS day_value,
+           round((v - mu) / sd, 4) AS zscore,
+           ((v - mu) / sd > 3) AS is_spike
+    FROM stats
+    WHERE n_base >= 5 AND sd > 0
+    """,
+)
+def rolling_spike_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly alarm: day totals more than 3 rolling
+    standard deviations above the PRIOR 7 days (current day excluded
+    from its own baseline; days with under 5 baseline points are
+    suppressed). The streaming twin is the same expression over the
+    watermarked daily aggregate."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d").rangeBetween(-7, -1)
+    stats = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return stats.filter((F.col("n_base") >= 5) & (F.col("sd") > 0)).select(
+        "event_type",
+        F.col("d").cast("long").alias("day_idx"),
+        F.round("v", 2).alias("day_value"),
+        F.round(z, 4).alias("zscore"),
+        (z > 3).alias("is_spike"),
+    )

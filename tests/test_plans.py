@@ -510,3 +510,20 @@ def test_gap_fill_stays_partitioned_on_user(plans):
 def test_rolling_avg_is_range_frame(plans):
     p = plans("rolling_7d_avg_events")
     assert "RANGE BETWEEN" in p or "specifiedwindowframe(RangeFrame" in p
+
+
+def test_interevent_gaps_one_user_shuffle(plans):
+    p = plans("interevent_gap_stats")
+    assert "Window" in p and "Join" not in p
+
+
+def test_path_to_purchase_no_self_join(plans):
+    p = plans("path_to_purchase_users")
+    assert "Window" in p and "Join" not in p
+
+
+def test_spike_baseline_excludes_current_day(plans):
+    p = plans("rolling_spike_events")
+    # RANGE -7..-1: the frame must not reach the current row
+    assert "RANGE BETWEEN" in p or "specifiedwindowframe(RangeFrame" in p
+    assert "-1" in p

@@ -139,6 +139,9 @@ EXPECT_NONEMPTY = {
     "gap_fill_daily_events",
     "rolling_7d_avg_events",
     "approx_topk_terms_docs",
+    "interevent_gap_stats",
+    "path_to_purchase_users",
+    "rolling_spike_events",
 }
 
 
