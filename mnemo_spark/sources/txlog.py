@@ -327,6 +327,54 @@ class TxTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot into target_files
+        files as one overwrite commit. Data is unchanged (same rows,
+        new layout); prior versions stay time-travelable until
+        vacuum. Small-file compaction is what keeps the manifest fold
+        and the scan task count flat under high-frequency commits."""
+        cur = self.snapshot(spark)
+        return self.commit(
+            cur.repartition(target_files),
+            mode="overwrite",
+            stats_cols=stats_cols,
+        )
+
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        col_a: str,
+        col_b: str,
+        target_files: int = 8,
+        bits: int = 16,
+    ) -> int:
+        """OPTIMIZE ZORDER: rewrite the snapshot range-clustered by
+        the Morton interleave of (col_a, col_b) and record min/max
+        stats for BOTH dimensions — after this, a range snapshot on
+        EITHER column prunes files (each file covers a compact
+        z-curve segment, so both dimensions' spans are tight)."""
+        from pyspark.sql import functions as F
+
+        terms = []
+        for i in range(bits):
+            terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+        zexpr = " + ".join(terms)
+        cur = self.snapshot(spark).withColumn("_z", F.expr(zexpr))
+        clustered = (
+            cur.repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        return self.commit(
+            clustered, mode="overwrite", stats_cols=[col_a, col_b]
+        )
+
     def vacuum(self, retain_version: int) -> list[str]:
         """Delete data files not live in ANY version ≥ retain_version.
         Readers pinned at or after retain_version keep working;

@@ -234,3 +234,60 @@ def test_file_stats_prune_skips_files(spark, sf_dir, tmp_path):
                 if not (s2[f]["o_orderkey"][1] < lo
                         or s2[f]["o_orderkey"][0] > hi)]
     assert len(overlap2) == 8, "random layout gives no skipping"
+
+
+def test_compact_shrinks_files_preserves_rows_and_history(spark, sf_dir, tmp_path):
+    tx = TxTable(str(tmp_path / "opt"))
+    for i in range(5):
+        tx.commit(_orders(spark, sf_dir, i * 40, i * 40 + 40))
+    n = tx.snapshot(spark).count()
+    files_before = len(tx.live_files())
+    v_before = tx.latest_version()
+    tx.compact(spark, target_files=2)
+    assert len(tx.live_files()) == 2 < files_before
+    assert tx.snapshot(spark).count() == n
+    # pre-compaction versions still time travel
+    assert tx.snapshot(spark, version=v_before).count() == n
+    assert tx.snapshot(spark, version=0).count() == _orders(
+        spark, sf_dir, 0, 40
+    ).count()
+
+
+def test_optimize_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """After OPTIMIZE ZORDER(user_id, day-of-month over events), a
+    range predicate on EITHER dimension must skip files — the
+    two-dimensional payoff a single-column sort cannot give."""
+    tx = TxTable(str(tmp_path / "zopt"))
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.dayofyear("ts").cast("long").alias("doy"),
+        "value",
+    )
+    tx.commit(events.repartition(8))
+    tx.optimize_zorder(spark, "user_id", "doy", target_files=16)
+
+    stats = tx.file_stats()
+    n_files = len(tx.live_files())
+
+    def overlapping(col, lo, hi):
+        return [
+            f
+            for f in tx.live_files()
+            if not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+        ]
+
+    # ranges from the DATA's spans (bottom quarter of each dimension),
+    # so the test is scale-factor independent
+    spans = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("doy"), F.max("doy")
+    ).collect()[0]
+    ulo, uhi = spans[0], spans[0] + max(1, (spans[1] - spans[0]) // 4)
+    dlo, dhi = spans[2], spans[2] + max(1, (spans[3] - spans[2]) // 4)
+    assert len(overlapping("user_id", ulo, uhi)) < n_files
+    assert len(overlapping("doy", dlo, dhi)) < n_files
+    # and the pruned reads stay exact
+    for col, lo, hi in (("user_id", ulo, uhi), ("doy", dlo, dhi)):
+        got = tx.snapshot(spark, where=(col, lo, hi)).count()
+        want = events.filter(F.col(col).between(lo, hi)).count()
+        assert got == want > 0
