@@ -273,6 +273,17 @@ class TxTable:
             survivors.unionByName(updates), mode="overwrite"
         )
 
+    def delete_where(self, spark: SparkSession, condition: str) -> int:
+        """Row-level DELETE, copy-on-write: survivors rewrite as one
+        overwrite commit. Deleted rows stay reachable by time travel
+        until vacuum — the GDPR-forget pattern is delete_where +
+        vacuum(retain after the delete), which the reference models
+        with redact-preserving-chain semantics."""
+        from pyspark.sql import functions as F
+
+        survivors = self.snapshot(spark).filter(~F.expr(condition))
+        return self.commit(survivors, mode="overwrite")
+
     # -- read ---------------------------------------------------------------
 
     def snapshot(
@@ -310,7 +321,10 @@ class TxTable:
                 spark.read.parquet(*files)
                 .filter(F.col(col).between(lo, hi))
             )
-        return spark.read.parquet(*files)
+        # mergeSchema: commits may add columns over time (schema
+        # evolution); the union schema surfaces old files' missing
+        # columns as NULL, exactly like Delta's additive evolution
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
     def changes_between(
         self, spark: SparkSession, v0: int, v1: int

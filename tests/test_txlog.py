@@ -291,3 +291,36 @@ def test_optimize_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
         got = tx.snapshot(spark, where=(col, lo, hi)).count()
         want = events.filter(F.col(col).between(lo, hi)).count()
         assert got == want > 0
+
+
+def test_delete_where_is_copy_on_write(spark, sf_dir, tx):
+    base = _orders(spark, sf_dir, 0, 100)
+    tx.commit(base)
+    n = base.count()
+    n_del = base.filter("o_orderkey < 20").count()
+    v = tx.delete_where(spark, "o_orderkey < 20")
+    snap = tx.snapshot(spark)
+    assert snap.count() == n - n_del > 0
+    assert snap.filter("o_orderkey < 20").count() == 0
+    # forgotten rows remain reachable by time travel until vacuum…
+    assert tx.snapshot(spark, version=v - 1).count() == n
+    # …and vacuum(retain=v) makes the forget durable (GDPR pattern)
+    tx.vacuum(retain_version=v)
+    with pytest.raises(Exception):
+        tx.snapshot(spark, version=v - 1).count()
+
+
+def test_schema_evolution_is_additive(spark, sf_dir, tx):
+    a = _orders(spark, sf_dir, 0, 50).select("o_orderkey", "o_totalprice")
+    tx.commit(a)
+    b = (
+        _orders(spark, sf_dir, 50, 90)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("region_tag", F.lit("eu"))
+    )
+    tx.commit(b)
+    snap = tx.snapshot(spark)
+    assert "region_tag" in snap.columns
+    tagged = snap.filter(F.col("region_tag").isNotNull()).count()
+    untagged = snap.filter(F.col("region_tag").isNull()).count()
+    assert tagged == b.count() and untagged == a.count()
