@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "interevent_gap_stats",
     "path_to_purchase_users",
     "rolling_spike_events",
+    "trajectory_growth_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

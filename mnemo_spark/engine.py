@@ -1396,6 +1396,153 @@ class MnemoSparkEngine:
             events=self._append_events(expired),
         )
 
+    # -- compliance: GEM trajectory audit --------------------------------
+
+    REMOVAL_EVENT_TYPES = (
+        "MemoryDelete",
+        "MemoryExpired",
+        "MemoryRedact",
+        "MemoryArchive",
+        "MemoryConsolidate",
+    )
+
+    def trajectory_audit(
+        self,
+        active_bank_ceiling: int = 1000,
+        named_removal_types: tuple[str, ...] | None = None,
+        facts: DataFrame | None = None,
+        reads: DataFrame | None = None,
+    ) -> DataFrame:
+        """GEM trajectory-correctness audit (reference
+        mnemo-compliance::trajectory_audit, trajectory.rs:233-430):
+        replay the hash-chained event log and report four
+        trajectory-level signals per agent:
+
+        (a) unregulated growth — running active-bank size (+1 per
+            write, −1 per removal, in logical-clock order) vs the
+            ceiling; severity warn on any breach, fail when the peak
+            exceeds 2× the ceiling.
+        (b) missing semantic revision — facts written ≥2 times whose
+            earlier memories were never retired (needs a `facts`
+            mapping (memory_id, fact_id) — the reference reads a
+            payload fact key; NULL signal when not provided). 1-5
+            stale facts warn, more fail.
+        (c) capacity-driven forgetting — removal events whose type is
+            outside the named strategy set (the engine always labels;
+            foreign/synced logs may not). 1-3 unlabelled warn, more
+            fail.
+        (d) read-only retrieval — agents that appear in the `reads`
+            log but never write (reads are side-effect-free here, so
+            the read log is the caller's explicit touch job; NULL
+            signal when not provided).
+
+        → one row per agent with the finding columns + severities and
+        `trajectory_ok` (reference `is_ok`: every severity ok).
+        """
+        named = tuple(named_removal_types or self.REMOVAL_EVENT_TYPES)
+        ev = self.events
+        removal = F.col("event_type").isin(list(self.REMOVAL_EVENT_TYPES))
+        delta = (
+            F.when(F.col("event_type") == "MemoryWrite", F.lit(1))
+            .when(removal, F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        w = (
+            Window.partitionBy("agent_id")
+            .orderBy("logical_clock")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sized = ev.withColumn("_active", F.sum(delta).over(w))
+        growth = sized.groupBy("agent_id").agg(
+            F.max("_active").cast("long").alias("peak_active_size"),
+            F.count_if(F.col("_active") > active_bank_ceiling)
+            .cast("long")
+            .alias("growth_breaches"),
+        )
+        growth = growth.withColumn(
+            "growth_severity",
+            F.when(F.col("growth_breaches") == 0, "ok")
+            .when(F.col("peak_active_size") <= 2 * active_bank_ceiling, "warn")
+            .otherwise("fail"),
+        )
+
+        unl = (
+            ev.filter(removal & ~F.col("event_type").isin(list(named)))
+            .groupBy("agent_id")
+            .agg(F.count("*").cast("long").alias("unlabelled_forgets"))
+        )
+
+        base = growth.join(unl, "agent_id", "left").withColumn(
+            "unlabelled_forgets",
+            F.coalesce("unlabelled_forgets", F.lit(0)).cast("long"),
+        )
+        base = base.withColumn(
+            "forgetting_severity",
+            F.when(F.col("unlabelled_forgets") == 0, "ok")
+            .when(F.col("unlabelled_forgets") <= 3, "warn")
+            .otherwise("fail"),
+        )
+
+        if facts is not None:
+            writes = (
+                ev.filter(F.col("event_type") == "MemoryWrite")
+                .join(facts, "memory_id")
+                .select("agent_id", "fact_id", "memory_id", "logical_clock")
+            )
+            wf = Window.partitionBy("agent_id", "fact_id").orderBy(
+                F.desc("logical_clock")
+            )
+            earlier = writes.withColumn(
+                "_rn", F.row_number().over(wf)
+            ).filter(F.col("_rn") > 1)
+            retired = (
+                ev.filter(removal).select("memory_id").distinct()
+            )
+            stale = (
+                earlier.join(retired, "memory_id", "left_anti")
+                .groupBy("agent_id")
+                .agg(F.count("*").cast("long").alias("stale_facts"))
+            )
+            base = base.join(stale, "agent_id", "left").withColumn(
+                "stale_facts", F.coalesce("stale_facts", F.lit(0)).cast("long")
+            )
+            base = base.withColumn(
+                "revision_severity",
+                F.when(F.col("stale_facts") == 0, "ok")
+                .when(F.col("stale_facts") <= 5, "warn")
+                .otherwise("fail"),
+            )
+        else:
+            base = base.withColumn(
+                "stale_facts", F.lit(None).cast("long")
+            ).withColumn("revision_severity", F.lit(None).cast("string"))
+
+        if reads is not None:
+            writers = (
+                ev.filter(F.col("event_type") == "MemoryWrite")
+                .select("agent_id")
+                .distinct()
+                .withColumn("_writes", F.lit(True))
+            )
+            readers = reads.select("agent_id").distinct()
+            ro = readers.join(writers, "agent_id", "left").select(
+                "agent_id",
+                F.coalesce(~F.col("_writes"), F.lit(True)).alias("read_only"),
+            )
+            base = base.join(ro, "agent_id", "left").withColumn(
+                "read_only", F.coalesce("read_only", F.lit(False))
+            )
+        else:
+            base = base.withColumn("read_only", F.lit(None).cast("boolean"))
+
+        ok = (
+            (F.col("growth_severity") == "ok")
+            & (F.col("forgetting_severity") == "ok")
+            & F.coalesce(F.col("revision_severity") == "ok", F.lit(True))
+            & F.coalesce(~F.col("read_only"), F.lit(True))
+        )
+        return base.withColumn("trajectory_ok", ok)
+
     # -- durable store (sources/txlog.py) -------------------------------
 
     def save(self, store_path: str, mode: str = "overwrite") -> int:

@@ -1317,3 +1317,72 @@ def rolling_spike_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (z > 3).alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GEM trajectory-audit growth signal (engine.trajectory_audit signal
+# (a), reference mnemo-compliance trajectory.rs:253-295) as an
+# oracle-able surface: signup events grow a user's active bank, error
+# events shrink it; the running size is audited against a ceiling.
+# ---------------------------------------------------------------------------
+
+_TRAJ_CEILING = 8
+
+
+@query(
+    "trajectory_growth_events",
+    f"""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 1
+                             WHEN 'error' THEN -1 ELSE 0 END AS d
+      FROM events),
+    sized AS (
+      SELECT user_id,
+             sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS active
+      FROM deltas)
+    SELECT user_id,
+           CAST(max(active) AS BIGINT) AS peak_active_size,
+           CAST(count(*) FILTER (WHERE active > {_TRAJ_CEILING}) AS BIGINT)
+             AS growth_breaches,
+           CASE WHEN count(*) FILTER (WHERE active > {_TRAJ_CEILING}) = 0
+                  THEN 'ok'
+                WHEN max(active) <= {2 * _TRAJ_CEILING} THEN 'warn'
+                ELSE 'fail' END AS growth_severity
+    FROM sized GROUP BY user_id
+    """,
+)
+def trajectory_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregulated-growth audit over the driver's event stream: the
+    same running-sum-vs-ceiling fold `engine.trajectory_audit` runs
+    on the audit log (signal (a)), with the reference's severity
+    ladder (any breach warns; peak beyond 2x the ceiling fails)."""
+    e = _t(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "signup", F.lit(1))
+        .when(F.col("event_type") == "error", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = e.select("user_id", F.sum(delta).over(w).alias("active"))
+    out = sized.groupBy("user_id").agg(
+        F.max("active").cast("long").alias("peak_active_size"),
+        F.count_if(F.col("active") > _TRAJ_CEILING)
+        .cast("long")
+        .alias("growth_breaches"),
+    )
+    return out.select(
+        "user_id",
+        "peak_active_size",
+        "growth_breaches",
+        F.when(F.col("growth_breaches") == 0, "ok")
+        .when(F.col("peak_active_size") <= 2 * _TRAJ_CEILING, "warn")
+        .otherwise("fail")
+        .alias("growth_severity"),
+    )

@@ -142,6 +142,7 @@ EXPECT_NONEMPTY = {
     "interevent_gap_stats",
     "path_to_purchase_users",
     "rolling_spike_events",
+    "trajectory_growth_events",
 }
 
 
