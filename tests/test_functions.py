@@ -93,3 +93,57 @@ def test_excerpt_first_nonempty_line(spark):
     )
     got = [r["e"] for r in df.select(excerpt(F.col("t"), 10).alias("e")).collect()]
     assert got == ["real first", "single", ""]
+
+
+# --- recall budget planner (reference budget/{models,planner}.rs) --------
+
+
+def test_budget_planner_no_model_overflows(spark):
+    """The reference's property test: for EVERY model, the planned
+    memory injection + any history within its share + reserves must
+    fit the context window."""
+    from mnemo_spark.functions.budget import (
+        MODEL_TABLE,
+        ContextBudget,
+        apply_plan,
+        plan_recall,
+    )
+
+    rows = [(i, "x" * 10_000, i + 1) for i in range(300)]
+    hits = spark.createDataFrame(rows, "id long, content string, rank int")
+    for model in MODEL_TABLE:
+        b = ContextBudget.for_model(model)
+        plan = plan_recall(b, history_tokens=0)
+        injected = apply_plan(hits, plan)
+        spend = injected.agg({"est_tokens": "sum"}).collect()[0][0]
+        assert injected.count() <= plan.k <= 256
+        assert spend <= b.memory_budget(), model
+        assert (
+            b.system_reserve + b.response_reserve + b.available()
+            == b.total_tokens
+        )
+
+
+def test_budget_fallback_ladder(spark):
+    from mnemo_spark.functions.budget import (
+        DROP_DUPLICATES,
+        NO_FALLBACK,
+        TRUNCATE_OLDEST,
+        ContextBudget,
+        plan_recall,
+    )
+
+    small = ContextBudget.for_model("gpt-5.1-128k")
+    big = ContextBudget.for_model("gemini-2.5-pro-2m")
+    # overflowing history always forces truncation
+    assert plan_recall(small, history_tokens=10**9).fallback == TRUNCATE_OLDEST
+    # 1M-class windows dedup aggressively even with room to spare
+    assert plan_recall(big, history_tokens=0).fallback == DROP_DUPLICATES
+    assert plan_recall(small, history_tokens=0).fallback == NO_FALLBACK
+    # chunk sizing steps with window class
+    assert plan_recall(big, 0).chunk_tokens == 1024
+    assert plan_recall(small, 0).chunk_tokens == 256
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ContextBudget.for_model("unknown-model")
