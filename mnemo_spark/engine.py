@@ -1396,6 +1396,72 @@ class MnemoSparkEngine:
             events=self._append_events(expired),
         )
 
+    # -- diagnostics: doctor report --------------------------------------
+
+    def doctor(self, now=None) -> DataFrame:
+        """Typed health report (reference `mnemo doctor`, v0.4.1
+        DoctorReport/DoctorFix): one row per check with status
+        (ok | warn | fail) and a recommendation. Checks: memory-chain
+        integrity, audit-log integrity, embedder configuration,
+        embedding coverage of live memories, TTL backlog (expired but
+        still present), and soft-delete backlog (deleted but never
+        vacuumed to cold storage)."""
+        now_c = (
+            F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        )
+        mem_breaks = (
+            self.verify_integrity().agg(F.sum("n_breaks")).collect()[0][0] or 0
+        )
+        ev_breaks = (
+            self.verify_event_integrity().agg(F.sum("n_breaks")).collect()[0][0]
+            or 0
+        )
+        live = self.memories.filter(F.col("deleted_at").isNull())
+        counts = live.agg(
+            F.count("*").alias("n_live"),
+            F.count_if(F.col("embedding").isNull()).alias("n_unembedded"),
+            F.count_if(
+                F.col("expires_at").isNotNull() & (F.col("expires_at") < now_c)
+            ).alias("n_expired"),
+        ).collect()[0]
+        n_soft = self.memories.filter(F.col("deleted_at").isNotNull()).count()
+        semantic = getattr(self.embedder, "semantic", True) is not False
+
+        def status(bad, warn_at=1, fail_at=None):
+            if bad == 0:
+                return "ok"
+            if fail_at is not None and bad >= fail_at:
+                return "fail"
+            return "warn" if fail_at is not None else "fail"
+
+        rows = [
+            ("memory_chain", "fail" if mem_breaks else "ok", int(mem_breaks),
+             "re-run verify_integrity per agent and restore from the last "
+             "intact checkpoint" if mem_breaks else "chains verify"),
+            ("audit_chain", "fail" if ev_breaks else "ok", int(ev_breaks),
+             "audit log tampered or truncated — restore from the txlog "
+             "snapshot" if ev_breaks else "chains verify"),
+            ("embedder", "ok" if semantic else "warn", 0 if semantic else 1,
+             "semantic recall refuses without a real embedder; configure "
+             "one (U1)" if not semantic else
+             f"{type(self.embedder).__name__} dim={self.dim}"),
+            ("embedding_coverage",
+             "ok" if counts["n_unembedded"] == 0 else "warn",
+             int(counts["n_unembedded"]),
+             "run an embed backfill batch" if counts["n_unembedded"]
+             else "all live memories embedded"),
+            ("ttl_backlog", "ok" if counts["n_expired"] == 0 else "warn",
+             int(counts["n_expired"]),
+             "run run_ttl_sweep" if counts["n_expired"] else "no expired rows"),
+            ("soft_delete_backlog", "ok" if n_soft == 0 else "warn",
+             int(n_soft),
+             "tier out or vacuum soft-deleted rows" if n_soft
+             else "no soft-deleted rows"),
+        ]
+        return self.spark.createDataFrame(
+            rows, "check string, status string, affected long, recommendation string"
+        )
+
     # -- compliance: GEM trajectory audit --------------------------------
 
     REMOVAL_EVENT_TYPES = (

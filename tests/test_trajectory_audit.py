@@ -110,3 +110,30 @@ def test_read_only_retrieval_signal(eng, spark):
     assert rep["alice"]["read_only"] is False
     # signals not provided default to NULL and do not veto trajectory_ok
     assert rep["bob"]["read_only"] is False or rep["bob"]["read_only"] is None
+
+
+def test_doctor_report_checks(eng, spark):
+    import datetime as dt
+
+    rep = {r["check"]: r for r in eng.doctor(now=T0).collect()}
+    assert set(rep) == {
+        "memory_chain", "audit_chain", "embedder", "embedding_coverage",
+        "ttl_backlog", "soft_delete_backlog",
+    }
+    assert rep["memory_chain"]["status"] == "ok"
+    assert rep["audit_chain"]["status"] == "ok"
+    assert rep["embedder"]["status"] == "ok"
+    # the fixture soft-deleted two memories → backlog warns with count
+    assert rep["soft_delete_backlog"]["status"] == "warn"
+    assert rep["soft_delete_backlog"]["affected"] == 2
+    assert "vacuum" in rep["soft_delete_backlog"]["recommendation"]
+
+    # an unconfigured embedder flips the embedder check to warn
+    from mnemo_spark.functions.embed_batch import NoopEmbedder
+
+    bare = MnemoSparkEngine(
+        spark, memories=eng.memories, events=eng.events,
+        embedder=NoopEmbedder(64),
+    )
+    rep2 = {r["check"]: r for r in bare.doctor(now=T0).collect()}
+    assert rep2["embedder"]["status"] == "warn"
