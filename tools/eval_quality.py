@@ -125,7 +125,39 @@ def evaluate(spark, sf_dir: str, n_q: int = 100) -> dict:
     results["hybrid"] = metrics(
         ranks_of_expected(fused, "query_id", "doc_id", "rrf"), n_total
     )
-    return {"n_queries": n_total, "sf_dir": sf_dir, "strategies": results}
+
+    # token efficiency (BASELINE.md axis: the reference reports 88.7%
+    # reduction, full history ~893 → top-5 slice ~100.6 tokens/query):
+    # tokens the caller would inject per query with naive
+    # whole-corpus stuffing vs the hybrid top-5 slice, ceil(chars/4)
+    full_tokens = docs.agg(
+        F.sum(F.ceil(F.length("text") / 4.0)).alias("t")
+    ).collect()[0]["t"]
+    w5 = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    top5 = (
+        fused.withColumn("r", F.row_number().over(w5))
+        .filter(F.col("r") <= 5)
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    slice_tokens = (
+        top5.groupBy("query_id")
+        .agg(F.sum(F.ceil(F.length("text") / 4.0)).alias("t"))
+        .agg(F.avg("t"))
+        .collect()[0][0]
+    )
+    token_eff = {
+        "full_corpus_tokens": int(full_tokens),
+        "top5_slice_tokens_per_query": round(float(slice_tokens), 1),
+        "reduction_pct": round(
+            100.0 * (1.0 - float(slice_tokens) / float(full_tokens)), 1
+        ),
+    }
+    return {
+        "n_queries": n_total,
+        "sf_dir": sf_dir,
+        "strategies": results,
+        "token_efficiency": token_eff,
+    }
 
 
 def main() -> None:
