@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "path_to_purchase_users",
     "rolling_spike_events",
     "trajectory_growth_events",
+    "abc_customers_orders",
+    "growth_accounting_users",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -1386,3 +1386,126 @@ def trajectory_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("fail")
         .alias("growth_severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto segmentation: customers ranked by revenue, classed by
+# cumulative share (A ≤ 80%, B ≤ 95%, C rest). One aggregation + one
+# ordered window over the customer dimension.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "abc_customers_orders",
+    """
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev,
+             sum(revenue) OVER () AS total_rev
+      FROM rev)
+    SELECT o_custkey, revenue,
+           round(cum_rev / total_rev, 6) AS cum_share,
+           CASE WHEN cum_rev / total_rev <= 0.80 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def abc_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC customer segmentation by cumulative revenue share.
+    The ordered window runs over the customer DIMENSION (one row per
+    customer after the grouped sum), not the fact table — the global
+    ordering is dimension-sized by construction, the same stance as
+    revenue_mom_orders."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum_rev"),
+        F.sum("revenue").over(wt).alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return ranked.select(
+        "o_custkey",
+        "revenue",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: each user-week classed as new / retained /
+# resurrected (vs churned implicitly) — first_seen + previous-active-
+# week lag, then a week-level census. Two window shuffles on user_id,
+# one aggregation on the (small) week axis.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "growth_accounting_users",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    marked AS (
+      SELECT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS first_wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM weeks)
+    SELECT wk,
+           CAST(count(*) FILTER (WHERE wk = first_wk) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (
+             WHERE wk > first_wk AND prev_wk = wk - INTERVAL 7 DAY
+           ) AS BIGINT) AS retained_users,
+           CAST(count(*) FILTER (
+             WHERE wk > first_wk AND prev_wk < wk - INTERVAL 7 DAY
+           ) AS BIGINT) AS resurrected_users
+    FROM marked GROUP BY wk
+    """,
+)
+def growth_accounting_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: per active user-week, new (first
+    week), retained (also active the prior week) or resurrected
+    (returning after a gap). The churn row of the ledger is the
+    complement (last week's actives minus this week's retained) —
+    derivable from these columns, so it is not materialized twice."""
+    e = _t(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("wk")
+    marked = weeks.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(wu).alias("first_wk"),
+        F.lag("wk").over(wo).alias("prev_wk"),
+    )
+    new_u = F.col("wk") == F.col("first_wk")
+    ret = (F.col("wk") > F.col("first_wk")) & (
+        F.col("prev_wk") == F.date_sub(F.col("wk"), 7)
+    )
+    res = (F.col("wk") > F.col("first_wk")) & (
+        F.col("prev_wk") < F.date_sub(F.col("wk"), 7)
+    )
+    return marked.groupBy("wk").agg(
+        F.count_if(new_u).cast("long").alias("new_users"),
+        F.count_if(ret).cast("long").alias("retained_users"),
+        F.count_if(res).cast("long").alias("resurrected_users"),
+    )

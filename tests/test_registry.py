@@ -143,6 +143,8 @@ EXPECT_NONEMPTY = {
     "path_to_purchase_users",
     "rolling_spike_events",
     "trajectory_growth_events",
+    "abc_customers_orders",
+    "growth_accounting_users",
 }
 
 
