@@ -158,3 +158,55 @@ def test_streaming_rollup_merge_matches_batch_and_replays_once(
         (r["user_id"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
         for r in tx.snapshot(spark).collect()
     } == want
+
+
+def test_rollup_sink_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Restart semantics: a second run over the SAME checkpoint after
+    new files land must process ONLY the new micro-batches (Spark's
+    file-source offset log) while the txn watermark keeps replays
+    idempotent — the rollup converges to the batch answer across the
+    restart."""
+    import os
+
+    from mnemo_spark.sources.txlog import TxTable
+    from mnemo_spark.streaming.events import rollup_merge_sink
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    events.filter(F.col("ts") <= cut).coalesce(1).write.parquet(src + "/b0")
+
+    def stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    tx_path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ck")
+    q1 = rollup_merge_sink(stream(), tx_path, ckpt).start()
+    q1.awaitTermination()
+    tx = TxTable(tx_path)
+    v_after_first = tx.latest_version()
+
+    # new data lands; the SAME checkpoint resumes where it left off
+    events.filter(F.col("ts") > cut).coalesce(1).write.parquet(src + "/b1")
+    q2 = rollup_merge_sink(stream(), tx_path, ckpt).start()
+    q2.awaitTermination()
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in tx.snapshot(spark).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in events.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
+    # the restart processed exactly the one new batch
+    assert tx.latest_version() == v_after_first + 1
