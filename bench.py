@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "trajectory_growth_events",
     "abc_customers_orders",
     "growth_accounting_users",
+    "rfm_segments_orders",
+    "copurchase_part_pairs",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -1509,3 +1509,123 @@ def growth_accounting_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(ret).cast("long").alias("retained_users"),
         F.count_if(res).cast("long").alias("resurrected_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quintiles per
+# customer — ntile windows over the customer dimension (the ordering
+# carries a unique tiebreak so both engines cut identical quintiles).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments_orders",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                AS BIGINT) AS r_quintile,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                AS BIGINT) AS f_quintile,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                AS BIGINT) AS m_quintile
+    FROM base
+    """,
+)
+def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile 1 = most recent / most
+    frequent / highest spend. Three ntile windows over the one-row-
+    per-customer aggregate (dimension-sized, same stance as the ABC
+    and MoM surfaces); o_custkey tiebreaks make the cuts exact."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_quintile"),
+        F.ntile(5).over(wf).cast("long").alias("f_quintile"),
+        F.ntile(5).over(wm).cast("long").alias("m_quintile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase affinity: part pairs ordered together, with lift vs
+# independent ordering. The self-join key is the order, so pair
+# volume is bounded by (items-per-order choose 2) — never corpus².
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "copurchase_part_pairs",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM op),
+    marg AS (
+      SELECT l_partkey, count(*) AS n_p FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2)
+    SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_both,
+           round(n.n_orders * p.n_ab / (ma.n_p * mb.n_p), 6) AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.l_partkey = p.part_a
+    JOIN marg mb ON mb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over line items: part pairs co-occurring
+    in ≥2 orders with lift vs independence. The order-keyed self-join
+    bounds pair counts by basket size (single-digit items per order),
+    marginals broadcast — the lineitem-scale sibling of
+    event_pair_lift."""
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    marg = op.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_orders") * F.col("n_ab") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -527,3 +527,9 @@ def test_spike_baseline_excludes_current_day(plans):
     # RANGE -7..-1: the frame must not reach the current row
     assert "RANGE BETWEEN" in p or "specifiedwindowframe(RangeFrame" in p
     assert "-1" in p
+
+
+def test_copurchase_join_is_order_keyed(plans):
+    p = plans("copurchase_part_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # marginals + order-count broadcast

@@ -145,6 +145,8 @@ EXPECT_NONEMPTY = {
     "trajectory_growth_events",
     "abc_customers_orders",
     "growth_accounting_users",
+    "rfm_segments_orders",
+    "copurchase_part_pairs",
 }
 
 
