@@ -202,13 +202,21 @@ class TxTable:
         max_retries: int = 10,
         stats_cols: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        expect_live: list[str] | None = None,
     ) -> int:
         """Commit df (append | overwrite). Returns the version written.
         Data files are written ONCE; only the manifest publish retries
-        on conflict — and an `overwrite` recomputes its removes from
-        the fresh log before each retry, so it never un-publishes a
-        concurrent writer's files silently. stats_cols records per-file
-        min/max in the manifest for predicate-pruned snapshots."""
+        on conflict. An `overwrite` means "table := df": its removes
+        are recomputed from the FRESH log before each retry, so it
+        replaces whatever is current — including a concurrent writer's
+        commit, which is exactly overwrite semantics. Writers whose df
+        was DERIVED from a snapshot (merge / delete_where) must pass
+        `expect_live` = that snapshot's file list: if the live set has
+        moved since, the commit raises CommitConflict instead of
+        silently losing the concurrent update (Delta's serializable
+        write-conflict check); the caller re-reads and re-derives.
+        stats_cols records per-file min/max in the manifest for
+        predicate-pruned snapshots."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         if txn is not None:
@@ -222,6 +230,14 @@ class TxTable:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
             removes = self.live_files() if mode == "overwrite" else []
+            if expect_live is not None and sorted(removes) != sorted(
+                expect_live
+            ):
+                raise CommitConflict(
+                    f"live set moved since the snapshot this commit was "
+                    f"derived from (expected {len(expect_live)} files, "
+                    f"found {len(removes)}); re-read and retry"
+                )
             manifest = {
                 "version": version,
                 "mode": mode,
@@ -265,12 +281,18 @@ class TxTable:
         stats pruning), which this minimal log omits."""
         if self.latest_version() is None:
             return self.commit(updates, mode="append")
+        base_live = self.live_files()
         current = self.snapshot(spark)
         survivors = current.join(
             updates.select(key).distinct(), key, "left_anti"
         )
+        # expect_live pins the snapshot the survivors were derived
+        # from: a concurrent commit landing in between raises
+        # CommitConflict instead of being silently overwritten
         return self.commit(
-            survivors.unionByName(updates), mode="overwrite"
+            survivors.unionByName(updates),
+            mode="overwrite",
+            expect_live=base_live,
         )
 
     def delete_where(self, spark: SparkSession, condition: str) -> int:
@@ -281,8 +303,11 @@ class TxTable:
         with redact-preserving-chain semantics."""
         from pyspark.sql import functions as F
 
+        base_live = self.live_files()
         survivors = self.snapshot(spark).filter(~F.expr(condition))
-        return self.commit(survivors, mode="overwrite")
+        return self.commit(
+            survivors, mode="overwrite", expect_live=base_live
+        )
 
     # -- read ---------------------------------------------------------------
 

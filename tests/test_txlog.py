@@ -324,3 +324,34 @@ def test_schema_evolution_is_additive(spark, sf_dir, tx):
     tagged = snap.filter(F.col("region_tag").isNotNull()).count()
     untagged = snap.filter(F.col("region_tag").isNull()).count()
     assert tagged == b.count() and untagged == a.count()
+
+
+def test_merge_detects_concurrent_write_conflict(spark, sf_dir, tx):
+    """Serializable write-conflict check: a commit landing between
+    merge's snapshot read and its publish must make the merge raise
+    (not silently drop the concurrent rows); re-running the merge on
+    the fresh state succeeds and keeps BOTH updates."""
+    tx.commit(_orders(spark, sf_dir, 0, 100))
+    base_live = tx.live_files()
+    current = tx.snapshot(spark)
+    updates = _orders(spark, sf_dir, 50, 120).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    survivors = current.join(
+        updates.select("o_orderkey").distinct(), "o_orderkey", "left_anti"
+    )
+    # another writer appends while our merge computes
+    concurrent = _orders(spark, sf_dir, 500, 520)
+    tx.commit(concurrent)
+    with pytest.raises(CommitConflict):
+        tx.commit(
+            survivors.unionByName(updates),
+            mode="overwrite",
+            expect_live=base_live,
+        )
+    # the caller's retry path: re-derive from the fresh snapshot
+    tx.merge(spark, updates, key="o_orderkey")
+    snap = tx.snapshot(spark)
+    got_keys = {r["o_orderkey"] for r in snap.collect()}
+    assert {r["o_orderkey"] for r in concurrent.collect()} <= got_keys
+    assert {r["o_orderkey"] for r in updates.collect()} <= got_keys
