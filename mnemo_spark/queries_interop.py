@@ -1,0 +1,337 @@
+"""Interop-crate query surfaces: deal ledger, Mesh policy, code-mode
+token accounting (reference crates/mnemo-deal, mnemo-mesh,
+mnemo-codemode).
+
+Each satellite crate's computation is re-expressed as a relational
+program over the shared test tables and oracle-gated like every other
+registry query. The deals/ops "tables" are deterministic projections
+of `orders`/`events` — the same trick the engine-verb queries use, so
+the driver's DuckDB twin can replay the exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mnemo_spark.functions.codemode import (
+    _CODE_TOKENS_PER_HOST_CALL,
+    _JSON_ENVELOPE_TOKENS,
+    _JSON_PER_RECORD_TOKENS,
+)
+from mnemo_spark.io import load_table
+from mnemo_spark.operators.deal import reputation, sign_deals, verify_deal_chain
+from mnemo_spark.operators.mesh import authorize_ops
+from mnemo_spark.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_DEAL_NOW = "1998-12-31 00:00:00"
+
+
+def _deals_from_orders(orders: DataFrame) -> DataFrame:
+    """Deterministic marketplace projection: each order is one
+    completed deal between its customer and one of 100 synthetic
+    sellers."""
+    return orders.select(
+        F.col("o_orderkey").alias("deal_id"),
+        F.concat(F.lit("cust-"), F.col("o_custkey").cast("string")).alias("buyer"),
+        F.concat(F.lit("seller-"), (F.col("o_custkey") % 100).cast("string")).alias(
+            "seller"
+        ),
+        F.col("o_orderdate").alias("signed_at"),
+        F.col("o_totalprice"),
+    )
+
+
+@query(
+    "deal_reputation_orders",
+    f"""
+    WITH deals AS (
+      SELECT o_orderkey AS deal_id,
+             'cust-' || CAST(o_custkey AS VARCHAR)          AS buyer,
+             'seller-' || CAST(o_custkey % 100 AS VARCHAR)  AS seller,
+             o_orderdate                                    AS signed_at
+      FROM orders
+    ),
+    roles AS (
+      SELECT deal_id, buyer  AS agent, signed_at FROM deals
+      UNION
+      SELECT deal_id, seller AS agent, signed_at FROM deals
+    ),
+    aged AS (
+      SELECT agent,
+             greatest(0, CAST(epoch(TIMESTAMP '{_DEAL_NOW}') AS BIGINT)
+                         - CAST(epoch(signed_at) AS BIGINT)) AS age_s
+      FROM roles
+    ),
+    hist AS (
+      SELECT agent,
+             count(*)                                              AS completed,
+             sum(power(0.5, age_s / (90.0 * 24 * 3600)))           AS wt,
+             sum(age_s * 1000)                                     AS settle_ms
+      FROM aged GROUP BY agent
+    ),
+    disp AS (
+      SELECT 'seller-' || CAST(o_custkey % 100 AS VARCHAR) AS agent,
+             count(*) AS disputed
+      FROM orders WHERE o_orderkey % 101 = 0 GROUP BY 1
+    )
+    SELECT h.agent,
+           CAST(h.completed AS BIGINT)                             AS completed,
+           CAST(coalesce(d.disputed, 0) AS BIGINT)                 AS disputed,
+           CAST(floor(CAST(h.settle_ms AS DOUBLE) / h.completed) AS BIGINT)
+                                                                   AS mean_settlement_ms,
+           round(h.wt, 6)                                          AS weighted_total,
+           round(CASE WHEN h.wt < 1e-6 THEN 0.5
+                 ELSE least(1.0, greatest(0.0,
+                      (h.wt - coalesce(d.disputed, 0) * 0.1 * h.wt) / h.wt)) END, 6)
+                                                                   AS score
+    FROM hist h LEFT JOIN disp d USING (agent)
+    WHERE h.agent LIKE 'seller-%'
+    """,
+)
+def deal_reputation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisory deal reputation per seller (reference
+    mnemo-deal/src/reputation.rs:54-103 via operators/deal.py
+    reputation): 90-day half-life decay, 10%-per-dispute penalty,
+    integer-division mean settlement. Disputes are the deterministic
+    o_orderkey % 101 slice filed against the deal's seller.
+
+    Scale: two map-side-combinable aggregations (roles, disputes) +
+    one broadcast-sized join on agent — no row blowup anywhere.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    deals = _deals_from_orders(orders)
+    disputes = deals.filter(F.col("deal_id") % 101 == 0).select(
+        F.col("seller").alias("agent")
+    )
+    rep = reputation(deals, disputes, _DEAL_NOW)
+    return rep.filter(F.col("agent").startswith("seller-"))
+
+
+@query("deal_chain_verify_orders")
+def deal_chain_verify_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-HMAC deal ledgers: sign, then verify both a pristine
+    and a tampered copy (reference mnemo-deal envelope.rs:38-108 sign
+    / next_prev_hash; dispute.rs:24-43 verify_chain).
+
+    Self-verifying rows-only check (`valid` must be uniformly true):
+    per seller ledger, the pristine chain must verify ok AND the
+    terms-tampered copy must pinpoint exactly the first tampered
+    offset as an hmac_mismatch — the reference's
+    tampered_terms_pinpoint_offset test, run across every ledger at
+    once. HMAC has no DuckDB twin, hence no SQL oracle (driver
+    records the rows-only check).
+    """
+    key = b"deal-ledger-verification-key-32b!"
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    deals = _deals_from_orders(orders).select(
+        F.col("deal_id").cast("string").alias("deal_id"),
+        "buyer",
+        "seller",
+        F.concat(
+            F.lit('{"total":'),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.lit("}"),
+        ).alias("terms"),
+        F.date_format("signed_at", "yyyy-MM-dd HH:mm:ss").alias("signed_at"),
+    )
+    signed = sign_deals(deals, key, ["seller"], ["signed_at", "deal_id"])
+    w = Window.partitionBy("seller").orderBy("signed_at", "deal_id")
+    offs = signed.withColumn("_off", F.row_number().over(w) - 1)
+    tamper = F.col("deal_id").cast("long") % 1000 == 0
+    tampered = offs.withColumn(
+        "terms", F.when(tamper, F.concat(F.col("terms"), F.lit("!"))).otherwise(F.col("terms"))
+    )
+    first_bad = (
+        offs.filter(tamper)
+        .groupBy("seller")
+        .agg(F.min("_off").alias("first_bad"))
+    )
+    v_clean = verify_deal_chain(signed, key, ["seller"], ["signed_at", "deal_id"]).select(
+        "seller", "n_deals", F.col("ok").alias("clean_ok")
+    )
+    v_tam = verify_deal_chain(
+        tampered.drop("_off"), key, ["seller"], ["signed_at", "deal_id"]
+    ).select(
+        "seller",
+        F.col("ok").alias("tam_ok"),
+        F.col("divergent_offset").alias("tam_off"),
+        F.col("reason").alias("tam_reason"),
+    )
+    joined = (
+        v_clean.join(v_tam, "seller").join(F.broadcast(first_bad), "seller", "left")
+    )
+    valid = F.col("clean_ok") & F.when(
+        F.col("first_bad").isNull(), F.col("tam_ok")
+    ).otherwise(
+        (~F.col("tam_ok"))
+        & (F.col("tam_off") == F.col("first_bad"))
+        & (F.col("tam_reason") == "hmac_mismatch")
+    )
+    return joined.select(
+        F.col("seller").alias("ledger"), "n_deals", valid.alias("valid")
+    ).orderBy("ledger")
+
+
+_OP_CASE = (
+    "CASE CAST(event_id % 6 AS INT) WHEN 0 THEN 'recall' WHEN 1 THEN 'write' "
+    "WHEN 2 THEN 'forget' WHEN 3 THEN 'branch' WHEN 4 THEN 'replay_as_of' "
+    "ELSE 'export_provenance' END"
+)
+
+
+@query(
+    "mesh_policy_events",
+    f"""
+    WITH ops AS (
+      SELECT CASE WHEN user_id % 97 = 0 THEN NULL
+                  ELSE 'spiffe://t' || CAST(user_id % 7 AS VARCHAR)
+                       || '/agent-' || CAST(user_id % 50 AS VARCHAR) END AS spiffe_id,
+             CASE WHEN user_id % 89 = 0 THEN '' ELSE 'att-' || CAST(user_id AS VARCHAR) END
+                                                                        AS attestation,
+             't' || CAST(user_id % 7 AS VARCHAR)                        AS tenant,
+             event_type                                                 AS scope,
+             {_OP_CASE}                                                 AS op,
+             user_id
+      FROM events
+    ),
+    rules AS (
+      SELECT DISTINCT spiffe_id, tenant, scope, 'recall' AS op
+      FROM ops WHERE spiffe_id IS NOT NULL AND user_id % 3 <> 0
+      UNION
+      SELECT DISTINCT spiffe_id, tenant, scope, 'write' AS op
+      FROM ops WHERE spiffe_id IS NOT NULL AND user_id % 6 = 1
+    ),
+    decided AS (
+      SELECT o.op,
+             CASE WHEN o.spiffe_id IS NULL THEN 'deny_missing_identity'
+                  WHEN o.attestation = '' THEN 'deny_empty_attestation'
+                  WHEN r.op IS NOT NULL THEN 'allow'
+                  ELSE 'deny' END AS decision
+      FROM ops o LEFT JOIN rules r
+        ON o.spiffe_id = r.spiffe_id AND o.tenant = r.tenant
+       AND o.scope = r.scope AND o.op = r.op
+    )
+    SELECT op, decision, count(*) AS n
+    FROM decided GROUP BY op, decision
+    """,
+)
+def mesh_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mesh per-namespace ACL enforcement over an ops stream
+    (reference mnemo-mesh/src/policy.rs:93-121 via
+    operators/mesh.py authorize_ops): every event becomes one
+    attempted privileged op; a deterministic manifest of allow rules
+    is derived from the same stream; decisions aggregate by (op,
+    decision).
+
+    Scale: the rules manifest is broadcast (a manifest is small by
+    construction); the ops side never shuffles except the final
+    |ops|→|groups| count aggregation.
+    """
+    e = _t(spark, sf_dir, "events")
+    ops = e.select(
+        F.when(F.col("user_id") % 97 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.lit("spiffe://t"), (F.col("user_id") % 7).cast("string"),
+                F.lit("/agent-"), (F.col("user_id") % 50).cast("string"),
+            )
+        ).alias("spiffe_id"),
+        F.when(F.col("user_id") % 89 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("att-"), F.col("user_id").cast("string"))
+        ).alias("attestation"),
+        F.concat(F.lit("t"), (F.col("user_id") % 7).cast("string")).alias("tenant"),
+        F.col("event_type").alias("scope"),
+        F.expr(_OP_CASE).alias("op"),
+        "user_id",
+    )
+    recall_rules = (
+        ops.filter(F.col("spiffe_id").isNotNull() & (F.col("user_id") % 3 != 0))
+        .select("spiffe_id", "tenant", "scope", F.lit("recall").alias("op"))
+        .distinct()
+    )
+    write_rules = (
+        ops.filter(F.col("spiffe_id").isNotNull() & (F.col("user_id") % 6 == 1))
+        .select("spiffe_id", "tenant", "scope", F.lit("write").alias("op"))
+        .distinct()
+    )
+    rules = recall_rules.unionByName(write_rules)
+    decided = authorize_ops(ops.drop("user_id"), rules)
+    return decided.groupBy("op", "decision").agg(F.count("*").alias("n"))
+
+
+@query(
+    "code_mode_savings_docs",
+    f"""
+    WITH ranked AS (
+      SELECT lang, text,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ),
+    bundles AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS record_tokens
+      FROM ranked WHERE rn <= 5 GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST({_JSON_ENVELOPE_TOKENS}
+                + ceil(length('notes about ' || lang) / 4.0)
+                + n_docs * {_JSON_PER_RECORD_TOKENS} + record_tokens AS BIGINT)
+                                                             AS json_tokens,
+           CAST(ceil(length('notes about ' || lang) / 4.0)
+                + (1 + n_docs) * {_CODE_TOKENS_PER_HOST_CALL} + record_tokens AS BIGINT)
+                                                             AS code_tokens,
+           round(100.0 * ({_JSON_ENVELOPE_TOKENS} + n_docs * {_JSON_PER_RECORD_TOKENS}
+                          - (1 + n_docs) * {_CODE_TOKENS_PER_HOST_CALL})
+                 / ({_JSON_ENVELOPE_TOKENS}
+                    + ceil(length('notes about ' || lang) / 4.0)
+                    + n_docs * {_JSON_PER_RECORD_TOKENS} + record_tokens), 4)
+                                                             AS envelope_savings_pct
+    FROM bundles
+    """,
+)
+def code_mode_savings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-mode vs JSON-tool-mode token accounting per language
+    bundle (reference mnemo-codemode/src/token.rs:13-44 estimators;
+    runner.rs guest_token_cost). Each lang's bundle = its 5 longest
+    documents recalled once + cited once each; savings is the
+    envelope overhead code mode eliminates.
+
+    Scale: one window (partitioned by lang) + one aggregation — the
+    documents scan reads only (lang, text, n_chars, doc_id).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    qtok = F.ceil(F.length(F.concat(F.lit("notes about "), F.col("lang"))) / 4.0)
+    bundles = ranked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.ceil(F.length("text") / 4.0)).alias("record_tokens"),
+        F.first(qtok).alias("_qtok"),
+    )
+    json_tokens = (
+        F.lit(_JSON_ENVELOPE_TOKENS)
+        + F.col("_qtok")
+        + F.col("n_docs") * _JSON_PER_RECORD_TOKENS
+        + F.col("record_tokens")
+    )
+    code_tokens = (
+        F.col("_qtok")
+        + (F.col("n_docs") + 1) * _CODE_TOKENS_PER_HOST_CALL
+        + F.col("record_tokens")
+    )
+    return bundles.select(
+        "lang",
+        "n_docs",
+        json_tokens.cast("long").alias("json_tokens"),
+        code_tokens.cast("long").alias("code_tokens"),
+        F.round(100.0 * (json_tokens - code_tokens) / json_tokens, 4).alias(
+            "envelope_savings_pct"
+        ),
+    )

@@ -1358,6 +1358,7 @@ from mnemo_spark import (  # noqa: E402,F401
     queries_analytics,
     queries_embed,
     queries_engine,
+    queries_interop,
     queries_lifecycle,
     queries_pipeline,
     queries_recall,
