@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "growth_accounting_users",
     "rfm_segments_orders",
     "copurchase_part_pairs",
+    # round-4 interop surfaces
+    "deal_reputation_orders",
+    "deal_chain_verify_orders",
+    "mesh_policy_events",
+    "code_mode_savings_docs",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

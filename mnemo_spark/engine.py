@@ -1379,6 +1379,87 @@ class MnemoSparkEngine:
 
     # -- lifecycle -------------------------------------------------------
 
+    def quarantine(
+        self, ids: list[str], reason: str = "Quarantined by admin", now=None
+    ) -> "MnemoSparkEngine":
+        """Poisoning-defense quarantine (reference
+        mnemo-admin/src/handlers.rs:301-321): stamp `quarantined` with
+        the reason; every recall path already excludes quarantined
+        rows (visible_to / conflict / consolidation filters), so the
+        record is replayable-but-invisible, never deleted. Appends a
+        MemoryQuarantine audit event per target."""
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        hit = F.col("id").isin(ids)
+        stamped = self.memories.withColumn(
+            "quarantined", F.when(hit, F.lit(reason)).otherwise(F.col("quarantined"))
+        )
+        events = self._append_events(
+            self.memories.filter(hit).select(
+                "agent_id",
+                F.lit("MemoryQuarantine").alias("event_type"),
+                F.col("id").alias("memory_id"),
+                now_c.alias("ts"),
+            )
+        )
+        return self._clone(memories=stamped, events=events)
+
+    def unquarantine(self, ids: list[str], now=None) -> "MnemoSparkEngine":
+        """Release from quarantine (handlers.rs:324-344): clear the
+        flag, append a MemoryUnquarantine audit event."""
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        hit = F.col("id").isin(ids)
+        stamped = self.memories.withColumn(
+            "quarantined",
+            F.when(hit, F.lit(None).cast("string")).otherwise(F.col("quarantined")),
+        )
+        events = self._append_events(
+            self.memories.filter(hit).select(
+                "agent_id",
+                F.lit("MemoryUnquarantine").alias("event_type"),
+                F.col("id").alias("memory_id"),
+                now_c.alias("ts"),
+            )
+        )
+        return self._clone(memories=stamped, events=events)
+
+    def admin_stats(self) -> dict:
+        """Admin dashboard stats (handlers.rs:128-158 StatsResponse).
+        The reference pages through list_memories/list_events with a
+        10k limit per agent because its storage trait lacks count and
+        distinct queries; the relational engine computes the same
+        three numbers as two exact aggregations — no cap, no paging
+        loop."""
+        mem = self.memories.agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_set("agent_id")).alias("agents"),
+        ).collect()[0]
+        return {
+            "memory_count": mem["n"],
+            "event_count": self.events.count(),
+            "agent_ids": list(mem["agents"]),
+        }
+
+    def expire(
+        self, ids: list[str], ttl_seconds: int | None = None, now=None
+    ) -> "MnemoSparkEngine":
+        """AMP `expire` (reference mnemo-amp/src/lib.rs op table: thin
+        composition "set expires_at + run_ttl_sweep" — there is no
+        engine.expire upstream either): stamp expires_at = now +
+        ttl_seconds on the targets (omitted/0 → immediate), then run
+        the ordinary TTL sweep so an immediate expire removes the rows
+        and appends their MemoryExpired audit events in one verb."""
+        now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        exp = (
+            F.timestamp_add("SECOND", F.lit(int(ttl_seconds)), now_c)
+            if ttl_seconds
+            else now_c
+        )
+        stamped = self.memories.withColumn(
+            "expires_at",
+            F.when(F.col("id").isin(ids), exp).otherwise(F.col("expires_at")),
+        )
+        return self._clone(memories=stamped).run_ttl_sweep(now=now)
+
     def run_ttl_sweep(self, now=None) -> "MnemoSparkEngine":
         now_c = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
         expired = self.memories.filter(

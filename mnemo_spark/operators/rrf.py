@@ -84,3 +84,37 @@ def rrf_fuse(
         w_final = Window.partitionBy(_GPART).orderBy(*order)
         out = _const_partition(fused).withColumn("rank", F.row_number().over(w_final))
     return out.select(F.col("_id").alias(id_col), "rrf_score", "rank")
+
+
+def max_fuse(
+    lanes: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    limit: int | None = None,
+) -> DataFrame:
+    """Max-score fusion → (id, max_score, rank) (reference AMP router,
+    mnemo-amp/src/router.rs `max_fuse`).
+
+    fused(id) = max over lanes of the lane score. Shipped next to RRF
+    because the AMP cross-adapter conformance suite uses the pair to
+    demonstrate RRF's robustness to a single adversarial rank-0
+    injection that max-fusion is fooled by (router.rs:10-13) — one
+    poisoned lane saturates max_fuse but shifts an RRF sum by at most
+    one reciprocal term. Same single candidate-sized shuffle as
+    rrf_fuse.
+    """
+    unioned = None
+    for lane in lanes.values():
+        c = lane.select(
+            F.col(id_col).alias("_id"),
+            F.round(F.col(score_col), ROUND_DP).alias("_s"),
+        )
+        unioned = c if unioned is None else unioned.unionByName(c)
+    fused = unioned.groupBy("_id").agg(F.max("_s").alias("max_score"))
+    order = [F.desc("max_score"), F.asc("_id")]
+    if limit is not None:
+        out = top_k_ranked(fused, order, limit)
+    else:
+        w_final = Window.partitionBy(_GPART).orderBy(*order)
+        out = _const_partition(fused).withColumn("rank", F.row_number().over(w_final))
+    return out.select(F.col("_id").alias(id_col), "max_score", "rank")

@@ -583,6 +583,80 @@ def ivf_topk(
     )
 
 
+def ivf_write_partitioned(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> None:
+    """Materialize the IVF layout: the corpus written partitioned by
+    its nearest-centroid cell (the inverted list ON DISK).
+
+    This is the documented 100-TB posture of `ivf_topk` made
+    physical: at scale the assignment pass runs once per snapshot and
+    every probe afterwards touches only nprobe partition directories —
+    partition pruning at the FileScan, not a post-scan filter.
+    """
+    assigned = assign_cells(
+        corpus, centroids, corpus_id, corpus_vec, cent_id, cent_vec
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Probe an `ivf_write_partitioned` layout: compute each query's
+    nprobe cells from the codebook driver-side (identical contract to
+    ivf_topk's probe map), push ONE `cent_id IN (...)` predicate into
+    the scan — Catalyst prunes to the probed partition directories —
+    then score only the surviving rows. Results are identical to
+    ivf_topk over the full corpus: rows outside probed cells can never
+    contribute to any query's candidate set.
+    """
+    cids, C = _collect_vec_side(centroids, cent_id, cent_vec)
+    qids, Q = _collect_vec_side(queries, query_id, query_vec)
+    if C is None or Q is None:
+        raise ValueError("probe requires non-NULL centroid and query vectors")
+    cn = np.sqrt((C * C).sum(axis=1))
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    denom = np.outer(qn, cn)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(
+            denom > 0.0, (Q @ C.T) / np.where(denom == 0.0, 1.0, denom), -np.inf
+        )
+    order = np.argsort(-sims, axis=1, kind="stable")
+    probed = sorted({cids[int(ci)] for qi in range(len(qids)) for ci in order[qi, :nprobe]})
+    pruned = spark.read.parquet(path).filter(F.col("cent_id").isin(probed))
+    return ivf_topk(
+        pruned.select(corpus_id, corpus_vec),
+        queries,
+        centroids,
+        nprobe,
+        k,
+        corpus_id,
+        corpus_vec,
+        query_id,
+        query_vec,
+        cent_id,
+        cent_vec,
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,
