@@ -170,3 +170,40 @@ def test_rrf_robust_to_rank0_injection_max_is_fooled(spark):
     top_rrf = rrf_fuse(lanes, limit=1).collect()[0]["doc_id"]
     assert top_max == "poison"  # fooled
     assert top_rrf == "good"  # robust
+
+
+def test_letta_agent_lifecycle(spark):
+    """Letta state mapping (reference mnemo-letta/src/handlers.rs):
+    create with blocks → message persists episodic + replies from
+    recall → core memory returns the newest block per label."""
+    from mnemo_spark.functions.letta import core_memory, create_agent, send_message
+
+    eng = MnemoSparkEngine(spark)
+    eng, aid = create_agent(
+        eng, T0, persona="terse and helpful", human="prefers bullet lists"
+    )
+    assert aid.startswith("letta-")
+    blocks = {r["block"]: r["content"] for r in core_memory(eng, aid).collect()}
+    assert blocks == {
+        "persona": "terse and helpful",
+        "human": "prefers bullet lists",
+    }
+    # first message starts fresh-ish (blocks are semantic, recallable)
+    eng, reply = send_message(
+        eng, aid, "remember that the deploy window is friday",
+        T0 + dt.timedelta(seconds=1),
+    )
+    assert reply.startswith("Recalled") or "starting fresh" in reply
+    eng, reply2 = send_message(
+        eng, aid, "when is the deploy window?", T0 + dt.timedelta(seconds=2)
+    )
+    assert "deploy window is friday" in reply2
+    # updating a block supersedes, never duplicates (current-fact)
+    from mnemo_spark.functions.letta import _store_block
+
+    eng = _store_block(eng, aid, "persona", "now verbose",
+                       T0 + dt.timedelta(seconds=3))
+    blocks2 = {r["block"]: r["content"] for r in core_memory(eng, aid).collect()}
+    assert blocks2["persona"] == "now verbose" and len(blocks2) == 2
+    with pytest.raises(ValueError, match="content is required"):
+        send_message(eng, aid, "   ", T0)

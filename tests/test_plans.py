@@ -533,3 +533,34 @@ def test_copurchase_join_is_order_keyed(plans):
     p = plans("copurchase_part_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # marginals + order-count broadcast
+
+
+def test_mesh_rules_manifest_is_broadcast(plans):
+    """mesh_policy_events: the decision join must broadcast the rules
+    manifest — at 100 TB the ops stream never shuffles for a manifest
+    that fits in one executor's memory by construction."""
+    p = plans("mesh_policy_events")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # and the final (op, decision) count is map-side partial
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_deal_reputation_no_row_blowup(plans):
+    """deal_reputation_orders: roles union + two aggregations + one
+    broadcast-sized join on agent — no cartesian anywhere, and the
+    aggregate is map-side partial before the agent shuffle."""
+    p = plans("deal_reputation_orders")
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_code_mode_savings_scan_prunes_columns(plans):
+    """code_mode_savings_docs reads only (lang, text, n_chars, doc_id)
+    — a scan fetching the full documents row would drag every body
+    through the window at 100 TB."""
+    p = plans("code_mode_savings_docs")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"lang", "text", "n_chars", "doc_id"}

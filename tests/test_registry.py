@@ -159,6 +159,7 @@ ORACLE_EXEMPT = {
     "approx_distinct_events",  # sketch estimators differ across engines
     "approx_quantiles_lineitem",  # same: error-bound self-check instead
     "approx_topk_terms_docs",  # same: exactness self-check vs exact counts
+    "deal_chain_verify_orders",  # HMAC has no DuckDB twin; `valid` self-check
 }
 
 
