@@ -16,6 +16,10 @@ programs over a single Parquet-backed store:
   n-gram Jaccard / embedding), similarity search (brute-force + LSH),
   text analysis (lang-id, quality, token counts, fingerprints),
   multimodal binary-column plumbing
+- satellite-crate interop: deal ledger (chained-HMAC sign/verify/
+  reputation), Mesh namespace ACL + audit chaining, AMP 5-op envelope
+  adapter with HITL approval, CMA markdown-tree shim, Letta state
+  mapping, code-mode recall budgeting, attention-state blob store
 
 Design stance (SURVEY.md §7): DataFrames everywhere, no sidecar
 indexes, every operator a pure transformation so Catalyst plans it;
