@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "deal_chain_verify_orders",
     "mesh_policy_events",
     "code_mode_savings_docs",
+    "consent_gate_events",
+    "retention_audit_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -335,3 +335,159 @@ def code_mode_savings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "envelope_savings_pct"
         ),
     )
+
+
+_CONSENT_NOW = "2024-02-01 00:00:00"
+
+
+def _consent_tables(spark: SparkSession, sf_dir: str):
+    e = _t(spark, sf_dir, "events")
+    subs = e.select((F.col("user_id") % 200).alias("s")).distinct()
+    writes = e.select(
+        F.concat(F.lit("subj-"), (F.col("user_id") % 200).cast("string")).alias(
+            "subject_id"
+        ),
+        F.col("event_type").alias("scope"),
+    )
+    lanes = []
+    for scope, mod in (("view", 2), ("click", 3), ("purchase", 5)):
+        lanes.append(
+            subs.filter((F.col("s") % 13 != 0) & (F.col("s") % mod == 0)).select(
+                F.concat(F.lit("subj-"), F.col("s").cast("string")).alias("subject_id"),
+                F.lit(scope).alias("scope"),
+                F.when(
+                    F.col("s") % 11 == 0, F.lit("2023-06-01 00:00:00")
+                ).cast("timestamp").alias("expires_at"),
+                F.concat(
+                    F.lit("tok-"), F.col("s").cast("string"), F.lit("-"), F.lit(scope)
+                ).alias("token_sha256"),
+                (F.col("s") % 17 == 0).alias("revoked"),
+            )
+        )
+    consents = lanes[0].unionByName(lanes[1]).unionByName(lanes[2])
+    return writes, consents
+
+
+@query(
+    "consent_gate_events",
+    f"""
+    WITH subs AS (SELECT DISTINCT user_id % 200 AS s FROM events),
+    cons AS (
+      SELECT 'subj-' || CAST(s AS VARCHAR) AS subject_id, 'view' AS scope,
+             CASE WHEN s % 11 = 0 THEN TIMESTAMP '2023-06-01' END AS expires_at,
+             (s % 17 = 0) AS revoked
+      FROM subs WHERE s % 13 <> 0 AND s % 2 = 0
+      UNION ALL
+      SELECT 'subj-' || CAST(s AS VARCHAR), 'click',
+             CASE WHEN s % 11 = 0 THEN TIMESTAMP '2023-06-01' END,
+             (s % 17 = 0)
+      FROM subs WHERE s % 13 <> 0 AND s % 3 = 0
+      UNION ALL
+      SELECT 'subj-' || CAST(s AS VARCHAR), 'purchase',
+             CASE WHEN s % 11 = 0 THEN TIMESTAMP '2023-06-01' END,
+             (s % 17 = 0)
+      FROM subs WHERE s % 13 <> 0 AND s % 5 = 0
+    ),
+    writes AS (
+      SELECT 'subj-' || CAST(user_id % 200 AS VARCHAR) AS subject_id,
+             event_type AS scope
+      FROM events
+    ),
+    per_subject AS (
+      SELECT subject_id,
+             max(CASE WHEN expires_at IS NULL
+                       OR expires_at > TIMESTAMP '{_CONSENT_NOW}'
+                 THEN 1 ELSE 0 END) AS has_active
+      FROM cons GROUP BY subject_id
+    ),
+    grants AS (
+      SELECT subject_id, scope,
+             max(CASE WHEN NOT revoked THEN 1 ELSE 0 END) AS live
+      FROM cons
+      WHERE expires_at IS NULL OR expires_at > TIMESTAMP '{_CONSENT_NOW}'
+      GROUP BY subject_id, scope
+    ),
+    dec AS (
+      SELECT w.scope,
+             CASE WHEN p.subject_id IS NULL THEN 'deny_no_consent'
+                  WHEN p.has_active = 0 THEN 'deny_expired'
+                  WHEN g.scope IS NULL THEN 'deny_scope'
+                  WHEN g.live = 0 THEN 'deny_revoked'
+                  ELSE 'allow' END AS decision
+      FROM writes w
+      LEFT JOIN per_subject p ON p.subject_id = w.subject_id
+      LEFT JOIN grants g ON g.subject_id = w.subject_id AND g.scope = w.scope
+    )
+    SELECT scope, decision, count(*) AS n FROM dec GROUP BY scope, decision
+    """,
+)
+def consent_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPDPA consent gate over a processing stream (reference
+    mnemo-compliance consent.rs ConsentState + mannsetu.rs
+    ConsentTokenGuard, via operators/compliance.consent_gate): every
+    event is an attempted processing op; the consent-manager snapshot
+    is a deterministic projection of the subject universe; decisions
+    aggregate by (scope, decision) through the guard's refusal ladder
+    (missing → expired → scope → revoked → allow).
+
+    Scale: consents broadcast (manifest-sized); the write stream
+    shuffles only for the final |groups| count.
+    """
+    from mnemo_spark.operators.compliance import consent_gate
+
+    writes, consents = _consent_tables(spark, sf_dir)
+    decided = consent_gate(writes, consents, _CONSENT_NOW)
+    return decided.groupBy("scope", "decision").agg(F.count("*").alias("n"))
+
+
+@query("retention_audit_events")
+def retention_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-conformance check (reference mnemo-compliance
+    retention.rs verify_path via operators/compliance
+    .retention_verify_path): snapshot the event log, then audit two
+    deletion paths — a lawful TTL sweep dropping only rows OUTSIDE a
+    30-day floor, and a violating compaction that both drops young
+    rows and rewrites retained hashes.
+
+    Self-verifying rows-only check (`valid` uniformly true): the
+    lawful path must report ok with zero in-floor drops, the
+    violating path must be flagged with in-floor drops AND rewrites
+    pinned to the exact tampered counts. (The report row set depends
+    on two full snapshot diffs — no closed-form SQL twin.)
+    """
+    from mnemo_spark.operators.compliance import retention_verify_path
+
+    now = "2024-02-15 00:00:00"
+    e = _t(spark, sf_dir, "events")
+    before = e.select(
+        "event_id",
+        "ts",
+        F.sha2(F.col("props"), 256).alias("content_hash"),
+        F.sha2(F.col("event_type"), 256).alias("prev_hash"),
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    lawful_after = before.filter(F.col("ts") >= cutoff)
+    drop_young = (F.col("event_id") % 37 == 0) & (F.col("ts") >= cutoff)
+    rewrite = (F.col("event_id") % 41 == 0) & ~drop_young
+    bad_after = before.filter(~drop_young).withColumn(
+        "content_hash",
+        F.when(rewrite, F.sha2(F.concat(F.col("content_hash"), F.lit("!")), 256))
+        .otherwise(F.col("content_hash")),
+    )
+    n_drop = before.filter(drop_young).count()
+    n_rewrite = before.filter(rewrite).count()
+    lawful = retention_verify_path(
+        before, lawful_after, "ttl_sweep", now, floor_days=30
+    ).select("path", "profile", "dropped_total", "dropped_in_floor", "rewritten",
+             F.col("ok").alias("valid"))
+    flagged = retention_verify_path(
+        before, bad_after, "bad_compaction", now, floor_days=30
+    ).select(
+        "path", "profile", "dropped_total", "dropped_in_floor", "rewritten",
+        (
+            (~F.col("ok"))
+            & (F.col("dropped_in_floor") == n_drop)
+            & (F.col("rewritten") == n_rewrite)
+        ).alias("valid"),
+    )
+    return lawful.unionByName(flagged)

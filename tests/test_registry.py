@@ -160,6 +160,7 @@ ORACLE_EXEMPT = {
     "approx_quantiles_lineitem",  # same: error-bound self-check instead
     "approx_topk_terms_docs",  # same: exactness self-check vs exact counts
     "deal_chain_verify_orders",  # HMAC has no DuckDB twin; `valid` self-check
+    "retention_audit_events",  # two-snapshot diff report; `valid` self-check
 }
 
 
