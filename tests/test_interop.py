@@ -255,3 +255,29 @@ def test_attention_state_roundtrip(spark):
     # subject erasure returns the removal count (lib.rs:157-161)
     assert st.delete_for_agent("a1") == 1
     assert st.get("a1", "p1") is None
+
+
+def test_golem_vector_host(spark):
+    """golem:vector host imports (reference mnemo-golem-host
+    lib.rs:93-109): upsert/search/delete over the collection→agent_id
+    namespace; search takes the precomputed vector natively (the gap
+    the reference documents as a future row)."""
+    from mnemo_spark.functions.golem import MnemoGolemHost
+
+    host = MnemoGolemHost(spark)
+    host.upsert_vector("c1", "a", [1.0, 0.0, 0.0])
+    host.upsert_vector("c1", "b", [0.0, 1.0, 0.0])
+    host.upsert_vector("c2", "z", [1.0, 0.0, 0.0])
+    got = host.search_vectors("c1", [1.0, 0.1, 0.0], limit=2)
+    assert [g[0] for g in got] == ["a", "b"]  # collection-isolated: no z
+    assert got[0][1] > got[1][1]
+    # upsert replaces under (collection, id) — LWW
+    host.upsert_vector("c1", "a", [0.0, 0.0, 1.0])
+    got2 = host.search_vectors("c1", [0.5, 0.8, 0.0], limit=1)
+    assert got2[0][0] == "b"  # a's replaced vector is orthogonal to the probe
+    assert host.delete_vectors("c1", ["a", "missing"]) == 1
+    assert [g[0] for g in host.search_vectors("c1", [0.0, 1.0, 0.0], 5)] == ["b"]
+    with pytest.raises(ValueError, match="empty vector"):
+        host.upsert_vector("c1", "x", [])
+    with pytest.raises(ValueError, match="empty query"):
+        host.search_vectors("c1", [])
