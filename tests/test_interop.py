@@ -281,3 +281,21 @@ def test_golem_vector_host(spark):
         host.upsert_vector("c1", "x", [])
     with pytest.raises(ValueError, match="empty query"):
         host.search_vectors("c1", [])
+
+
+@pytest.mark.parametrize("offset", [0, 1, 5, 9])
+def test_deal_tamper_any_offset_pinpointed(spark, offset):
+    """Property (dispute.rs contract): tampering ANY single envelope's
+    terms is pinpointed at exactly that offset — not before, not
+    after — because the HMAC covers the canonical bytes and every
+    later prev_hash inherits the break."""
+    signed = _chain(spark, 10)
+    tampered = signed.withColumn(
+        "terms",
+        F.when(F.col("deal_id") == f"d{offset:03d}", F.lit("{tampered}")).otherwise(
+            F.col("terms")
+        ),
+    )
+    r = verify_deal_chain(tampered, KEY, ["ledger"], ["signed_at", "deal_id"]).collect()[0]
+    assert not r["ok"] and r["divergent_offset"] == offset
+    assert r["reason"] == "hmac_mismatch"
