@@ -24,3 +24,18 @@ def test_agent_memory_demo_example(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["bob_sees_secret"] is False
     assert out["chain_intact_after_roundtrip"] is True
+
+
+def test_interop_tour_example(capsys):
+    from examples import interop_tour as ex
+
+    ex.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["amp_stored"] and out["amp_rejected_secret"]
+    assert out["letta_blocks"] == 2 and out["letta_reply_recalled"]
+    assert out["mesh_decisions"] == ["allow", "deny_namespace_mismatch"]
+    assert out["mesh_chain_linked"]
+    assert out["deal_dispute_offset"] == 3
+    assert out["cma_roundtrip_stable"]
+    assert out["consent_decisions"] == ["allow", "deny_no_consent"]
+    assert out["audit_lines_verified"] >= 1
