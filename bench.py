@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "code_mode_savings_docs",
     "consent_gate_events",
     "retention_audit_events",
+    # round-5 surfaces
+    "quarantine_review_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)
@@ -189,13 +191,31 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # The driver captures only the TAIL of stdout: r4's single line with
+    # 114 per-query entries overflowed it and the front (metric/value)
+    # was cut off, so the driver recorded parsed:null. Full per-query
+    # detail goes to a file + stderr; stdout's final line is a COMPACT
+    # summary (headline total, count, the 10 slowest) that always fits.
+    detail = {
+        "metric": "mnemo_spark_headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "mnemo_spark_headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf_val,
             }
         )

@@ -1422,6 +1422,41 @@ class MnemoSparkEngine:
         )
         return self._clone(memories=stamped, events=events)
 
+    def replay_quarantine(
+        self, agent_id: str | None = None, since=None
+    ) -> DataFrame:
+        """List quarantined records for operator review (reference
+        query/mod.rs:321-330, query/poisoning.rs:268-305
+        `replay_quarantine` → QuarantineReplayEntry): the review verb
+        a user of the poisoning defense hits the first time a
+        quarantine fires. Soft-DELETED rows are INCLUDED — the
+        reference passes include_deleted because an operator may have
+        hard-purged via forget_subject and still needs visibility.
+
+        agent_id=None reviews every agent (the batch engine's stance;
+        the reference defaults to its single configured agent).
+        `since` filters on created_at >= since. Ordered oldest-first
+        by (created_at, id) like the reference's final sort; a
+        filtered, ordered projection — no MAX_BATCH_QUERY_LIMIT
+        paging cap, no shuffle beyond the ordering."""
+        m = self.memories.filter(F.col("quarantined").isNotNull())
+        if agent_id is not None:
+            m = m.filter(F.col("agent_id") == agent_id)
+        if since is not None:
+            m = m.filter(F.col("created_at") >= F.lit(since).cast("timestamp"))
+        return m.select(
+            "id",
+            "agent_id",
+            "content",
+            # the reason string IS the quarantine flag here, so the
+            # reference's `unwrap_or("unspecified")` case can't arise
+            F.col("quarantined").alias("reason"),
+            "created_at",
+            F.col("memory_type").alias("source_type"),
+            "tags",
+            "deleted_at",
+        ).orderBy("created_at", "id")
+
     def admin_stats(self) -> dict:
         """Admin dashboard stats (handlers.rs:128-158 StatsResponse).
         The reference pages through list_memories/list_events with a

@@ -86,6 +86,94 @@ def rrf_fuse(
     return out.select(F.col("_id").alias(id_col), "rrf_score", "rank")
 
 
+def rrf_fuse_wide(
+    scored: DataFrame,
+    lanes: dict[str, tuple[str, float]],
+    rrf_k: int,
+    lane_limit: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All-lane RRF fusion in ONE distributed pass over a WIDE per-id
+    score frame (one row per id, one column per lane score) — the
+    serving shape `recall_core.recall_scored` produces.
+
+    `lanes`: name -> (score_col, weight). Null lane scores mean "id not
+    in this lane" and contribute nothing. `carry_cols` ride along to
+    the output (e.g. provenance for trust policy) so the caller never
+    joins back against the corpus.
+
+    Versus per-lane `rank_lane` + union (rrf_fuse): that shape runs one
+    TakeOrderedAndProject job per lane; this one unpivots the wide
+    frame and computes every lane's top-`lane_limit` in a single plan —
+    a two-phase top-k (per-partition sorted slice, then per-lane merge)
+    where each partition emits at most lanes x lane_limit candidate
+    structs. The per-partition collect_list is bounded by partition row
+    count (the rows are in executor memory anyway), the merge input by
+    partitions x lanes x lane_limit — never corpus-sized on one task.
+
+    Rank semantics are identical to rank_lane: 1-based by
+    (round(score, 6) DESC, id ASC); the two-phase top-k selects exactly
+    the rows `row_number() <= lane_limit` would.
+    """
+    entries = [
+        F.struct(F.lit(name).alias("_lane"), F.round(F.col(col), ROUND_DP).alias("_s"))
+        for name, (col, _w) in lanes.items()
+    ]
+    unp = (
+        scored.select(
+            F.col(id_col).alias("_cid"),
+            *[F.col(c) for c in carry_cols],
+            F.explode(F.array(*entries)).alias("_e"),
+        )
+        .select(
+            "_cid",
+            *carry_cols,
+            F.col("_e._lane").alias("_lane"),
+            F.col("_e._s").alias("_s"),
+        )
+        .where(F.col("_s").isNotNull())
+    )
+    # candidate struct sorts ascending by (-score, id): the unique id
+    # tiebreak means carry fields never participate in the comparison
+    cand = F.struct(
+        (-F.col("_s")).alias("_ns"),
+        F.col("_cid").alias("_id"),
+        *[F.col(c).alias(c) for c in carry_cols],
+    )
+    local = unp.groupBy("_lane", F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, lane_limit).alias("_c")
+    )
+    merged = (
+        local.select("_lane", F.explode("_c").alias("_e"))
+        .groupBy("_lane")
+        .agg(F.slice(F.array_sort(F.collect_list("_e")), 1, lane_limit).alias("_c"))
+    )
+    wmap = F.create_map(
+        *[
+            lit
+            for name, (_c, w) in lanes.items()
+            for lit in (F.lit(name), F.lit(float(w)))
+        ]
+    )
+    ranked = merged.select("_lane", F.posexplode("_c").alias("_r0", "_e"))
+    fused = (
+        ranked.select(
+            F.col("_e._id").alias("_id"),
+            *[F.col(f"_e.{c}").alias(c) for c in carry_cols],
+            (wmap[F.col("_lane")] / (F.lit(float(rrf_k)) + F.col("_r0") + 1)).alias(
+                "_contrib"
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score"),
+            *[F.first(c).alias(c) for c in carry_cols],
+        )
+    )
+    return fused.select(F.col("_id").alias(id_col), "rrf_score", *carry_cols)
+
+
 def max_fuse(
     lanes: dict[str, DataFrame],
     id_col: str = "doc_id",

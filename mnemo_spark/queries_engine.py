@@ -999,3 +999,74 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = e0.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# Poisoning defense: quarantine review listing (reference
+# query/mod.rs:321-330 replay_quarantine)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quarantine_review_events",
+    """
+    WITH mem AS (
+      SELECT CAST(event_id AS VARCHAR) AS id,
+             CAST(user_id AS VARCHAR) AS agent_id,
+             event_type AS content,
+             CASE WHEN event_type = 'view' THEN 'episodic'
+                  WHEN event_type = 'click' THEN 'working'
+                  ELSE 'semantic' END AS source_type,
+             ts AS created_at,
+             CASE WHEN value > 450 THEN 'outlier_value'
+                  WHEN event_type = 'error' THEN 'error_event' END AS reason,
+             CASE WHEN value > 480 THEN ts END AS deleted_at
+      FROM events)
+    SELECT id, agent_id, content, reason, created_at, source_type, deleted_at
+    FROM mem
+    WHERE reason IS NOT NULL
+      AND created_at >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def quarantine_review_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine review listing (reference query/mod.rs:321-330 +
+    query/poisoning.rs:268-305 `replay_quarantine`): list quarantined
+    records since a cutoff for operator review — the verb a user of
+    the poisoning defense hits the first time a quarantine fires.
+
+    The memories frame is derived deterministically from the events
+    table (outlier values and error events quarantined; extreme
+    outliers also soft-deleted, proving the reference's
+    include_deleted visibility), then the ACTUAL engine verb
+    `MnemoSparkEngine.replay_quarantine` produces the listing the
+    oracle checks. Plan: filter + projection; the only ordering is the
+    verb's (created_at, id) review sort."""
+    from mnemo_spark import params as P
+    from mnemo_spark.engine import MnemoSparkEngine
+
+    e = _t(spark, sf_dir, "events")
+    mem = e.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("user_id").cast("string").alias("agent_id"),
+        F.col("event_type").alias("content"),
+        F.when(F.col("event_type") == "view", "episodic")
+        .when(F.col("event_type") == "click", "working")
+        .otherwise("semantic")
+        .alias("memory_type"),
+        F.col("ts").alias("created_at"),
+        F.when(F.col("value") > 450, "outlier_value")
+        .when(F.col("event_type") == "error", "error_event")
+        .alias("quarantined"),
+        F.when(F.col("value") > 480, F.col("ts")).alias("deleted_at"),
+        F.lit(None).cast("array<string>").alias("tags"),
+    )
+    engine = MnemoSparkEngine(spark, memories=mem)
+    return engine.replay_quarantine(since=P.AS_OF_TS).select(
+        "id",
+        "agent_id",
+        "content",
+        "reason",
+        "created_at",
+        "source_type",
+        "deleted_at",
+    )

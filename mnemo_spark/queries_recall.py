@@ -26,32 +26,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mnemo_spark import params as P
-from mnemo_spark.functions.embedder import hash_bag_embedding
 from mnemo_spark.operators.bm25 import bm25_score
-from mnemo_spark.operators.rrf import rrf_fuse
+from mnemo_spark.operators.recall_core import query_hash_bag_weights, recall_scored
+from mnemo_spark.operators.rrf import rrf_fuse, rrf_fuse_wide
 from mnemo_spark.operators.window_ops import top_k_ranked
 from mnemo_spark.registry import _BM25_CTES, _t, query
 
 _QTERMS_SQL = ", ".join(f"'{t}'" for t in P.BM25_QUERY_TERMS)
 _TRUSTED_SQL = ", ".join(f"'{s}'" for s in P.TRUSTED_SOURCES)
-
-
-def _query_weights() -> dict[int, float]:
-    """Hash-bag embedding of the query string, computed driver-side:
-    the query vector is KNOWN AT PLAN TIME, so it becomes literals in
-    the plan instead of a 1-row DataFrame + broadcast (which costs
-    several Spark jobs per recall). Same bucket hash and rounding as
-    functions.embedder / the SQL twin."""
-    import hashlib
-    import math
-    from collections import Counter
-
-    counts = Counter(
-        int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % P.EMBEDDING_DIM
-        for t in P.BM25_QUERY_TERMS
-    )
-    l2 = math.sqrt(sum(c * c for c in counts.values()))
-    return {b: round(c / l2, 6) for b, c in counts.items()}
 
 
 @query(
@@ -65,17 +47,18 @@ def _query_weights() -> dict[int, float]:
                     CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
              FROM dtok),
       dcnt AS (SELECT doc_id, bucket, count(*) AS c FROM db GROUP BY doc_id, bucket),
-      dn AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM dcnt GROUP BY doc_id),
-      dvec AS (SELECT dcnt.doc_id, dcnt.bucket, round(dcnt.c / dn.l2, 6) AS weight
-               FROM dcnt JOIN dn USING (doc_id)),
       qtok AS (SELECT unnest([{_QTERMS_SQL}]) AS t),
       qb AS (SELECT CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
              FROM qtok),
       qcnt AS (SELECT bucket, count(*) AS c FROM qb GROUP BY bucket),
       qn AS (SELECT sqrt(sum(c * c)) AS l2 FROM qcnt),
       qvec AS (SELECT bucket, round(c / l2, 6) AS qw FROM qcnt CROSS JOIN qn),
-      cos AS (SELECT d.doc_id, sum(d.weight * q.qw) AS score
-              FROM dvec d JOIN qvec q USING (bucket) GROUP BY d.doc_id),
+      -- single-pass protocol (operators/recall_core.py): integer bucket
+      -- counts -> one per-doc fold of dot product and L2 norm, rounded
+      -- once at the end (r4 rounded per-bucket weights first)
+      cos AS (SELECT d.doc_id,
+                     round(sum(d.c * coalesce(q.qw, 0)) / sqrt(sum(d.c * d.c)), 6) AS score
+              FROM dcnt d LEFT JOIN qvec q USING (bucket) GROUP BY d.doc_id),
       -- ranked lanes (deterministic tiebreak: rounded score desc, id asc)
       lane_bm25 AS (SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS r
                     FROM scored),
@@ -111,37 +94,29 @@ def _query_weights() -> dict[int, float]:
 def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship hybrid recall: BM25 + sparse-embedding-cosine +
     length-prior lanes, weighted RRF, trust down-weighting, top-k —
-    the reference's `recall(strategy=hybrid)` end to end."""
-    docs = _t(spark, sf_dir, "documents")
-    dvec = hash_bag_embedding(docs, P.EMBEDDING_DIM, "doc_id", "text")
-    qw = _query_weights()
-    # ONE dense array literal indexed by bucket (0-based [] subscript),
-    # not a chained CASE WHEN: the when-chain costs ~2 JVM round trips
-    # per query bucket to BUILD and a deep CASE tree to analyze —
-    # measured ~1s of per-invocation driver latency at dim 64. The
-    # array literal is a single parsed expression.
-    dense = ", ".join(repr(qw.get(b, 0.0)) for b in range(P.EMBEDDING_DIM))
-    cos_lane = (
-        dvec.filter(F.col("bucket").isin(*qw.keys()))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("weight") * F.expr(f"array({dense})[bucket]")).alias("score"))
-    )
-    lanes = {
-        "bm25": bm25_score(docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B)
-        .withColumnRenamed("bm25", "score"),
-        "embed": cos_lane,
-        "length": docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
-    }
-    fused = rrf_fuse(
-        lanes, P.RECALL_WEIGHTS, P.RRF_K, lane_limit=P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT
+    the reference's `recall(strategy=hybrid)` end to end.
+
+    All three lane scores are projections over ONE cached per-doc
+    statistics frame (operators/recall_core.py — a single corpus pass
+    replaces the r4 per-lane aggregation cascades), and the per-lane
+    top-k + fusion run as ONE plan (rrf_fuse_wide's two-phase top-k)
+    with provenance carried through — no per-lane jobs, no join back
+    against the corpus."""
+    scored = recall_scored(spark, sf_dir)
+    fused = rrf_fuse_wide(
+        scored,
+        {
+            "bm25": ("bm25", P.RECALL_WEIGHTS["bm25"]),
+            "embed": ("cos", P.RECALL_WEIGHTS["embed"]),
+            "length": ("length_score", P.RECALL_WEIGHTS["length"]),
+        },
+        P.RRF_K,
+        lane_limit=P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT,
+        carry_cols=("source",),
     )
     trust = F.when(F.col("source").isin(*P.TRUSTED_SOURCES), 1.0).otherwise(0.1)
-    # fused is candidate-sized (≤ lanes·overfetch·limit rows) — broadcast
-    # it into the corpus-side provenance lookup, never shuffle docs
-    adj = (
-        docs.select("doc_id", "source")
-        .join(F.broadcast(fused), "doc_id")
-        .select("doc_id", F.round(F.col("rrf_score") * trust, 6).alias("score"))
+    adj = fused.select(
+        "doc_id", F.round(F.col("rrf_score") * trust, 6).alias("score")
     )
     return top_k_ranked(
         adj, [F.desc("score"), F.asc("doc_id")], P.RECALL_LIMIT

@@ -481,12 +481,18 @@ def batch_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted RRF fusion of a BM25 lane and a doc-length lane
-    (SURVEY A1, the reference's tuned hybrid weights/rrf_k shape)."""
-    docs = _t(spark, sf_dir, "documents")
+    (SURVEY A1, the reference's tuned hybrid weights/rrf_k shape).
+    Lane scores come from the shared single-pass per-doc frame
+    (operators/recall_core.py) — one corpus aggregation serves every
+    recall-family query."""
+    from mnemo_spark.operators.recall_core import recall_scored
+
+    scored = recall_scored(spark, sf_dir)
     lanes = {
-        "bm25": bm25_score(docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B)
-        .withColumnRenamed("bm25", "score"),
-        "length": docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+        "bm25": scored.filter(F.col("bm25").isNotNull()).select(
+            "doc_id", F.col("bm25").alias("score")
+        ),
+        "length": scored.select("doc_id", F.col("length_score").alias("score")),
     }
     return rrf_fuse(lanes, P.RRF_WEIGHTS, P.RRF_K, limit=P.RRF_LIMIT)
 

@@ -89,6 +89,46 @@ def test_quarantine_hides_from_recall_and_is_reversible(spark):
     assert u.events.filter(F.col("event_type") == "MemoryUnquarantine").count() == 1
 
 
+def test_replay_quarantine_ordering_cutoff_and_deleted_visibility(spark):
+    """Reference integration_test.rs:2923-2967
+    test_replay_quarantine_ordering_and_cutoff: every quarantined
+    record for the agent, sorted by created_at, filtered by `since` —
+    plus the poisoning.rs:277-280 contract that soft-DELETED
+    quarantined rows stay visible to the review (include_deleted)."""
+    t0 = dt.datetime(2026, 1, 1)
+    eng = MnemoSparkEngine(spark)
+    rows = spark.createDataFrame(
+        [(f"m{i}", "q-agent", f"suspect record {i}", "semantic", "private",
+          0.5, [], t0 + dt.timedelta(hours=i)) for i in range(4)]
+        + [("other", "b-agent", "unrelated", "semantic", "private", 0.5, [], t0)],
+        "id string, agent_id string, content string, memory_type string,"
+        " scope string, importance float, tags array<string>, created_at timestamp",
+    )
+    eng = eng.remember_batch(rows)
+    q = eng.quarantine(["m1", "m3", "other"], reason="test-trigger", now=t0)
+
+    listed = q.replay_quarantine(agent_id="q-agent").collect()
+    assert [r["id"] for r in listed] == ["m1", "m3"]  # created_at order
+    assert all(r["reason"] == "test-trigger" for r in listed)
+    assert listed[0]["created_at"] <= listed[1]["created_at"]
+
+    # `since` cutoff keeps only records created at/after the cutoff
+    later = q.replay_quarantine(
+        agent_id="q-agent", since=t0 + dt.timedelta(hours=2)
+    ).collect()
+    assert [r["id"] for r in later] == ["m3"]
+
+    # soft-deleted quarantined rows remain visible (include_deleted)
+    qd = q.forget(["m1"], strategy="soft", now=t0)
+    still = qd.replay_quarantine(agent_id="q-agent").collect()
+    assert [r["id"] for r in still] == ["m1", "m3"]
+    assert still[0]["deleted_at"] is not None
+
+    # agent scoping; None reviews every agent (batch stance)
+    assert [r["id"] for r in q.replay_quarantine(agent_id="b-agent").collect()] == ["other"]
+    assert q.replay_quarantine().count() == 3
+
+
 def test_admin_stats_exact_counts(spark):
     t0 = dt.datetime(2026, 1, 1)
     eng = MnemoSparkEngine(spark)
