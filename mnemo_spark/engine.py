@@ -1727,30 +1727,48 @@ class MnemoSparkEngine:
 
     # -- durable store (sources/txlog.py) -------------------------------
 
-    def save(self, store_path: str, mode: str = "overwrite") -> int:
+    def save(
+        self, store_path: str, mode: str = "overwrite", layout_files: int = 8
+    ) -> int:
         """Persist the memory state as one transactional commit
         (memories + audit events in sibling TxTables, committed
         memories-first). Returns the memories-table version. Each save
         is a durable, time-travelable snapshot — the store-level form
         of the reference's checkpointing, with readers isolated from
-        in-flight saves by the manifest protocol."""
+        in-flight saves by the manifest protocol.
+
+        Layout (r5): memories are range-laid-out by (agent_id,
+        created_at) and events by ts across `layout_files` files, with
+        per-file min/max recorded in the manifest — so a recall-shaped
+        read (one agent, a time window) opens only the overlapping
+        files via snapshot(where=...) instead of scanning the store.
+        At 100 TB `layout_files` scales with data volume; the layout
+        cost is one range shuffle per save, the same work a Delta
+        OPTIMIZE ZORDER pays."""
         import os as _os
 
         from mnemo_spark.sources.txlog import TxTable
 
+        mems = self.memories.repartitionByRange(
+            layout_files, "agent_id", "created_at"
+        )
         v = TxTable(_os.path.join(store_path, "memories")).commit(
-            self.memories, mode=mode
+            mems, mode=mode, stats_cols=["agent_id", "created_at"]
         )
         # audit log is append-only BY CONSTRUCTION at the store level:
         # every save appends the full current log as a new snapshot
         # would double rows, so persist only rows not yet stored
         ev_table = TxTable(_os.path.join(store_path, "events"))
         if ev_table.latest_version() is None:
-            ev_table.commit(self.events, mode="append")
+            fresh = self.events
         else:
             stored = ev_table.snapshot(self.spark).select("event_id")
             fresh = self.events.join(stored, "event_id", "left_anti")
-            ev_table.commit(fresh, mode="append")
+        ev_table.commit(
+            fresh.repartitionByRange(layout_files, "ts"),
+            mode="append",
+            stats_cols=["ts"],
+        )
         return v
 
     @classmethod
@@ -1761,19 +1779,31 @@ class MnemoSparkEngine:
         version: int | None = None,
         embedding_dim: int = 64,
         embedder=None,
+        mem_where: tuple[str, object, object] | None = None,
+        events_where: tuple[str, object, object] | None = None,
     ) -> "MnemoSparkEngine":
         """Reconstruct an engine from a stored snapshot — pass
         `version` for point-in-time recovery of the memory state (the
         audit log always loads in full: history is never rolled
-        back, matching the append-only trigger semantics)."""
+        back, matching the append-only trigger semantics).
+
+        mem_where / events_where = (col, lo, hi): metadata-only file
+        pruning against the manifest stats `save` records (memories:
+        agent_id / created_at; events: ts) — a recall-shaped load
+        ("agent A's memories", "events since T") opens only the
+        overlapping files. The pruned engine is a PARTIAL view: verbs
+        that need global state (chain verification across agents,
+        admin stats) should load unpruned."""
         import os as _os
 
         from mnemo_spark.sources.txlog import TxTable
 
         mems = TxTable(_os.path.join(store_path, "memories")).snapshot(
-            spark, version
+            spark, version, where=mem_where
         )
-        events = TxTable(_os.path.join(store_path, "events")).snapshot(spark)
+        events = TxTable(_os.path.join(store_path, "events")).snapshot(
+            spark, where=events_where
+        )
         return cls(
             spark,
             memories=mems,

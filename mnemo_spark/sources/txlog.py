@@ -47,6 +47,23 @@ class CommitConflict(Exception):
     """Another writer published this version first."""
 
 
+def _norm_stat(v):
+    """Manifest stats live in JSON, so non-JSON-native footer values
+    (timestamps, dates, binary) are stored as fixed-width strings whose
+    LEXICOGRAPHIC order equals the value order — pruning comparisons
+    stay correct as long as predicate bounds pass through the same
+    normalization (snapshot() does)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
 class TxTable:
     def __init__(self, path: str):
         self.path = path
@@ -125,9 +142,24 @@ class TxTable:
     def _write_data_files(self, df: DataFrame) -> list[str]:
         """Write df as immutable parquet under data/<uuid>/ and return
         the file paths. Files are invisible until a manifest lists
-        them — a crashed writer leaves only unreferenced garbage."""
+        them — a crashed writer leaves only unreferenced garbage.
+
+        Timestamps are forced to TIMESTAMP_MICROS for the write:
+        Spark's default INT96 encoding carries no trustworthy footer
+        min/max, which would silently drop every timestamp column from
+        the manifest stats and disable time-predicate file pruning."""
         sub = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.parquet(sub)
+        spark = df.sparkSession
+        conf_key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+        try:
+            df.write.parquet(sub)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         return sorted(
             os.path.join(sub, f)
             for f in os.listdir(sub)
@@ -165,7 +197,7 @@ class TxTable:
                     mins.append(s.min)
                     maxs.append(s.max)
                 if mins:
-                    stats[c] = [min(mins), max(maxs)]
+                    stats[c] = [_norm_stat(min(mins)), _norm_stat(max(maxs))]
             out[path] = stats
         return out
 
@@ -331,12 +363,13 @@ class TxTable:
             raise ValueError(f"no data at version {version!r}")
         if where is not None:
             col, lo, hi = where
+            lo_k, hi_k = _norm_stat(lo), _norm_stat(hi)
             stats = self.file_stats(version)
             files = [
                 f
                 for f in files
                 if col not in stats.get(f, {})
-                or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+                or not (stats[f][col][1] < lo_k or stats[f][col][0] > hi_k)
             ]
             if not files:
                 raise ValueError(f"no file overlaps {where!r}")

@@ -145,6 +145,58 @@ def test_engine_save_load_roundtrip_with_time_travel(spark, tmp_path):
     assert a == b
 
 
+def test_engine_save_layout_prunes_recall_shaped_loads(spark, tmp_path):
+    """r5 partitioned persistence: `engine.save` range-lays-out
+    memories by (agent_id, created_at) and events by ts, recording
+    per-file min/max in the manifest — so a recall-shaped load (one
+    agent / a time window) must open FEWER files than the store holds,
+    proven on DataFrame.inputFiles(), not just row counts."""
+    import datetime as dt
+
+    from mnemo_spark.engine import MnemoSparkEngine
+    from mnemo_spark.sources.txlog import TxTable
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = spark.createDataFrame(
+        [
+            (f"m{a}{i}", f"agent{a}", f"fact {a}.{i}", "semantic", "private",
+             0.5, [], t0 + dt.timedelta(days=a, hours=i))
+            for a in range(8)
+            for i in range(4)
+        ],
+        "id string, agent_id string, content string, memory_type string, "
+        "scope string, importance float, tags array<string>, "
+        "created_at timestamp",
+    )
+    store = str(tmp_path / "store")
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng.save(store, layout_files=4)
+
+    # manifests carry the layout stats save promises
+    mem_stats = TxTable(str(tmp_path / "store" / "memories")).file_stats()
+    assert all("agent_id" in s and "created_at" in s for s in mem_stats.values())
+
+    full = MnemoSparkEngine.load(spark, store)
+    n_mem_files = len(full.memories.inputFiles())
+    n_ev_files = len(full.events.inputFiles())
+    assert n_mem_files >= 4 and n_ev_files >= 4
+
+    # one-agent load: fewer files opened, only that agent's rows seen
+    one = MnemoSparkEngine.load(
+        spark, store, mem_where=("agent_id", "agent3", "agent3")
+    )
+    assert len(one.memories.inputFiles()) < n_mem_files
+    assert {r["agent_id"] for r in one.memories.collect()} == {"agent3"}
+    assert one.memories.count() == 4
+
+    # time-window event load: fewer files, rows clipped to the window
+    lo, hi = t0 + dt.timedelta(days=6), t0 + dt.timedelta(days=8)
+    recent = MnemoSparkEngine.load(spark, store, events_where=("ts", lo, hi))
+    assert len(recent.events.inputFiles()) < n_ev_files
+    ts_vals = [r["ts"] for r in recent.events.collect()]
+    assert ts_vals and all(lo <= t <= hi for t in ts_vals)
+
+
 def test_concurrent_writers_all_land_distinct_versions(spark, sf_dir, tmp_path):
     """Eight threads commit concurrently through the create-exclusive
     manifest protocol: every commit must land, versions must be
