@@ -22,13 +22,13 @@ materializes more than |corpus| rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mnemo_spark import params as P
 from mnemo_spark.operators.bm25 import bm25_score
-from mnemo_spark.operators.recall_core import query_hash_bag_weights, recall_scored
-from mnemo_spark.operators.rrf import rrf_fuse, rrf_fuse_wide
+from mnemo_spark.operators.recall_core import recall_scored
+from mnemo_spark.operators.rrf import rrf_fuse_wide
 from mnemo_spark.operators.window_ops import top_k_ranked
 from mnemo_spark.registry import _BM25_CTES, _t, query
 

@@ -564,3 +564,40 @@ def test_code_mode_savings_scan_prunes_columns(plans):
     assert m, p
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols <= {"lang", "text", "n_chars", "doc_id"}
+
+
+def test_hybrid_recall_is_single_pass_over_documents(plans):
+    """r5 recall core: every lane score derives from ONE per-doc
+    statistics frame (recall_core.py) and fusion runs in-plan
+    (rrf_fuse_wide) — documents may appear at most twice in the plan
+    (token branch + attribute branch of the left join) and only the
+    FINAL top-k plans TakeOrderedAndProject; per-lane top-k jobs or a
+    join back against the corpus for provenance would regress the
+    flagship to the r4 multi-cascade shape."""
+    p = plans("hybrid_recall_docs")
+    assert p.count("documents.parquet") <= 2
+    # formatted mode prints each node twice (tree + details): one
+    # TakeOrderedAndProject node == 2 occurrences; the r4 per-lane
+    # shape had three more
+    assert p.count("TakeOrderedAndProject") <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_copurchase_has_no_orderkey_self_join(plans):
+    """r5 rewrite: basket pairs come from sorted-set aggregation plus
+    generator expansion (posexplode + sliced explode), never from the
+    order-keyed self-join (two extra corpus shuffles + k^2 join rows
+    per basket)."""
+    p = plans("copurchase_part_pairs")
+    assert "SortMergeJoin" not in p
+    assert "oin [l_orderkey" not in p  # no join keyed on the order
+    assert "posexplode" in p and "slice" in p
+
+
+def test_quarantine_review_pushes_cutoff_to_scan(plans):
+    """The review cutoff (created_at >= since) must reach the parquet
+    scan as a pushed ts predicate — at 100 TB the quarantine listing
+    reads the recent files, not the whole event log."""
+    p = plans("quarantine_review_events")
+    pushed = " ".join(ln for ln in p.splitlines() if "PushedFilters" in ln)
+    assert "GreaterThanOrEqual(ts" in pushed
