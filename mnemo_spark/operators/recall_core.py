@@ -77,16 +77,23 @@ def query_hash_bag_weights(
     return {b: round(c / l2, ROUND_DP) for b, c in counts.items()}
 
 
-def recall_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The one-pass per-doc statistics frame (see module docstring).
+def perdoc_stats(docs: DataFrame) -> DataFrame:
+    """The one-pass per-doc statistics frame over ANY docs frame
+    (doc_id, text, n_chars, source) — see module docstring.
 
     -> (doc_id, n_chars, source, _dl, _l2sq, _dot, _tf0.._tfN) with the
-    token-derived columns null for token-less docs."""
+    token-derived columns null for token-less docs.
+
+    Every output column is a function of ITS OWN document only — no
+    corpus-level state — which is what makes the frame incrementally
+    maintainable: a new or rewritten doc's row can be merged by doc_id
+    without touching any other row (streaming/index_maint.py does
+    exactly that; corpus scalars are re-derived from the maintained
+    frame at query time)."""
     terms = P.BM25_QUERY_TERMS
     qw = query_hash_bag_weights()
     dense = ", ".join(repr(qw.get(b, 0.0)) for b in range(P.EMBEDDING_DIM))
 
-    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("_t"))
     bcnt = (
         tok.withColumn("_b", token_bucket(F.col("_t"), P.EMBEDDING_DIM))
@@ -105,14 +112,24 @@ def recall_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_c") * F.expr(f"array({dense})[_b]")).alias("_dot"),
         *[F.sum(f"_tf{i}").alias(f"_tf{i}") for i in range(len(terms))],
     )
-    perdoc = docs.select("doc_id", "n_chars", "source").join(
+    return docs.select("doc_id", "n_chars", "source").join(
         perdoc_tok, "doc_id", "left"
     )
-    return cached_persist(perdoc, "recall_perdoc", tuple(terms))
 
 
-def recall_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All lane scores as ONE projection over the cached per-doc frame.
+def recall_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perdoc_stats over the driver's documents table, cached per
+    (corpus, terms) — the batch engine's resident index segment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cached_persist(
+        perdoc_stats(docs), "recall_perdoc", tuple(P.BM25_QUERY_TERMS)
+    )
+
+
+def scored_from_perdoc(perdoc: DataFrame) -> DataFrame:
+    """All lane scores as ONE projection over a per-doc stats frame
+    (built by perdoc_stats, or read back from the incrementally
+    maintained index table).
 
     -> (doc_id, source, length_score, bm25, cos)
        bm25 null when the doc contains no query term (the BM25 lane,
@@ -120,7 +137,6 @@ def recall_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
        cos  null when the doc has no tokens at all.
     """
     terms = P.BM25_QUERY_TERMS
-    perdoc = recall_perdoc(spark, sf_dir)
     stats = perdoc.agg(
         F.count("*").alias("n"),
         F.avg(F.coalesce(F.col("_dl"), F.lit(0))).alias("avgdl"),
@@ -163,3 +179,9 @@ def recall_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_dot") / F.sqrt(F.col("_l2sq")), ROUND_DP),
         ).alias("cos"),
     )
+
+
+def recall_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scored_from_perdoc over the cached driver-corpus index frame —
+    the serving entry the registry queries compose."""
+    return scored_from_perdoc(recall_perdoc(spark, sf_dir))
