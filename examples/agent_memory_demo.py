@@ -83,10 +83,35 @@ def main() -> None:
         back.verify_event_integrity().filter(F.col("n_breaks") > 0).count() == 0
     )
 
+    # poisoning defense: quarantine hides from recall but stays
+    # replayable; the review verb lists it for the operator
+    q = back.quarantine(["m1"], reason="suspicious provenance", now=T0)
+    out["quarantined_hidden"] = not any(
+        r["id"] == "m1"
+        for r in q.recall("deploy pipeline key", principal="alice", k=5).collect()
+    )
+    out["quarantine_review"] = [
+        (r["id"], r["reason"])
+        for r in q.replay_quarantine(agent_id="alice").collect()
+    ]
+
+    # recall-shaped load: the manifest stats save recorded prune the
+    # read to alice's files only
+    alice_only = MnemoSparkEngine.load(
+        spark, store, mem_where=("agent_id", "alice", "alice")
+    )
+    out["pruned_load_agents"] = sorted(
+        r["agent_id"]
+        for r in alice_only.memories.select("agent_id").distinct().collect()
+    )
+
     assert out["remembered"] == 4
     assert not out["bob_sees_secret"]
     assert out["redacted_content_gone"]
     assert out["chain_intact_after_roundtrip"] and out["audit_log_intact"]
+    assert out["quarantined_hidden"]
+    assert out["quarantine_review"] == [("m1", "suspicious provenance")]
+    assert out["pruned_load_agents"] == ["alice"]
     print(json.dumps(out))
 
 
