@@ -140,7 +140,15 @@ def deal_chain_verify_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("terms"),
         F.date_format("signed_at", "yyyy-MM-dd HH:mm:ss").alias("signed_at"),
     )
-    signed = sign_deals(deals, key, ["seller"], ["signed_at", "deal_id"])
+    from mnemo_spark.cache import cached_persist
+
+    # the signed ledger feeds THREE consumers (clean verify, tampered
+    # copy, expected-first-tamper offsets) — persist it (ledger-sized)
+    # so the sign fold runs once, not once per consumer subtree
+    signed = cached_persist(
+        sign_deals(deals, key, ["seller"], ["signed_at", "deal_id"]),
+        "deal_signed_orders",
+    )
     w = Window.partitionBy("seller").orderBy("signed_at", "deal_id")
     offs = signed.withColumn("_off", F.row_number().over(w) - 1)
     tamper = F.col("deal_id").cast("long") % 1000 == 0
@@ -152,20 +160,30 @@ def deal_chain_verify_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seller")
         .agg(F.min("_off").alias("first_bad"))
     )
-    v_clean = verify_deal_chain(signed, key, ["seller"], ["signed_at", "deal_id"]).select(
-        "seller", "n_deals", F.col("ok").alias("clean_ok")
+    # ONE verify fold over both copies (clean ∪ tampered tagged by
+    # `_copy`, ledger key = (_copy, seller)) instead of two separate
+    # applyInPandas jobs — same operator, half the fold passes; the
+    # folds for different copies of the same seller run in parallel
+    both = signed.withColumn("_copy", F.lit("clean")).unionByName(
+        tampered.drop("_off").withColumn("_copy", F.lit("tam"))
     )
-    v_tam = verify_deal_chain(
-        tampered.drop("_off"), key, ["seller"], ["signed_at", "deal_id"]
-    ).select(
-        "seller",
-        F.col("ok").alias("tam_ok"),
-        F.col("divergent_offset").alias("tam_off"),
-        F.col("reason").alias("tam_reason"),
+    v = verify_deal_chain(
+        both, key, ["_copy", "seller"], ["signed_at", "deal_id"]
     )
-    joined = (
-        v_clean.join(v_tam, "seller").join(F.broadcast(first_bad), "seller", "left")
+    # pivot the two copies side-by-side with ONE aggregation so the
+    # fold subtree appears once in the plan (a clean/tam filter pair
+    # would re-execute the pandas fold per branch — no ReusedExchange
+    # above a FlatMapGroupsInPandas)
+    per_seller = v.groupBy("seller").agg(
+        F.max(F.when(F.col("_copy") == "clean", F.col("n_deals"))).alias("n_deals"),
+        F.max(F.when(F.col("_copy") == "clean", F.col("ok"))).alias("clean_ok"),
+        F.max(F.when(F.col("_copy") == "tam", F.col("ok"))).alias("tam_ok"),
+        F.max(F.when(F.col("_copy") == "tam", F.col("divergent_offset"))).alias(
+            "tam_off"
+        ),
+        F.max(F.when(F.col("_copy") == "tam", F.col("reason"))).alias("tam_reason"),
     )
+    joined = per_seller.join(F.broadcast(first_bad), "seller", "left")
     valid = F.col("clean_ok") & F.when(
         F.col("first_bad").isNull(), F.col("tam_ok")
     ).otherwise(
