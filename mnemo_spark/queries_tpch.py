@@ -441,16 +441,26 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds a threshold
-    (group-HAVING over the fact join) + deterministic top-100."""
+    (group-HAVING over the fact join) + deterministic top-100.
+
+    Shape (r5): the per-order quantity sum is independent of the
+    order/customer attributes, so aggregate lineitem FIRST on the
+    narrow (orderkey, qty) projection and broadcast the tiny
+    survivor set into orders — the textbook Q18 rewrite that removes
+    the fact-fact shuffle join Catalyst cannot derive itself (the
+    original GROUP BY carries order/customer columns)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    agg = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
+    )
+    agg = (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
     return (
         agg.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
