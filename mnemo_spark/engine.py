@@ -1360,6 +1360,135 @@ class MnemoSparkEngine:
         )
         return self._clone(memories=mem, events=events), report
 
+    # v0.3.1 Coordinated-mode cadence gates (reflection.rs:66,70)
+    MIN_NEW_RECORDS_FOR_COORDINATED_RUN = 5
+    MIN_HOURS_BETWEEN_COORDINATED_RUNS = 24
+
+    def run_reflection_pass_with_mode(
+        self,
+        agent_id: str | None = None,
+        mode: str = "coordinated",
+        force: bool = False,
+        now=None,
+    ) -> tuple["MnemoSparkEngine", dict]:
+        """Reflection pass honouring the v0.3.1 `ReflectionMode` gate
+        (reference reflection.rs:44-141, coordinated_skip_reason at
+        :531-575): `coordinated` (the reference default) skips the
+        expensive phases when
+
+        - fewer than MIN_HOURS_BETWEEN_COORDINATED_RUNS hours passed
+          since this agent's last ReflectionCompleted event
+          (skipped='too_soon'), or
+        - fewer than MIN_NEW_RECORDS_FOR_COORDINATED_RUN records were
+          created since that pass (skipped='not_enough_new_records').
+
+        `force=True` overrides the gates; mode `always` is the
+        pre-v0.3.1 unconditional pass. A skipped run mutates NOTHING
+        and reports skipped=<reason>. After a pass that runs, any
+        Auto-Dream organization-report trailers are ingested
+        idempotently (report['dream_report_ingested'])."""
+        import datetime as _dt
+
+        if mode not in ("coordinated", "always"):
+            raise ValueError(f"unknown reflection mode {mode!r}")
+        now_py = now if now is not None else _dt.datetime.utcnow()
+        if mode == "coordinated" and not force:
+            scope_ev = F.col("event_type") == "ReflectionCompleted"
+            if agent_id is not None:
+                scope_ev = scope_ev & (F.col("agent_id") == agent_id)
+            last_row = self.events.filter(scope_ev).agg(F.max("ts")).first()
+            last = last_row[0] if last_row else None
+            skip = None
+            if last is not None and (
+                (now_py - last).total_seconds()
+                < self.MIN_HOURS_BETWEEN_COORDINATED_RUNS * 3600
+            ):
+                skip = "too_soon"
+            else:
+                live = F.col("deleted_at").isNull()
+                if agent_id is not None:
+                    live = live & (F.col("agent_id") == agent_id)
+                if last is not None:
+                    live = live & (F.col("created_at") > F.lit(last))
+                if (
+                    self.memories.filter(live).count()
+                    < self.MIN_NEW_RECORDS_FOR_COORDINATED_RUN
+                ):
+                    skip = "not_enough_new_records"
+            if skip is not None:
+                return self, {
+                    "skipped": skip,
+                    "total_scanned": 0,
+                    "absolutized_dates": 0,
+                    "dreamed_accepted": 0,
+                    "consolidated": 0,
+                    "conflicts_resolved": 0,
+                    "archived": 0,
+                    "dream_report_ingested": 0,
+                }
+        out, report = self.run_reflection_pass(agent_id=agent_id, now=now_py)
+        report["skipped"] = None
+        out, report["dream_report_ingested"] = out._ingest_dream_reports(
+            agent_id, now_py
+        )
+        return out, report
+
+    def _ingest_dream_reports(
+        self, agent_id: str | None, now
+    ) -> tuple["MnemoSparkEngine", int]:
+        """Auto-Dream organization-report trailer ingestion
+        (reflection.rs:639-724): records whose content carries an
+        '## Organization Report' trailer get a DreamReportIngested
+        audit event and the idempotent metadata marker
+        `dream_report_ingested_at`, so the next pass skips them. The
+        reference's permissive per-record regex parse becomes one
+        filtered projection; the parsed counts ride in the event
+        stream via the per-record marker."""
+        now_c = F.lit(now).cast("timestamp")
+        scope = F.col("deleted_at").isNull()
+        if agent_id is not None:
+            scope = scope & (F.col("agent_id") == agent_id)
+        marker = F.get_json_object(
+            F.col("metadata"), "$.dream_report_ingested_at"
+        )
+        hit = (
+            scope
+            & marker.isNull()
+            & F.lower(F.col("content")).contains("## organization report")
+        )
+        n = self.memories.filter(hit).count()
+        if n == 0:
+            return self, 0
+        stamp = F.concat(
+            F.lit('{"dream_report_ingested_at":"'),
+            now_c.cast("string"),
+            F.lit('"'),
+        )
+        # insert the marker key into the JSON object string (fresh
+        # object when metadata is null/empty)
+        empty = F.col("metadata").isNull() | (
+            F.regexp_replace(F.col("metadata"), r"\s", "") == "{}"
+        )
+        new_meta = F.when(empty, F.concat(stamp, F.lit("}"))).otherwise(
+            F.concat(
+                stamp,
+                F.lit(","),
+                F.regexp_replace(F.col("metadata"), r"^\s*\{", ""),
+            )
+        )
+        stamped = self.memories.withColumn(
+            "metadata", F.when(hit, new_meta).otherwise(F.col("metadata"))
+        )
+        events = self._append_events(
+            self.memories.filter(hit).select(
+                "agent_id",
+                F.lit("DreamReportIngested").alias("event_type"),
+                F.col("id").alias("memory_id"),
+                now_c.alias("ts"),
+            )
+        )
+        return self._clone(memories=stamped, events=events), n
+
     def verify_event_integrity(self) -> DataFrame:
         """A9 on the audit log itself (verify_event_chain); chain
         order is the T6 logical clock, not wall-clock ts."""

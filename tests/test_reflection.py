@@ -111,3 +111,78 @@ def test_reflection_scoped_to_agent(spark):
     assert report["total_scanned"] == 1
     assert "2023-12-30" in mems["x1"].content  # a1 rewritten
     assert "days ago" in mems["x2"].content  # a2 untouched
+
+
+def test_coordinated_mode_gates_and_force(spark):
+    """v0.3.1 ReflectionMode gate (reflection.rs:44-141; upstream
+    test_coordinated_skips_below_new_record_floor): below the 5-new-
+    record floor a coordinated pass skips without mutating state; a
+    second coordinated pass within 24h of a completed one skips
+    too_soon; force and mode='always' override."""
+    rows = spark.createDataFrame(
+        [(f"c{i}", "a1", f"note {i}", "semantic", "private", 0.5, [],
+          T0 + dt.timedelta(minutes=i)) for i in range(3)],
+        _ROW_SCHEMA,
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+
+    # 3 records < floor of 5 -> skip, nothing mutated
+    out, rep = eng.run_reflection_pass_with_mode("a1", now=NOW)
+    assert rep["skipped"] == "not_enough_new_records"
+    assert out is eng
+    assert out.events.filter(
+        F.col("event_type") == "ReflectionCompleted"
+    ).count() == 0
+
+    # force overrides the floor and the pass actually runs
+    out2, rep2 = eng.run_reflection_pass_with_mode("a1", force=True, now=NOW)
+    assert rep2["skipped"] is None and rep2["total_scanned"] == 3
+    assert out2.events.filter(
+        F.col("event_type") == "ReflectionCompleted"
+    ).count() == 1
+
+    # 5 fresh records later, a coordinated pass within 24h still skips
+    more = spark.createDataFrame(
+        [(f"d{i}", "a1", f"fresh {i}", "semantic", "private", 0.5, [],
+          NOW + dt.timedelta(minutes=i + 1)) for i in range(5)],
+        _ROW_SCHEMA,
+    )
+    eng3 = out2.remember_batch(more)
+    _, rep3 = eng3.run_reflection_pass_with_mode(
+        "a1", now=NOW + dt.timedelta(hours=1)
+    )
+    assert rep3["skipped"] == "too_soon"
+    # ...and runs once the 24h cadence has elapsed
+    _, rep4 = eng3.run_reflection_pass_with_mode(
+        "a1", now=NOW + dt.timedelta(hours=25)
+    )
+    assert rep4["skipped"] is None and rep4["total_scanned"] == 8
+
+
+def test_dream_report_trailer_ingested_once(spark):
+    """reflection.rs:639-724: an Auto-Dream '## Organization Report'
+    trailer is ingested exactly once — DreamReportIngested event plus
+    the idempotent metadata marker."""
+    rows = spark.createDataFrame(
+        [("m1", "a1",
+          "summary\n\n## Organization Report\nconsolidated: 3\nremoved: 1",
+          "semantic", "private", 0.5, [], T0)]
+        + [(f"f{i}", "a1", f"filler {i}", "semantic", "private", 0.5, [],
+            T0 + dt.timedelta(minutes=i)) for i in range(5)],
+        _ROW_SCHEMA,
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    out, rep = eng.run_reflection_pass_with_mode("a1", now=NOW)
+    assert rep["skipped"] is None and rep["dream_report_ingested"] == 1
+    assert out.events.filter(
+        F.col("event_type") == "DreamReportIngested"
+    ).count() == 1
+    marked = out.memories.filter(F.col("id") == "m1").collect()[0]
+    assert "dream_report_ingested_at" in (marked["metadata"] or "")
+
+    # second pass: the marker makes ingestion a no-op
+    out2, rep2 = out.run_reflection_pass_with_mode("a1", force=True, now=NOW)
+    assert rep2["dream_report_ingested"] == 0
+    assert out2.events.filter(
+        F.col("event_type") == "DreamReportIngested"
+    ).count() == 1
