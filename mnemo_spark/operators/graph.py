@@ -102,10 +102,22 @@ def trace_causality(
     """Walk the event DAG from roots (reference J7, causality.rs).
 
     direction 'down' follows children (parent_col == frontier id),
-    'up' follows ancestors. → (id, depth). Traverses THROUGH
-    non-matching nodes like the reference; event_type output filters
-    compose on top of the result.
+    'up' follows ancestors, 'both' combines the two walks and
+    deduplicates by event id at the minimum depth
+    (causality.rs:12-18 TraceDirection). → (id, depth). Traverses
+    THROUGH non-matching nodes like the reference; event_type output
+    filters compose on top of the result.
     """
+    if direction == "both":
+        up = trace_causality(events, root_ids, max_depth, id_col, parent_col, "up")
+        down = trace_causality(
+            events, root_ids, max_depth, id_col, parent_col, "down"
+        )
+        return (
+            up.unionByName(down)
+            .groupBy(id_col)
+            .agg(F.min("depth").alias("depth"))
+        )
     edges = events.select(F.col(id_col).alias("_id"), F.col(parent_col).alias("_p"))
     if direction == "down":
         e = edges.select(F.col("_p").alias("_s"), F.col("_id").alias("_d"))

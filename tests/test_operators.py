@@ -304,3 +304,21 @@ def test_pq_matches_independent_reference(spark, sf_dir):
         .collect()
     ]
     assert [(round(d, 6), v) for d, v in scored] == got
+
+
+def test_trace_causality_both_direction(spark):
+    """TraceDirection::Both (causality.rs:12-18): union of the up and
+    down walks, deduplicated by event id at min depth."""
+    from mnemo_spark.operators.graph import trace_causality
+
+    events = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3), (5, None)],
+        "id long, parent_event_id long",
+    )
+    roots = spark.createDataFrame([(3,)], "id long")
+    got = {
+        r["id"]: r["depth"]
+        for r in trace_causality(events, roots, max_depth=3,
+                                 direction="both").collect()
+    }
+    assert got == {3: 0, 2: 1, 1: 2, 4: 1}
