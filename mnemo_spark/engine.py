@@ -596,6 +596,121 @@ class MnemoSparkEngine:
             corpus, "id"
         )
 
+    @staticmethod
+    def _excerpt(content: str, max_chars: int) -> str:
+        """First non-empty line, char-truncated with an ellipsis —
+        recall.rs:1102-1113 `excerpt`."""
+        line = next(
+            (ln.strip() for ln in (content or "").splitlines() if ln.strip()), ""
+        )
+        return line if len(line) <= max_chars else line[:max_chars] + "…"
+
+    def recall_reconstruct(
+        self,
+        query: str,
+        principal: str,
+        k: int = 10,
+        edges: DataFrame | None = None,
+        now=None,
+        rrf_k: int = 30,
+        weights: dict[str, float] | None = None,
+        domain_scope: dict | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """v0.5.1 `reconstruct` recall strategy (recall.rs:862-871 +
+        reconstruct_belief at :1019-1106; MRAgent, arXiv:2606.06036):
+        run hybrid recall, then walk ONE hop of memory-graph relations
+        outward from the hits to gather linked/causal context, and
+        synthesise a deterministic rule-based belief node returned
+        ALONGSIDE the untouched hits:
+
+          {"cue", "summary", "source_ids", "linked_context_ids",
+           "confidence"}  (confidence = mean hit score)
+
+        Deterministic order like the reference: hits in rank order;
+        within a hit, outgoing relations before incoming, each side in
+        neighbor-id order. Linked records pass the SAME visibility and
+        experience-tier filters as recall (a relation can never leak an
+        invisible memory into the summary). `edges` is the (src_id,
+        dst_id) relations frame, same convention as strategy='graph'.
+        The belief node is k-sized driver-side state by definition —
+        the hits DataFrame stays distributed."""
+        hits = self.recall(
+            query,
+            principal,
+            strategy="hybrid",
+            k=k,
+            now=now,
+            rrf_k=rrf_k,
+            weights=weights,
+            domain_scope=domain_scope,
+        )
+        rows = sorted(hits.collect(), key=lambda r: r["rank"])
+        if not rows:
+            return hits, {
+                "cue": query,
+                "summary": f'No memories matched the cue "{query}".',
+                "source_ids": [],
+                "linked_context_ids": [],
+                "confidence": 0.0,
+            }
+        source_ids = [r["id"] for r in rows]
+        seen = set(source_ids)
+        linked: list[tuple[str, str]] = []
+        if edges is not None:
+            adj = (
+                edges.filter(
+                    F.col("src_id").isin(source_ids)
+                    | F.col("dst_id").isin(source_ids)
+                )
+                .collect()
+            )
+            out_of: dict[str, list[str]] = {}
+            in_to: dict[str, list[str]] = {}
+            for e in adj:
+                out_of.setdefault(e["src_id"], []).append(e["dst_id"])
+                in_to.setdefault(e["dst_id"], []).append(e["src_id"])
+            candidates: list[str] = []
+            for sid in source_ids:
+                for nid in sorted(out_of.get(sid, [])) + sorted(in_to.get(sid, [])):
+                    if nid not in seen:
+                        seen.add(nid)
+                        candidates.append(nid)
+            if candidates:
+                vis = (
+                    self.visible_to(principal, now=now)
+                    .filter(
+                        ~F.coalesce(
+                            F.array_contains(
+                                F.col("tags"), F.lit(EXPERIENCE_PLAN_TAG)
+                            ),
+                            F.lit(False),
+                        )
+                    )
+                    .filter(F.col("id").isin(candidates))
+                    .select("id", "content")
+                )
+                contents = {r["id"]: r["content"] for r in vis.collect()}
+                linked = [
+                    (nid, contents[nid]) for nid in candidates if nid in contents
+                ]
+
+        parts = [f'Reconstructed belief for cue "{query}":', "", "Direct evidence:"]
+        for i, r in enumerate(rows):
+            parts.append(f"{i + 1}. {self._excerpt(r['content'], 200)}")
+        if not linked:
+            parts += ["", "(No linked context found in the memory graph.)"]
+        else:
+            parts += ["", "Linked context (from graph relations):"]
+            parts += [f"- {self._excerpt(c, 160)}" for _, c in linked]
+        belief = {
+            "cue": query,
+            "summary": "\n".join(parts) + "\n",
+            "source_ids": source_ids,
+            "linked_context_ids": [nid for nid, _ in linked],
+            "confidence": round(sum(r["score"] for r in rows) / len(rows), 6),
+        }
+        return hits, belief
+
     def _semantic_lane(self, corpus: DataFrame, query: str) -> DataFrame:
         if self._embedder_is_default():
             qdf = self.spark.createDataFrame([(query,)], ["content"])

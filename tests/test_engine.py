@@ -475,3 +475,48 @@ def test_forget_null_predicate_rows_survive_hard_delete(spark):
     # NULL content under a subject pattern: t3 must survive redaction
     red = eng.forget_subject("tagged", strategy="hard", now=T0)
     assert {r.id for r in red.memories.collect()} == {"t3"}
+
+
+def test_recall_reconstruct_belief_node(spark):
+    """v0.5.1 reconstruct strategy (recall.rs:1019-1106): hybrid hits
+    plus one hop of graph relations -> deterministic belief node; an
+    INVISIBLE linked record never leaks into the summary; empty hits
+    produce the no-match node."""
+    t0 = dt.datetime(2026, 2, 1)
+    rows = _mk_rows(
+        spark,
+        [
+            ("h1", "alice", "the deploy runbook lives in the wiki", "semantic",
+             "private", 0.9, ["ops"], t0),
+            ("h2", "alice", "deploy windows are tuesday mornings", "semantic",
+             "private", 0.8, ["ops"], t0 + dt.timedelta(hours=1)),
+            ("ctx1", "alice", "the migration to the new host finished recently",
+             "semantic", "private", 0.5, [], t0),
+            ("secret", "bob", "bob's private note about the deploy",
+             "semantic", "private", 0.5, [], t0),
+        ],
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    edges = spark.createDataFrame(
+        [("h1", "ctx1"), ("secret", "h2")], "src_id string, dst_id string"
+    )
+    hits, belief = eng.recall_reconstruct("deploy runbook wiki", "alice",
+                                          k=2, edges=edges)
+    assert belief["cue"] == "deploy runbook wiki"
+    assert set(belief["source_ids"]) == {"h1", "h2"}
+    # outgoing relation pulled in; bob's private record filtered out
+    assert belief["linked_context_ids"] == ["ctx1"]
+    assert "the migration to the new host" in belief["summary"]
+    assert "bob's private note" not in belief["summary"]
+    assert belief["summary"].startswith(
+        'Reconstructed belief for cue "deploy runbook wiki":\n\nDirect evidence:\n'
+    )
+    assert 0.0 < belief["confidence"] <= 1.0
+    # raw hits are untouched by the reconstruction (purely additive)
+    assert {r["id"] for r in hits.collect()} == set(belief["source_ids"])
+
+    # empty candidate set (principal sees nothing) -> the no-match node
+    _, none_belief = eng.recall_reconstruct("deploy runbook wiki", "nobody",
+                                            k=3, edges=edges)
+    assert none_belief["source_ids"] == [] and none_belief["confidence"] == 0.0
+    assert "No memories matched" in none_belief["summary"]
