@@ -424,6 +424,10 @@ class MnemoSparkEngine:
 
     # -- read path (recall.rs:332-737) ----------------------------------
 
+    # v0.5.17 forged-reasoning defense: authorship values considered
+    # trustworthy by default (retrieval.rs:358-371)
+    TRUSTED_REASONING = ("model_authored", "user_provided", "tool_verified")
+
     def recall(
         self,
         query: str,
@@ -435,6 +439,7 @@ class MnemoSparkEngine:
         weights: dict[str, float] | None = None,
         domain_scope: dict | None = None,
         edges: DataFrame | None = None,
+        reasoning_trust: dict | None = None,
     ) -> DataFrame:
         """→ (id, agent_id, content, score, rank). Permission filter
         runs BEFORE scoring (the reference's filtered_search contract:
@@ -448,7 +453,22 @@ class MnemoSparkEngine:
         metadata JSON; tags must ALL be present. Being a pre-scoring
         column predicate, Catalyst pushes it into the scan — at 100 TB
         the domain filter prunes partitions instead of post-filtering
-        a diluted candidate list."""
+        a diluted candidate list.
+
+        reasoning_trust (v0.5.17 forged-reasoning defense,
+        retrieval.rs:216-430 ReasoningTrustPolicy): opt-in
+        {"action": "quarantine"|"down_weight",
+         "trusted": [authorship...], "down_weight_factor": f}.
+        An entry is admitted iff
+        metadata.reasoning_provenance.authorship is in `trusted`
+        (default: model_authored / user_provided / tool_verified);
+        absent or unparseable provenance reads as 'unverified' — the
+        reference's FAIL-CLOSED default (an entry that never declared
+        how its reasoning was produced cannot pass as
+        "already-reasoned"). quarantine excludes pre-scoring;
+        down_weight multiplies the final score (default x0.1) and
+        re-ranks. None keeps the read path unchanged; composes with
+        every strategy."""
         corpus = self.visible_to(principal, now=now).filter(
             # P5: experience-tier plan records never surface in ordinary
             # recall — replayed only via recall_plan (recall.rs:1131-1149)
@@ -475,6 +495,26 @@ class MnemoSparkEngine:
                 corpus = corpus.filter(
                     F.coalesce(F.array_contains(F.col("tags"), F.lit(t)), F.lit(False))
                 )
+        rt_admitted = None
+        if reasoning_trust is not None:
+            action = reasoning_trust.get("action", "quarantine")
+            if action not in ("quarantine", "down_weight"):
+                raise ValueError(f"unknown reasoning_trust action {action!r}")
+            trusted = list(
+                reasoning_trust.get("trusted") or self.TRUSTED_REASONING
+            )
+            authorship = F.coalesce(
+                F.get_json_object(
+                    "metadata", "$.reasoning_provenance.authorship"
+                ),
+                F.lit("unverified"),
+            )
+            rt_admitted = authorship.isin(*trusted)
+            if action == "quarantine":
+                # read-time quarantine joins the shared pre-scoring
+                # post-filter conjunction (P1), like passes_filters
+                corpus = corpus.filter(rt_admitted)
+                rt_admitted = None  # nothing left to down-weight
         if strategy == "exact":
             hits = corpus.filter(F.col("content") == query).withColumn(
                 "score", F.lit(1.0)
@@ -529,6 +569,16 @@ class MnemoSparkEngine:
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
+        if rt_admitted is not None:
+            # DownWeight action (ReasoningTrustPolicy::rerank):
+            # untrusted hits keep their row, score x factor, re-ranked
+            factor = float(reasoning_trust.get("down_weight_factor", 0.1))
+            hits = hits.withColumn(
+                "score",
+                F.when(rt_admitted, F.col("score")).otherwise(
+                    F.col("score") * factor
+                ),
+            )
         return top_k_ranked(hits, [F.desc("score"), F.asc("id")], k).select(
             "id", "agent_id", "content", F.round("score", 6).alias("score"), "rank"
         )

@@ -520,3 +520,58 @@ def test_recall_reconstruct_belief_node(spark):
                                             k=3, edges=edges)
     assert none_belief["source_ids"] == [] and none_belief["confidence"] == 0.0
     assert "No memories matched" in none_belief["summary"]
+
+
+def test_forged_reasoning_defense(spark):
+    """v0.5.17 forged-reasoning defense (retrieval.rs:216-430
+    ReasoningTrustPolicy): quarantine excludes entries whose
+    metadata.reasoning_provenance.authorship is untrusted — with
+    ABSENT provenance reading as 'unverified' and failing CLOSED;
+    down_weight keeps them at factor x score; no policy = unchanged
+    read path."""
+    t0 = dt.datetime(2026, 3, 1)
+    rows = spark.createDataFrame(
+        [
+            ("mA", "a1", "the deploy procedure was reviewed", "semantic",
+             "private", 0.5, [], t0,
+             '{"reasoning_provenance":{"authorship":"model_authored"}}'),
+            ("mB", "a1", "the deploy procedure was reviewed", "semantic",
+             "private", 0.5, [], t0,
+             '{"reasoning_provenance":{"authorship":"injected"}}'),
+            ("mC", "a1", "the deploy procedure was reviewed", "semantic",
+             "private", 0.5, [], t0, None),
+        ],
+        _ROW_SCHEMA + ", metadata string",
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+
+    # no policy: read path unchanged, all three surface
+    nop = {r["id"]: r["score"]
+           for r in eng.recall("deploy procedure", "a1", k=5).collect()}
+    assert len(nop) == 3
+
+    # strict default: quarantine injected AND absent/unverified
+    q = eng.recall(
+        "deploy procedure", "a1", k=5,
+        reasoning_trust={"action": "quarantine"},
+    )
+    assert [r["id"] for r in q.collect()] == ["mA"]
+
+    # soft action: untrusted kept but scored x0.1, ranked below mA
+    d = eng.recall(
+        "deploy procedure", "a1", k=5,
+        reasoning_trust={"action": "down_weight", "down_weight_factor": 0.1},
+    ).collect()
+    by_id = {r["id"]: r for r in d}
+    assert len(d) == 3 and by_id["mA"]["rank"] == 1
+    assert by_id["mB"]["score"] < by_id["mA"]["score"]
+    assert abs(by_id["mB"]["score"] - nop["mB"] * 0.1) < 1e-6
+    assert abs(by_id["mC"]["score"] - nop["mC"] * 0.1) < 1e-6
+
+    # custom trust set: admit injected explicitly
+    c = eng.recall(
+        "deploy procedure", "a1", k=5,
+        reasoning_trust={"action": "quarantine",
+                         "trusted": ["model_authored", "injected"]},
+    )
+    assert {r["id"] for r in c.collect()} == {"mA", "mB"}
