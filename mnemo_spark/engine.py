@@ -227,9 +227,26 @@ class MnemoSparkEngine:
         # a non-default provider must not be silently ignored on write)
         with_defaults = self._with_embedding(with_defaults)
         # W7: per-agent chain assignment (sequential within agent,
-        # parallel across agents)
+        # parallel across agents). Cross-batch continuation: a second
+        # same-agent batch must link its first row to the CURRENT
+        # chain head (reference remember.rs get_latest_memory_hash),
+        # not restart at genesis — callers append in time order, so
+        # new created_at sorts after every stored row of the agent.
+        heads = (
+            self.memories.filter(F.col("chain_hash").isNotNull())
+            .groupBy("agent_id")
+            .agg(
+                F.max_by(
+                    "chain_hash", F.struct("created_at", "id")
+                ).alias("chain_head")
+            )
+        )
         chained = assign_chain(
-            with_defaults, ["agent_id"], ["created_at", "id"], "content_hash"
+            with_defaults,
+            ["agent_id"],
+            ["created_at", "id"],
+            "content_hash",
+            prev_head=heads,
         )
         new_memories = chained.select(*[f.name for f in MEMORY_SCHEMA.fields])
         events = self._append_events(
@@ -1098,6 +1115,182 @@ class MnemoSparkEngine:
         return scored.orderBy(F.desc("similarity"), F.asc("id")).limit(1)
 
     # -- consolidation with maturity gate (A7, maturity.rs) --------------
+
+    def consolidate(
+        self,
+        memory_ids: list[str],
+        topic_name: str,
+        agent_id: str | None = None,
+        summary: str | None = None,
+        supersede: str | None = None,
+        now=None,
+        new_id: str | None = None,
+    ) -> tuple["MnemoSparkEngine", dict]:
+        """v0.5.0 caller-driven topic-document consolidation (reference
+        query/consolidate.rs `execute`; Infini-Memory,
+        arXiv:2606.10677): collect an explicit member set into ONE
+        revisable topic document —
+
+        - deterministic body when no `summary`: '# topic' heading plus
+          the member contents joined in request order (same inputs →
+          same document),
+        - provenance preserved in metadata: `topic`,
+          `consolidated_from` (member ids), `members` (per-member
+          created_at/importance), `revision_of` on revision,
+        - fact revision via `supersede`: the old document is RETAINED
+          (marked consolidated + metadata.superseded_by — never
+          deleted, the hash chain stays whole) and the new one carries
+          version = old + 1,
+        - the document is a normal recallable memory (semantic type,
+          topic tag, max member importance, first member's scope),
+          written through remember_batch so it hashes, chains, and
+          embeds like any write,
+        - audit: MemoryConsolidated always, MemoryRevised on revision.
+
+        Validation mirrors the reference: non-empty member set,
+        non-blank topic, every member must exist, be un-deleted, and
+        be VISIBLE to the owning agent (PermissionDenied otherwise);
+        a superseded document must exist and belong to the same agent.
+        The member set is caller-chosen and id-addressed — k-sized
+        driver-side state by definition."""
+        import json as _json
+        import uuid as _uuid
+
+        if not memory_ids:
+            raise ValueError("consolidate: memory_ids must be non-empty")
+        topic = topic_name.strip()
+        if not topic:
+            raise ValueError("consolidate: topic_name must be non-blank")
+        ids = list(dict.fromkeys(memory_ids))
+        rows = {
+            r["id"]: r
+            for r in self.memories.filter(F.col("id").isin(ids)).collect()
+        }
+        for i in ids:
+            if i not in rows:
+                raise ValueError(f"consolidate: memory {i} not found")
+            if rows[i]["deleted_at"] is not None:
+                raise ValueError(f"consolidate: memory {i} is deleted")
+        agent = agent_id if agent_id is not None else rows[ids[0]]["agent_id"]
+        visible = {
+            r["id"]
+            for r in self.visible_to(agent, now=now)
+            .filter(F.col("id").isin(ids))
+            .select("id")
+            .collect()
+        }
+        for i in ids:
+            if i not in visible:
+                raise PermissionError(
+                    f"consolidate: agent {agent!r} cannot read memory {i}"
+                )
+
+        version, superseded_id = 1, None
+        eng = self
+        if supersede is not None:
+            old = self.memories.filter(F.col("id") == supersede).collect()
+            if not old:
+                raise ValueError(
+                    f"consolidate: topic document {supersede} to supersede not found"
+                )
+            old = old[0]
+            if old["agent_id"] != agent:
+                raise PermissionError(
+                    "consolidate: cannot supersede another agent's document"
+                )
+            try:
+                version = int(
+                    _json.loads(old["metadata"] or "{}").get("version", 1)
+                ) + 1
+            except (ValueError, TypeError):
+                version = 2
+            superseded_id = supersede
+
+        members = [rows[i] for i in ids]
+        if summary is not None and summary.strip():
+            body = summary
+        else:
+            body = f"# {topic}\n\n" + "\n\n".join(
+                m["content"] or "" for m in members
+            )
+        meta = {
+            "topic": topic,
+            "version": version,
+            "consolidated_from": ids,
+            "members": [
+                {
+                    "id": m["id"],
+                    "created_at": str(m["created_at"]),
+                    "importance": float(m["importance"]),
+                }
+                for m in members
+            ],
+        }
+        if superseded_id is not None:
+            meta["revision_of"] = superseded_id
+
+        doc_id = new_id if new_id is not None else _uuid.uuid4().hex
+        now_py = now if now is not None else __import__("datetime").datetime.utcnow()
+        new_row = self.spark.createDataFrame(
+            [
+                (
+                    doc_id,
+                    agent,
+                    body,
+                    "semantic",
+                    members[0]["scope"],
+                    max(float(m["importance"]) for m in members),
+                    [topic],
+                    now_py,
+                    _json.dumps(meta),
+                )
+            ],
+            "id string, agent_id string, content string, memory_type string,"
+            " scope string, importance float, tags array<string>,"
+            " created_at timestamp, metadata string",
+        )
+        eng = self.remember_batch(new_row)
+        now_c = F.lit(now_py).cast("timestamp")
+        audit = [("MemoryConsolidated", doc_id)]
+        if superseded_id is not None:
+            audit.append(("MemoryRevised", superseded_id))
+            # retain the old document: state flip + superseded_by marker
+            old_meta_raw = old["metadata"]
+            try:
+                old_meta = _json.loads(old_meta_raw) if old_meta_raw else {}
+            except ValueError:
+                old_meta = {}
+            old_meta["superseded_by"] = doc_id
+            hit = F.col("id") == superseded_id
+            eng = eng._clone(
+                memories=eng.memories.withColumns(
+                    {
+                        "consolidation_state": F.when(
+                            hit, "consolidated"
+                        ).otherwise(F.col("consolidation_state")),
+                        "metadata": F.when(
+                            hit, F.lit(_json.dumps(old_meta))
+                        ).otherwise(F.col("metadata")),
+                    }
+                )
+            )
+        events = eng._append_events(
+            self.spark.createDataFrame(
+                [(agent, et, mid) for et, mid in audit],
+                "agent_id string, event_type string, memory_id string",
+            ).select("agent_id", "event_type", "memory_id", now_c.alias("ts"))
+        )
+        eng = eng._clone(events=events)
+        stored = eng.memories.filter(F.col("id") == doc_id).collect()[0]
+        return eng, {
+            "topic_document_id": doc_id,
+            "topic_name": topic,
+            "source_count": len(ids),
+            "version": version,
+            "superseded_id": superseded_id,
+            "member_ids": ids,
+            "content_hash": stored["content_hash"],
+        }
 
     def run_consolidation(
         self,

@@ -575,3 +575,76 @@ def test_forged_reasoning_defense(spark):
                          "trusted": ["model_authored", "injected"]},
     )
     assert {r["id"] for r in c.collect()} == {"mA", "mB"}
+
+
+def test_topic_document_consolidate_and_revise(spark):
+    """v0.5.0 topic-document consolidation (consolidate.rs execute;
+    Infini-Memory): deterministic body, provenance metadata, the
+    document recalls like any memory, and revision supersedes while
+    RETAINING the old row with the chain intact."""
+    import json
+
+    t0 = dt.datetime(2026, 4, 1)
+    rows = _mk_rows(
+        spark,
+        [
+            ("e1", "a1", "the api gateway fronts every service", "semantic",
+             "private", 0.6, [], t0),
+            ("e2", "a1", "gateway timeouts are set to thirty seconds",
+             "semantic", "private", 0.8, [], t0 + dt.timedelta(hours=1)),
+            ("hidden", "bob", "bob private fact", "semantic", "private",
+             0.5, [], t0),
+        ],
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+
+    eng2, resp = eng.consolidate(["e1", "e2"], "gateway",
+                                 now=t0 + dt.timedelta(hours=2), new_id="td1")
+    assert resp == {
+        "topic_document_id": "td1",
+        "topic_name": "gateway",
+        "source_count": 2,
+        "version": 1,
+        "superseded_id": None,
+        "member_ids": ["e1", "e2"],
+        "content_hash": resp["content_hash"],
+    } and resp["content_hash"]
+    doc = eng2.memories.filter(F.col("id") == "td1").collect()[0]
+    assert doc["content"] == (
+        "# gateway\n\nthe api gateway fronts every service\n\n"
+        "gateway timeouts are set to thirty seconds"
+    )
+    meta = json.loads(doc["metadata"])
+    assert meta["topic"] == "gateway"
+    assert meta["consolidated_from"] == ["e1", "e2"]
+    assert [m["id"] for m in meta["members"]] == ["e1", "e2"]
+    assert abs(doc["importance"] - 0.8) < 1e-6 and doc["tags"] == ["gateway"]
+    assert eng2.events.filter(
+        F.col("event_type") == "MemoryConsolidated"
+    ).count() == 1
+    # retrievable as a unit
+    assert "td1" in {
+        r["id"] for r in eng2.recall("gateway timeouts", "a1", k=3).collect()
+    }
+
+    # revision: new version supersedes, old row retained + marked
+    eng3, resp2 = eng2.consolidate(
+        ["e1", "e2"], "gateway", summary="gateway: fronts services, 30s timeouts",
+        supersede="td1", now=t0 + dt.timedelta(hours=3), new_id="td2",
+    )
+    assert resp2["version"] == 2 and resp2["superseded_id"] == "td1"
+    old = eng3.memories.filter(F.col("id") == "td1").collect()[0]
+    assert old["consolidation_state"] == "consolidated"
+    assert json.loads(old["metadata"])["superseded_by"] == "td2"
+    assert eng3.events.filter(
+        F.col("event_type") == "MemoryRevised"
+    ).count() == 1
+    # hash chain stays whole across the consolidation writes
+    assert eng3.verify_integrity().filter(F.col("n_breaks") > 0).count() == 0
+
+    # permission: a member invisible to the owning agent refuses
+    import pytest as _pytest
+    with _pytest.raises(PermissionError):
+        eng.consolidate(["e1", "hidden"], "mixed", agent_id="a1", now=t0)
+    with _pytest.raises(ValueError):
+        eng.consolidate([], "empty", now=t0)
