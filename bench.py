@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "retention_audit_events",
     # round-5 surfaces
     "quarantine_review_events",
+    "reasoning_trust_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -514,19 +514,15 @@ class MnemoSparkEngine:
                 )
         rt_admitted = None
         if reasoning_trust is not None:
+            from mnemo_spark.operators.poisoning import reasoning_admitted
+
             action = reasoning_trust.get("action", "quarantine")
             if action not in ("quarantine", "down_weight"):
                 raise ValueError(f"unknown reasoning_trust action {action!r}")
             trusted = list(
                 reasoning_trust.get("trusted") or self.TRUSTED_REASONING
             )
-            authorship = F.coalesce(
-                F.get_json_object(
-                    "metadata", "$.reasoning_provenance.authorship"
-                ),
-                F.lit("unverified"),
-            )
-            rt_admitted = authorship.isin(*trusted)
+            rt_admitted = reasoning_admitted("metadata", trusted)
             if action == "quarantine":
                 # read-time quarantine joins the shared pre-scoring
                 # post-filter conjunction (P1), like passes_filters

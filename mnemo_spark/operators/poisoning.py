@@ -91,3 +91,29 @@ def poisoning_flags(
             | (F.col("len_z") > z_threshold)
         ).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v0.5.17 forged-reasoning defense (reference retrieval.rs:216-430
+# ReasoningTrustPolicy) — the shared policy expressions engine.recall
+# and the oracle-gated query both compose.
+# ---------------------------------------------------------------------------
+
+TRUSTED_REASONING = ("model_authored", "user_provided", "tool_verified")
+
+
+def reasoning_authorship(metadata_col) -> "F.Column":
+    """Parsed reasoning authorship with the reference's FAIL-CLOSED
+    default: absent metadata, absent key, or unparseable JSON all read
+    as 'unverified' (retrieval.rs:296-306 from_metadata)."""
+    c = F.col(metadata_col) if isinstance(metadata_col, str) else metadata_col
+    return F.coalesce(
+        F.get_json_object(c, "$.reasoning_provenance.authorship"),
+        F.lit("unverified"),
+    )
+
+
+def reasoning_admitted(metadata_col, trusted=TRUSTED_REASONING) -> "F.Column":
+    """True iff the entry's reasoning provenance is in the trusted set
+    (ReasoningTrustPolicy::admits_record)."""
+    return reasoning_authorship(metadata_col).isin(*list(trusted))

@@ -1070,3 +1070,94 @@ def quarantine_review_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_type",
         "deleted_at",
     )
+
+
+# ---------------------------------------------------------------------------
+# v0.5.17 forged-reasoning defense (reference retrieval.rs:216-430)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "reasoning_trust_events",
+    """
+    WITH mem AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             value
+      FROM events),
+    withmeta AS (
+      SELECT event_id, value,
+             CASE WHEN k % 31 = 0 THEN NULL
+                  ELSE '{"reasoning_provenance":{"authorship":"' ||
+                       CASE k % 5 WHEN 0 THEN 'model_authored'
+                                  WHEN 1 THEN 'user_provided'
+                                  WHEN 2 THEN 'tool_verified'
+                                  WHEN 3 THEN 'injected'
+                                  ELSE 'unverified' END || '"}}'
+             END AS metadata
+      FROM mem),
+    judged AS (
+      SELECT event_id,
+             coalesce(json_extract_string(metadata,
+                      '$.reasoning_provenance.authorship'),
+                      'unverified') AS authorship,
+             value
+      FROM withmeta)
+    SELECT event_id, authorship,
+           authorship IN ('model_authored', 'user_provided', 'tool_verified')
+             AS admitted,
+           round(CASE WHEN authorship IN ('model_authored', 'user_provided',
+                                          'tool_verified')
+                      THEN value ELSE value * 0.1 END, 6) AS dw_score
+    FROM judged
+    """,
+)
+def reasoning_trust_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0.5.17 forged-reasoning defense (retrieval.rs:216-430
+    ReasoningTrustPolicy; wired into engine.recall via
+    operators/poisoning.reasoning_admitted — this query composes the
+    SAME expressions): reasoning provenance derived deterministically
+    from event props (k%31==0 rows get NO metadata, exercising the
+    fail-closed 'unverified' parse), then the policy evaluation —
+    admitted under the default trusted set, and the DownWeight-action
+    score (x0.1 for untrusted). One projection, no shuffle; at 100 TB
+    the quarantine form of the predicate pushes into the scan."""
+    from mnemo_spark.operators.poisoning import (
+        reasoning_admitted,
+        reasoning_authorship,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    auth_raw = (
+        F.when(k % 5 == 0, "model_authored")
+        .when(k % 5 == 1, "user_provided")
+        .when(k % 5 == 2, "tool_verified")
+        .when(k % 5 == 3, "injected")
+        .otherwise("unverified")
+    )
+    meta = F.when(
+        k % 31 != 0,
+        F.concat(
+            F.lit('{"reasoning_provenance":{"authorship":"'),
+            auth_raw,
+            F.lit('"}}'),
+        ),
+    )
+    judged = e.select(
+        "event_id",
+        "value",
+        reasoning_authorship(meta).alias("authorship"),
+        reasoning_admitted(meta).alias("admitted"),
+    )
+    return judged.select(
+        "event_id",
+        "authorship",
+        "admitted",
+        F.round(
+            F.when(F.col("admitted"), F.col("value")).otherwise(
+                F.col("value") * 0.1
+            ),
+            6,
+        ).alias("dw_score"),
+    )
