@@ -512,6 +512,15 @@ class MnemoSparkEngine:
                 corpus = corpus.filter(
                     F.coalesce(F.array_contains(F.col("tags"), F.lit(t)), F.lit(False))
                 )
+        # legacy strategy-string aliases (retrieval.rs to_strategy_str):
+        # "auto" is the reference's wire name for the hybrid RRF path;
+        # "domain_scoped" (v0.4.15 DomainScoped mode) = restrict to the
+        # metadata sub-corpus, then a SINGLE vector pass — degrading
+        # gracefully to plain vector when no predicate was given
+        if strategy == "auto":
+            strategy = "hybrid"
+        elif strategy == "domain_scoped":
+            strategy = "semantic"
         rt_admitted = None
         if reasoning_trust is not None:
             from mnemo_spark.operators.poisoning import reasoning_admitted

@@ -648,3 +648,33 @@ def test_topic_document_consolidate_and_revise(spark):
         eng.consolidate(["e1", "hidden"], "mixed", agent_id="a1", now=t0)
     with _pytest.raises(ValueError):
         eng.consolidate([], "empty", now=t0)
+
+
+def test_legacy_strategy_string_aliases(spark):
+    """retrieval.rs to_strategy_str wire names: 'auto' is the hybrid
+    RRF path; 'domain_scoped' (v0.4.15) is scope-then-single-vector-
+    pass, degrading to plain vector with no predicate."""
+    t0 = dt.datetime(2026, 5, 1)
+    rows = _mk_rows(
+        spark,
+        [
+            ("n1", "a1", "the ingest pipeline batches uploads", "semantic",
+             "private", 0.5, ["infra"], t0),
+            ("n2", "a1", "uploads are scanned for malware", "semantic",
+             "private", 0.5, ["security"], t0),
+        ],
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    auto = [(r["id"], r["score"]) for r in
+            eng.recall("ingest uploads", "a1", strategy="auto", k=2).collect()]
+    hyb = [(r["id"], r["score"]) for r in
+           eng.recall("ingest uploads", "a1", strategy="hybrid", k=2).collect()]
+    assert auto == hyb and len(auto) == 2
+    ds = eng.recall("ingest uploads", "a1", strategy="domain_scoped", k=5,
+                    domain_scope={"tags": ["security"]}).collect()
+    assert [r["id"] for r in ds] == ["n2"]
+    sem = eng.recall("ingest uploads", "a1", strategy="semantic", k=5).collect()
+    nos = eng.recall("ingest uploads", "a1", strategy="domain_scoped", k=5).collect()
+    assert [(r["id"], r["score"]) for r in nos] == [
+        (r["id"], r["score"]) for r in sem
+    ]
