@@ -360,21 +360,77 @@ class MnemoSparkEngine:
         if out_col in df.columns:
             df = df.drop(out_col)
         if self._embedder_is_default():
-            return df.withColumn(out_col, self._embed(F.col(text_col)))
+            if "id" not in df.columns:
+                return df.withColumn(out_col, self._embed(F.col(text_col)))
+            vec = self._hash_bag_dense(df, text_col)
+            return (
+                df.join(vec, "id", "left")
+                .withColumn(out_col, F.col("_vec"))
+                .drop("_vec")
+            )
         if not getattr(self.embedder, "semantic", False):
             return df.withColumn(out_col, F.lit(None).cast("array<float>"))
         from mnemo_spark.functions.embed_batch import embed_batch
 
         return embed_batch(df, self.embedder, text_col=text_col, out_col=out_col)
 
+    def _hash_bag_dense(self, df: DataFrame, text_col: str) -> DataFrame:
+        """Dense hash-bag embeddings for a keyed frame → (id, _vec).
+
+        Same values as the per-row `_embed` expression, computed
+        RELATIONALLY: explode tokens → (id, bucket) counts → per-id
+        map + L2 → one O(dim) map-lookup assembly per row. The
+        per-row HOF form evaluates `size(filter(buckets, = b))` for
+        every bucket — dim × |tokens| interpreted-lambda calls per
+        ROW, which measured ~80 s to write 500 real documents
+        (tools/engine_probe.py); this form is one codegen'd shuffle,
+        linear in corpus tokens, like every other corpus operator."""
+        cnt = (
+            df.select("id", F.explode(tokens(F.col(text_col))).alias("_t"))
+            .withColumn("_b", token_bucket(F.col("_t"), self.dim))
+            .groupBy("id", "_b")
+            .agg(F.count("*").cast("double").alias("_c"))
+        )
+        per_id = cnt.groupBy("id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_b", "_c"))
+            ).alias("_m"),
+            F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_l2"),
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(self.dim - 1)),
+            lambda b: (
+                F.coalesce(F.element_at(F.col("_m"), b), F.lit(0.0))
+                / F.col("_l2")
+            ).cast("float"),
+        )
+        return per_id.select(
+            "id",
+            F.when(F.col("_l2") > 0, dense)
+            .otherwise(F.lit(None).cast("array<float>"))
+            .alias("_vec"),
+        )
+
     def _embed_when(self, df: DataFrame, cond, text_src: str) -> DataFrame:
         """Recompute `embedding` from `text_src` only where `cond`
         holds, routed through the configured provider like
         `_with_embedding` (reflection re-embeds use this)."""
         if self._embedder_is_default():
-            return df.withColumn(
-                "embedding",
-                F.when(cond, self._embed(F.col(text_src))).otherwise(F.col("embedding")),
+            if "id" not in df.columns:
+                return df.withColumn(
+                    "embedding",
+                    F.when(cond, self._embed(F.col(text_src))).otherwise(
+                        F.col("embedding")
+                    ),
+                )
+            vec = self._hash_bag_dense(df.filter(cond), text_src)
+            return (
+                df.join(vec, "id", "left")
+                .withColumn(
+                    "embedding",
+                    F.when(cond, F.col("_vec")).otherwise(F.col("embedding")),
+                )
+                .drop("_vec")
             )
         if not getattr(self.embedder, "semantic", False):
             return df.withColumn(

@@ -1,0 +1,142 @@
+"""Engine verb-surface probe: time the MnemoSparkEngine verbs over a
+corpus-derived memory store — evidence that the VERB layer (not just
+the registry's query surfaces) holds up as the store grows.
+
+Builds a memories frame from the documents table (one memory per doc,
+agents = doc sources), then times the serving verbs end to end:
+
+  remember_batch   validate → hash → chain → embed → append
+  recall           hybrid (BM25+semantic+recency RRF) with ACL filter
+  recall(trust)    + forged-reasoning quarantine policy
+  reflection       the 5-stage pass (absolutize/dream/dedup/conflict/
+                   archive) via the Coordinated-mode wrapper
+  consolidate      one topic document from 8 members
+  save / load      range-laid-out txlog snapshot + stats-pruned
+                   one-agent load
+  verify           full chain verification over the store
+
+Usage: python tools/engine_probe.py [sf_dir] → one JSON line
+{verb: sec, ...} plus row counts on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import datetime as dt  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mnemo_spark.engine import MnemoSparkEngine  # noqa: E402
+from mnemo_spark.io import load_table  # noqa: E402
+from mnemo_spark.session import get_spark  # noqa: E402
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("engine_probe")
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    rows = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("source").alias("agent_id"),
+        F.col("text").alias("content"),
+        F.lit("semantic").alias("memory_type"),
+        F.when(F.col("doc_id") % 3 == 0, "shared").otherwise("private").alias("scope"),
+        (F.pmod(F.col("doc_id"), 100) / 100.0).cast("float").alias("importance"),
+        F.array(F.col("lang")).alias("tags"),
+        (
+            F.lit(T0).cast("timestamp")
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("created_at"),
+    )
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        out[name] = round(time.time() - t0, 3)
+        return r
+
+    # Engine verbs compose LAZILY: every downstream action over an
+    # unmaterialized engine re-executes the whole write pipeline
+    # (hash + chain fold + embedding) per action. The serving posture
+    # is a RESIDENT store: write once, persist via save(), read verbs
+    # against the loaded store — exactly what this probe times.
+    store = tempfile.mkdtemp(prefix="engine_probe_")
+    timed(
+        "write_and_save",
+        lambda: MnemoSparkEngine(spark).remember_batch(rows).save(
+            store, layout_files=8
+        ),
+    )
+    eng = timed("load_full", lambda: MnemoSparkEngine.load(spark, store))
+    timed("load_materialize", lambda: eng.memories.count())
+
+    principal = rows.select("agent_id").first()[0]
+    timed(
+        "recall_hybrid",
+        lambda: eng.recall("spark join window query", principal, k=10).count(),
+    )
+    timed(
+        "recall_trust_quarantine",
+        lambda: eng.recall(
+            "spark join window query",
+            principal,
+            k=10,
+            reasoning_trust={"action": "quarantine",
+                             "trusted": ["model_authored", "unverified"]},
+        ).count(),
+    )
+
+    timed(
+        "reflection_pass",
+        lambda: eng.run_reflection_pass_with_mode(
+            agent_id=principal, force=True, now=T0 + dt.timedelta(days=40)
+        )[0].memories.count(),
+    )
+
+    members = [
+        r["id"]
+        for r in eng.memories.filter(F.col("agent_id") == principal)
+        .orderBy("id")
+        .limit(8)
+        .select("id")
+        .collect()
+    ]
+    timed(
+        "consolidate_topic",
+        lambda: eng.consolidate(
+            members, "probe-topic", agent_id=None,
+            now=T0 + dt.timedelta(days=60),
+        )[0].memories.count(),
+    )
+
+    timed(
+        "load_one_agent_pruned",
+        lambda: MnemoSparkEngine.load(
+            spark, store, mem_where=("agent_id", principal, principal)
+        ).memories.count(),
+    )
+    timed(
+        "verify_integrity",
+        lambda: eng.verify_integrity().filter(F.col("n_breaks") > 0).count(),
+    )
+
+    print(f"# corpus: {n_docs} docs -> memories", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "n_memories": n_docs, "verbs": out}))
+
+
+if __name__ == "__main__":
+    main()
