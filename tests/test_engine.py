@@ -678,3 +678,27 @@ def test_legacy_strategy_string_aliases(spark):
     assert [(r["id"], r["score"]) for r in nos] == [
         (r["id"], r["score"]) for r in sem
     ]
+
+
+def test_empty_content_write_stores_null_embedding(spark):
+    """The relational write-path embedder must mirror the per-row
+    expression's no-token contract: empty/punctuation-only content
+    stores a NULL embedding (fail-loud absence, never a zero vector),
+    and non-empty rows in the same batch embed normally."""
+    t0 = dt.datetime(2026, 6, 1)
+    rows = _mk_rows(
+        spark,
+        [
+            ("z1", "a1", "", "semantic", "private", 0.5, [], t0),
+            ("z2", "a1", "!!! ???", "semantic", "private", 0.5, [],
+             t0 + dt.timedelta(minutes=1)),
+            ("z3", "a1", "a real sentence here", "semantic", "private", 0.5,
+             [], t0 + dt.timedelta(minutes=2)),
+        ],
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    got = {r["id"]: r["embedding"] for r in eng.memories.collect()}
+    assert got["z1"] is None and got["z2"] is None
+    assert got["z3"] is not None and abs(
+        sum(x * x for x in got["z3"]) - 1.0
+    ) < 1e-5
