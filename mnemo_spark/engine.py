@@ -448,10 +448,13 @@ class MnemoSparkEngine:
         ).drop("_newemb")
 
     def _embed(self, content):
-        """Dense hash-bag embedding as an expression: token buckets →
-        count vector → L2 normalize, built with JVM-side HOFs over the
-        (short) token array of one row. (The corpus-scale sparse form
-        lives in functions.embedder.)"""
+        """Dense hash-bag embedding as a per-row expression: token
+        buckets → count vector → L2 normalize via JVM-side HOFs.
+        O(dim × tokens) interpreted work per row — used ONLY for the
+        single-row query vector and as the no-id-column fallback;
+        batch writes go through `_hash_bag_dense` (relational, linear
+        in corpus tokens). (The corpus-scale sparse form lives in
+        functions.embedder.)"""
         toks = tokens(content)
         buckets = F.transform(toks, lambda t: token_bucket(t, self.dim))
         counts = F.transform(
