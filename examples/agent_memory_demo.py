@@ -95,6 +95,12 @@ def main() -> None:
         for r in q.replay_quarantine(agent_id="alice").collect()
     ]
 
+    # active reconstruction: deterministic belief-state node returned
+    # ALONGSIDE the raw hits (v0.5.1 reconstruct strategy)
+    _, belief = back.recall_reconstruct("deploy pipeline key", "alice", k=2)
+    out["belief_head"] = belief["summary"].splitlines()[0]
+    out["belief_sources"] = belief["source_ids"]
+
     # recall-shaped load: the manifest stats save recorded prune the
     # read to alice's files only
     alice_only = MnemoSparkEngine.load(
@@ -111,6 +117,8 @@ def main() -> None:
     assert out["chain_intact_after_roundtrip"] and out["audit_log_intact"]
     assert out["quarantined_hidden"]
     assert out["quarantine_review"] == [("m1", "suspicious provenance")]
+    assert out["belief_head"].startswith('Reconstructed belief for cue')
+    assert out["belief_sources"]
     assert out["pruned_load_agents"] == ["alice"]
     print(json.dumps(out))
 
