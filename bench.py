@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     # round-5 surfaces
     "quarantine_review_events",
     "reasoning_trust_events",
+    "topic_doc_bodies_events",
     # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
     # only: their oracles are deliberately closed-form twins of walk/
     # parse work, so a perf comparison against them is meaningless)

@@ -1161,3 +1161,79 @@ def reasoning_trust_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dw_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# v0.5.0 topic-document synthesis, batch form (reference
+# query/consolidate.rs `execute` — the per-request verb generalized to
+# every topic in one pass, the same stance batch_bm25 takes vs bm25)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topic_doc_bodies_events",
+    """
+    WITH mem AS (
+      SELECT CAST(user_id AS VARCHAR) AS topic,
+             event_type || ' @ ' || printf('%.2f', value) AS content,
+             ts, event_id, value
+      FROM events WHERE user_id < 40)
+    SELECT topic,
+           CAST(count(*) AS BIGINT) AS source_count,
+           md5('# ' || topic || chr(10) || chr(10) ||
+               string_agg(content, chr(10) || chr(10)
+                          ORDER BY ts, event_id)) AS body_md5,
+           round(max(value), 6) AS importance
+    FROM mem GROUP BY topic
+    """,
+)
+def topic_doc_bodies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-document synthesis, BATCH form (reference consolidate.rs
+    `execute` builds ONE document per request; the batch engine
+    synthesizes EVERY topic's document in one pass — the same
+    generalization batch_bm25 makes over per-query BM25). Per topic:
+    the deterministic body convention the `consolidate` verb uses —
+    '# topic' heading + member contents joined by blank lines in
+    (created_at, id) order — plus the max-member importance the verb
+    assigns. Bodies are md5-compared (they are corpus-sized strings);
+    float content renders through an explicit %.2f on BOTH engines so
+    the comparison never rests on shortest-roundtrip double
+    formatting.
+
+    Plan: one groupBy(topic) with an ordered-struct sort inside the
+    aggregate — no window, no self-join; body assembly is per-group
+    memory bounded by topic size, the same bound the verb itself has.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    mem = e.select(
+        F.col("user_id").cast("string").alias("topic"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" @ "),
+            F.format_string("%.2f", F.col("value")),
+        ).alias("content"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    grouped = mem.groupBy("topic").agg(
+        F.count("*").cast("long").alias("source_count"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "content"))
+                ),
+                lambda s: s["content"],
+            ),
+            "\n\n",
+        ).alias("_body_tail"),
+        F.round(F.max("value"), 6).alias("importance"),
+    )
+    return grouped.select(
+        "topic",
+        "source_count",
+        F.md5(
+            F.concat(F.lit("# "), F.col("topic"), F.lit("\n\n"), F.col("_body_tail"))
+        ).alias("body_md5"),
+        "importance",
+    )
