@@ -230,23 +230,65 @@ class MnemoSparkEngine:
         # parallel across agents). Cross-batch continuation: a second
         # same-agent batch must link its first row to the CURRENT
         # chain head (reference remember.rs get_latest_memory_hash),
-        # not restart at genesis — callers append in time order, so
-        # new created_at sorts after every stored row of the agent.
+        # not restart at genesis. Precondition: every new row must sort
+        # AFTER the agent's head in (created_at, id) — a backdated row
+        # would chain fine here but diverge from the full-table
+        # recompute in verify_integrity, reporting a spurious tamper
+        # break on untampered data. Fail loud in-plan instead of
+        # silently chaining it.
         heads = (
             self.memories.filter(F.col("chain_hash").isNotNull())
             .groupBy("agent_id")
             .agg(
                 F.max_by(
                     "chain_hash", F.struct("created_at", "id")
-                ).alias("chain_head")
+                ).alias("chain_head"),
+                F.max(F.struct("created_at", "id")).alias("head_key"),
             )
         )
+        backdated = F.col("_head_key").isNotNull() & (
+            F.struct(F.col("created_at"), F.col("id")) <= F.col("_head_key")
+        )
+        guarded = (
+            with_defaults.join(
+                F.broadcast(
+                    heads.select(
+                        "agent_id", F.col("head_key").alias("_head_key")
+                    )
+                ),
+                ["agent_id"],
+                "left",
+            )
+            .withColumn(
+                "created_at",
+                F.when(
+                    backdated,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("remember_batch: row "),
+                            F.col("id"),
+                            F.lit(" (created_at "),
+                            F.col("created_at").cast("string"),
+                            F.lit(") sorts at or before agent "),
+                            F.col("agent_id"),
+                            F.lit(
+                                "'s current chain head — backdated writes"
+                                " would make verify_integrity report a"
+                                " spurious tamper break; use a created_at"
+                                " after the head"
+                            ),
+                        )
+                    ).cast("timestamp"),
+                ).otherwise(F.col("created_at")),
+            )
+            .drop("_head_key")
+        )
         chained = assign_chain(
-            with_defaults,
+            guarded,
             ["agent_id"],
             ["created_at", "id"],
             "content_hash",
-            prev_head=heads,
+            prev_head=heads.select("agent_id", "chain_head"),
         )
         new_memories = chained.select(*[f.name for f in MEMORY_SCHEMA.fields])
         events = self._append_events(
@@ -553,24 +595,7 @@ class MnemoSparkEngine:
                 F.lit(False),
             )
         )
-        if domain_scope:
-            ns = domain_scope.get("namespace")
-            if ns is not None:
-                corpus = corpus.filter(
-                    (F.get_json_object("metadata", "$.namespace") == ns)
-                    | F.coalesce(
-                        F.array_contains(F.col("tags"), F.lit(ns)), F.lit(False)
-                    )
-                )
-            dc = domain_scope.get("doc_class")
-            if dc is not None:
-                corpus = corpus.filter(
-                    F.get_json_object("metadata", "$.doc_class") == dc
-                )
-            for t in domain_scope.get("tags") or []:
-                corpus = corpus.filter(
-                    F.coalesce(F.array_contains(F.col("tags"), F.lit(t)), F.lit(False))
-                )
+        corpus = self._apply_domain_scope(corpus, domain_scope)
         # legacy strategy-string aliases (retrieval.rs to_strategy_str):
         # "auto" is the reference's wire name for the hybrid RRF path;
         # "domain_scoped" (v0.4.15 DomainScoped mode) = restrict to the
@@ -728,6 +753,33 @@ class MnemoSparkEngine:
         )
 
     @staticmethod
+    def _apply_domain_scope(df: DataFrame, domain_scope: dict | None) -> DataFrame:
+        """P3 domain-scope predicates (retrieval.rs:154-174 DomainScope):
+        namespace (metadata OR tag), doc_class (metadata), required tags.
+        Shared by the recall corpus AND every linked-record lookup — the
+        reference runs linked context through the full passes_filters, so
+        a domain-scoped reconstruct must never pull out-of-scope records
+        into the belief summary."""
+        if not domain_scope:
+            return df
+        ns = domain_scope.get("namespace")
+        if ns is not None:
+            df = df.filter(
+                (F.get_json_object("metadata", "$.namespace") == ns)
+                | F.coalesce(
+                    F.array_contains(F.col("tags"), F.lit(ns)), F.lit(False)
+                )
+            )
+        dc = domain_scope.get("doc_class")
+        if dc is not None:
+            df = df.filter(F.get_json_object("metadata", "$.doc_class") == dc)
+        for t in domain_scope.get("tags") or []:
+            df = df.filter(
+                F.coalesce(F.array_contains(F.col("tags"), F.lit(t)), F.lit(False))
+            )
+        return df
+
+    @staticmethod
     def _excerpt(content: str, max_chars: int) -> str:
         """First non-empty line, char-truncated with an ellipsis —
         recall.rs:1102-1113 `excerpt`."""
@@ -759,9 +811,11 @@ class MnemoSparkEngine:
 
         Deterministic order like the reference: hits in rank order;
         within a hit, outgoing relations before incoming, each side in
-        neighbor-id order. Linked records pass the SAME visibility and
-        experience-tier filters as recall (a relation can never leak an
-        invisible memory into the summary). `edges` is the (src_id,
+        neighbor-id order. Linked records pass the SAME visibility,
+        experience-tier, AND domain-scope filters as the recall corpus
+        (reconstruct_belief runs them through the full passes_filters —
+        a relation can never leak an invisible or out-of-scope memory
+        into the summary). `edges` is the (src_id,
         dst_id) relations frame, same convention as strategy='graph'.
         The belief node is k-sized driver-side state by definition —
         the hits DataFrame stays distributed."""
@@ -808,14 +862,16 @@ class MnemoSparkEngine:
                         candidates.append(nid)
             if candidates:
                 vis = (
-                    self.visible_to(principal, now=now)
-                    .filter(
-                        ~F.coalesce(
-                            F.array_contains(
-                                F.col("tags"), F.lit(EXPERIENCE_PLAN_TAG)
-                            ),
-                            F.lit(False),
-                        )
+                    self._apply_domain_scope(
+                        self.visible_to(principal, now=now).filter(
+                            ~F.coalesce(
+                                F.array_contains(
+                                    F.col("tags"), F.lit(EXPERIENCE_PLAN_TAG)
+                                ),
+                                F.lit(False),
+                            )
+                        ),
+                        domain_scope,
                     )
                     .filter(F.col("id").isin(candidates))
                     .select("id", "content")
@@ -1270,7 +1326,17 @@ class MnemoSparkEngine:
                 version = 2
             superseded_id = supersede
 
-        members = [rows[i] for i in ids]
+        # Deterministic synthesis order: the reference sorts the deduped
+        # member set by (created_at, id) BEFORE building the body, the
+        # members provenance, consolidated_from, and even the scope pick
+        # (consolidate.rs:179, :254) — the same member set in any caller
+        # order must yield an identical document / content_hash. This is
+        # also the order the batch twin topic_doc_bodies_events uses.
+        members = sorted(
+            (rows[i] for i in ids),
+            key=lambda m: (m["created_at"], m["id"]),
+        )
+        ids = [m["id"] for m in members]
         if summary is not None and summary.strip():
             body = summary
         else:
@@ -1886,12 +1952,17 @@ class MnemoSparkEngine:
             now_c.cast("string"),
             F.lit('"'),
         )
-        # insert the marker key into the JSON object string (fresh
-        # object when metadata is null/empty)
+        # insert the marker key into the JSON object string; splicing is
+        # only valid when metadata IS an object — null/empty/non-object
+        # metadata (array, string, number) gets a fresh object instead,
+        # as ReasoningProvenance::attach does in the reference
         empty = F.col("metadata").isNull() | (
             F.regexp_replace(F.col("metadata"), r"\s", "") == "{}"
         )
-        new_meta = F.when(empty, F.concat(stamp, F.lit("}"))).otherwise(
+        is_object = F.col("metadata").rlike(r"^\s*\{")
+        new_meta = F.when(
+            empty | ~is_object, F.concat(stamp, F.lit("}"))
+        ).otherwise(
             F.concat(
                 stamp,
                 F.lit(","),

@@ -1175,7 +1175,9 @@ def reasoning_trust_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH mem AS (
       SELECT CAST(user_id AS VARCHAR) AS topic,
-             event_type || ' @ ' || printf('%.2f', value) AS content,
+             event_type || ' @ ' ||
+               CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+               || 'c' AS content,
              ts, event_id, value
       FROM events WHERE user_id < 40)
     SELECT topic,
@@ -1183,7 +1185,7 @@ def reasoning_trust_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5('# ' || topic || chr(10) || chr(10) ||
                string_agg(content, chr(10) || chr(10)
                           ORDER BY ts, event_id)) AS body_md5,
-           round(max(value), 6) AS importance
+           floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS importance
     FROM mem GROUP BY topic
     """,
 )
@@ -1196,9 +1198,11 @@ def topic_doc_bodies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     '# topic' heading + member contents joined by blank lines in
     (created_at, id) order — plus the max-member importance the verb
     assigns. Bodies are md5-compared (they are corpus-sized strings);
-    float content renders through an explicit %.2f on BOTH engines so
-    the comparison never rests on shortest-roundtrip double
-    formatting.
+    float content renders as integer cents via floor(v*100 + 0.5) —
+    pure IEEE arithmetic both engines compute bit-identically, unlike
+    printf-style %.2f (Java HALF_UP on the decimal expansion vs C
+    correctly-rounded on the binary value: 450.125 renders '450.13'
+    vs '450.12'). Importance uses the same floor rule at 6 digits.
 
     Plan: one groupBy(topic) with an ordered-struct sort inside the
     aggregate — no window, no self-join; body assembly is per-group
@@ -1210,7 +1214,8 @@ def topic_doc_bodies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("event_type"),
             F.lit(" @ "),
-            F.format_string("%.2f", F.col("value")),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("string"),
+            F.lit("c"),
         ).alias("content"),
         "ts",
         "event_id",
@@ -1227,7 +1232,9 @@ def topic_doc_bodies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "\n\n",
         ).alias("_body_tail"),
-        F.round(F.max("value"), 6).alias("importance"),
+        (F.floor(F.max("value") * 1000000.0 + 0.5) / 1000000.0).alias(
+            "importance"
+        ),
     )
     return grouped.select(
         "topic",

@@ -650,6 +650,109 @@ def test_topic_document_consolidate_and_revise(spark):
         eng.consolidate([], "empty", now=t0)
 
 
+def test_consolidate_member_order_is_caller_independent(spark):
+    """consolidate.rs:179 sorts the deduped member set by
+    (created_at, id) BEFORE synthesis — the same member set in ANY
+    caller order must yield an identical body, provenance metadata,
+    member_ids, scope pick (consolidate.rs:254: first member AFTER
+    sorting), and content_hash."""
+    import json
+
+    t0 = dt.datetime(2026, 4, 1)
+    rows = _mk_rows(
+        spark,
+        [
+            ("e1", "a1", "first fact", "semantic", "private", 0.6, [], t0),
+            ("e2", "a1", "second fact", "semantic", "public", 0.8, [],
+             t0 + dt.timedelta(hours=1)),
+        ],
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    now = t0 + dt.timedelta(hours=2)
+    eng_f, fwd = eng.consolidate(["e1", "e2"], "t", now=now, new_id="td")
+    eng_r, rev = eng.consolidate(["e2", "e1"], "t", now=now, new_id="td")
+    assert fwd == rev
+    assert fwd["member_ids"] == ["e1", "e2"]
+    doc_f = eng_f.memories.filter(F.col("id") == "td").collect()[0]
+    doc_r = eng_r.memories.filter(F.col("id") == "td").collect()[0]
+    assert doc_f["content"] == doc_r["content"] == (
+        "# t\n\nfirst fact\n\nsecond fact"
+    )
+    assert doc_f["content_hash"] == doc_r["content_hash"]
+    # scope comes from the sorted-first member, not the caller's first
+    assert doc_r["scope"] == "private"
+    meta = json.loads(doc_r["metadata"])
+    assert meta["consolidated_from"] == ["e1", "e2"]
+    assert [m["id"] for m in meta["members"]] == ["e1", "e2"]
+
+
+def test_reconstruct_linked_context_respects_domain_scope(spark):
+    """reconstruct_belief runs linked records through the FULL
+    passes_filters — a domain-scoped reconstruct must not pull
+    out-of-scope records into the belief summary via graph edges."""
+    t0 = dt.datetime(2026, 2, 1)
+    rows = spark.createDataFrame(
+        [
+            ("h1", "alice", "the deploy runbook lives in the wiki",
+             "semantic", "private", 0.9, ["ops"], t0, '{"namespace": "ops"}'),
+            ("in_ns", "alice", "context: the primary host moved",
+             "semantic", "private", 0.5, [], t0, '{"namespace": "ops"}'),
+            ("out_ns", "alice", "context: the campaign schedule moved",
+             "semantic", "private", 0.5, [], t0, '{"namespace": "mkt"}'),
+        ],
+        _ROW_SCHEMA + ", metadata string",
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    edges = spark.createDataFrame(
+        [("h1", "in_ns"), ("h1", "out_ns")], "src_id string, dst_id string"
+    )
+    _, scoped = eng.recall_reconstruct(
+        "deploy runbook wiki", "alice", k=1, edges=edges,
+        domain_scope={"namespace": "ops"},
+    )
+    assert scoped["source_ids"] == ["h1"]
+    assert scoped["linked_context_ids"] == ["in_ns"]
+    assert "campaign schedule" not in scoped["summary"]
+    # unscoped: the same edge set pulls both linked records
+    _, open_belief = eng.recall_reconstruct(
+        "deploy runbook wiki", "alice", k=1, edges=edges
+    )
+    assert set(open_belief["linked_context_ids"]) == {"in_ns", "out_ns"}
+
+
+def test_backdated_cross_batch_write_fails_loud(spark):
+    """Cross-batch chain continuation links to the stored head and
+    assumes new rows sort AFTER it in (created_at, id); a backdated
+    row would chain 'fine' but make verify_integrity report a
+    spurious tamper break later. The write must fail loud instead."""
+    eng = MnemoSparkEngine(spark).remember_batch(
+        _mk_rows(spark, [("m1", "a1", "first", "semantic", "private",
+                          0.5, [], T0 + dt.timedelta(hours=1))])
+    )
+    assert eng.memories.count() == 1
+    backdated = eng.remember_batch(
+        _mk_rows(spark, [("m0", "a1", "backdated", "semantic", "private",
+                          0.5, [], T0)])
+    )
+    with pytest.raises(Exception, match="chain head"):
+        backdated.memories.count()
+    # in-order same-agent append and an earlier ts on a DIFFERENT
+    # (chainless-so-far) agent both stay fine
+    ok = eng.remember_batch(
+        _mk_rows(
+            spark,
+            [
+                ("m2", "a1", "next", "semantic", "private", 0.5, [],
+                 T0 + dt.timedelta(hours=2)),
+                ("b1", "b2", "other agent, earlier wall-clock", "semantic",
+                 "private", 0.5, [], T0),
+            ],
+        )
+    )
+    assert ok.memories.count() == 3
+    assert ok.verify_integrity().filter(F.col("n_breaks") > 0).count() == 0
+
+
 def test_legacy_strategy_string_aliases(spark):
     """retrieval.rs to_strategy_str wire names: 'auto' is the hybrid
     RRF path; 'domain_scoped' (v0.4.15) is scope-then-single-vector-

@@ -186,3 +186,48 @@ def test_dream_report_trailer_ingested_once(spark):
     assert out2.events.filter(
         F.col("event_type") == "DreamReportIngested"
     ).count() == 1
+
+
+def test_dream_report_marker_survives_non_object_metadata(spark):
+    """The ingestion marker is spliced into the metadata JSON string;
+    splicing is only valid for objects. Valid-JSON-but-not-object
+    metadata (array, string, number) must be replaced with a fresh
+    object — not corrupted into malformed JSON that breaks the
+    idempotence marker (ReasoningProvenance::attach does the same)."""
+    import json
+
+    trailer = "s\n\n## Organization Report\nconsolidated: 1"
+    rows = spark.createDataFrame(
+        [
+            ("obj", "a1", trailer, "semantic", "private", 0.5, [], T0,
+             '{"keep": "me"}'),
+            ("arr", "a1", trailer, "semantic", "private", 0.5, [], T0,
+             "[1, 2]"),
+            ("str", "a1", trailer, "semantic", "private", 0.5, [], T0,
+             '"just a note"'),
+            ("num", "a1", trailer, "semantic", "private", 0.5, [], T0, "42"),
+            ("nul", "a1", trailer, "semantic", "private", 0.5, [], T0, None),
+            ("emp", "a1", trailer, "semantic", "private", 0.5, [], T0, ""),
+        ]
+        + [(f"f{i}", "a1", f"filler {i}", "semantic", "private", 0.5, [],
+            T0 + dt.timedelta(minutes=i), None) for i in range(5)],
+        _ROW_SCHEMA + ", metadata string",
+    )
+    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    out, rep = eng.run_reflection_pass_with_mode("a1", now=NOW)
+    assert rep["dream_report_ingested"] == 6
+    metas = {
+        r["id"]: r["metadata"]
+        for r in out.memories.filter(
+            F.col("id").isin(["obj", "arr", "str", "num", "nul", "emp"])
+        ).collect()
+    }
+    for mid, raw in metas.items():
+        parsed = json.loads(raw)  # every result must be VALID json
+        assert isinstance(parsed, dict), (mid, raw)
+        assert "dream_report_ingested_at" in parsed, (mid, raw)
+    assert json.loads(metas["obj"])["keep"] == "me"
+
+    # idempotent for every shape: second pass ingests nothing
+    _, rep2 = out.run_reflection_pass_with_mode("a1", force=True, now=NOW)
+    assert rep2["dream_report_ingested"] == 0
