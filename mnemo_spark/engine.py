@@ -66,6 +66,11 @@ MEMORY_SCHEMA = StructType(
         StructField("content_hash", StringType(), True),
         StructField("prev_hash", StringType(), True),
         StructField("chain_hash", StringType(), True),
+        # per-agent insertion sequence: the chain walks (created_at,
+        # chain_seq) — the reference's ORDER BY created_at with
+        # insertion-stable ties (duckdb.rs:689), made explicit so the
+        # distributed recompute has the same total order
+        StructField("chain_seq", LongType(), True),
         StructField("consolidation_state", StringType(), True),
         StructField("metadata", StringType(), True),  # JSON string (plan payloads etc.)
         StructField("access_count", LongType(), True),
