@@ -161,13 +161,24 @@ class MnemoSparkEngine:
 
     # -- write path (remember.rs:67-270) --------------------------------
 
-    def remember_batch(self, rows: DataFrame) -> "MnemoSparkEngine":
+    def remember_batch(
+        self, rows: DataFrame, strict: bool = False
+    ) -> "MnemoSparkEngine":
         """Validate → defaults → hash → chain → append.
 
         rows: (id, agent_id, content, memory_type, scope, importance,
         tags, created_at[, expires_at]). Invalid agent ids or enum
         values REJECT the whole batch (fail loud, like the reference's
         per-request validation).
+
+        Deferred-failure contract: the backdated-write guard raises
+        IN-PLAN (F.raise_error), so with strict=False this call
+        returns successfully and the rejection surfaces on the first
+        downstream action — a caller chaining further verbs before
+        materializing sees the failure attributed to the later verb.
+        strict=True runs an eager (one extra broadcast-join count)
+        check so the ValueError raises here, at the cost of an
+        immediate job.
         """
         # explicit NULL checks: every predicate below is NULL for NULL
         # inputs, which would silently EXCLUDE the row from `bad` — the
@@ -235,30 +246,59 @@ class MnemoSparkEngine:
         # parallel across agents). Cross-batch continuation: a second
         # same-agent batch must link its first row to the CURRENT
         # chain head (reference remember.rs get_latest_memory_hash),
-        # not restart at genesis. Precondition: every new row must sort
-        # AFTER the agent's head in (created_at, id) — a backdated row
-        # would chain fine here but diverge from the full-table
-        # recompute in verify_integrity, reporting a spurious tamper
-        # break on untampered data. Fail loud in-plan instead of
-        # silently chaining it.
+        # not restart at genesis, and continue the per-agent insertion
+        # sequence (chain_seq) past the stored maximum — the
+        # reference's insertion-stable ORDER BY created_at
+        # (duckdb.rs:689) made explicit, so the distributed recompute
+        # in verify_integrity walks (created_at, chain_seq) and
+        # same-timestamp cross-batch appends stay stable.
+        # Precondition: a new row's created_at must not be EARLIER
+        # than the head's — a backdated row would chain fine here but
+        # diverge from the full-table recompute, reporting a spurious
+        # tamper break on untampered data. Fail loud in-plan instead
+        # of silently chaining it. (Equal timestamps are fine: the
+        # carried chain_seq breaks the tie in append order.)
         heads = (
             self.memories.filter(F.col("chain_hash").isNotNull())
             .groupBy("agent_id")
             .agg(
                 F.max_by(
-                    "chain_hash", F.struct("created_at", "id")
+                    "chain_hash", F.struct("created_at", "chain_seq")
                 ).alias("chain_head"),
-                F.max(F.struct("created_at", "id")).alias("head_key"),
+                F.max("chain_seq").alias("head_seq"),
+                F.max("created_at").alias("head_ts"),
             )
         )
-        backdated = F.col("_head_key").isNotNull() & (
-            F.struct(F.col("created_at"), F.col("id")) <= F.col("_head_key")
+        backdated = F.col("_head_ts").isNotNull() & (
+            F.col("created_at") < F.col("_head_ts")
         )
+        if strict:
+            first_backdated = (
+                with_defaults.join(
+                    F.broadcast(
+                        heads.select("agent_id", F.col("head_ts").alias("_head_ts"))
+                    ),
+                    ["agent_id"],
+                    "left",
+                )
+                .filter(backdated)
+                .limit(1)
+                .collect()
+            )
+            if first_backdated:
+                r = first_backdated[0]
+                raise ValueError(
+                    f"remember_batch: row {r['id']} (created_at "
+                    f"{r['created_at']}) sorts before agent {r['agent_id']}'s"
+                    " current chain head — backdated writes would make"
+                    " verify_integrity report a spurious tamper break; use a"
+                    " created_at at or after the head"
+                )
         guarded = (
             with_defaults.join(
                 F.broadcast(
                     heads.select(
-                        "agent_id", F.col("head_key").alias("_head_key")
+                        "agent_id", F.col("head_ts").alias("_head_ts")
                     )
                 ),
                 ["agent_id"],
@@ -274,26 +314,27 @@ class MnemoSparkEngine:
                             F.col("id"),
                             F.lit(" (created_at "),
                             F.col("created_at").cast("string"),
-                            F.lit(") sorts at or before agent "),
+                            F.lit(") sorts before agent "),
                             F.col("agent_id"),
                             F.lit(
                                 "'s current chain head — backdated writes"
                                 " would make verify_integrity report a"
                                 " spurious tamper break; use a created_at"
-                                " after the head"
+                                " at or after the head"
                             ),
                         )
                     ).cast("timestamp"),
                 ).otherwise(F.col("created_at")),
             )
-            .drop("_head_key")
+            .drop("_head_ts")
         )
         chained = assign_chain(
             guarded,
             ["agent_id"],
             ["created_at", "id"],
             "content_hash",
-            prev_head=heads.select("agent_id", "chain_head"),
+            prev_head=heads.select("agent_id", "chain_head", "head_seq"),
+            seq_col="chain_seq",
         )
         new_memories = chained.select(*[f.name for f in MEMORY_SCHEMA.fields])
         events = self._append_events(
@@ -1296,7 +1337,19 @@ class MnemoSparkEngine:
                 raise ValueError(f"consolidate: memory {i} not found")
             if rows[i]["deleted_at"] is not None:
                 raise ValueError(f"consolidate: memory {i} is deleted")
-        agent = agent_id if agent_id is not None else rows[ids[0]]["agent_id"]
+        # default agent comes from the FIRST member in the deterministic
+        # (created_at, id) order, not caller argument order — otherwise
+        # an omitted agent_id makes the document's owner (and the
+        # permission-check outcome) depend on how the caller happened to
+        # order the ids (ADVICE r6; the reference takes agent_id from
+        # the request, consolidate.rs:179)
+        agent = (
+            agent_id
+            if agent_id is not None
+            else min(rows.values(), key=lambda m: (m["created_at"], m["id"]))[
+                "agent_id"
+            ]
+        )
         visible = {
             r["id"]
             for r in self.visible_to(agent, now=now)
@@ -1964,7 +2017,14 @@ class MnemoSparkEngine:
         empty = F.col("metadata").isNull() | (
             F.regexp_replace(F.col("metadata"), r"\s", "") == "{}"
         )
-        is_object = F.col("metadata").rlike(r"^\s*\{")
+        # a '{'-prefix alone is not an object: malformed metadata like
+        # '{bad' would splice into invalid JSON and break the
+        # idempotence marker on every later pass (ADVICE r6) — gate on
+        # actual parseability (get_json_object returns NULL for
+        # unparseable input, non-NULL '{...}' for a real object)
+        is_object = F.col("metadata").rlike(r"^\s*\{") & F.get_json_object(
+            F.col("metadata"), "$"
+        ).rlike(r"^\{")
         new_meta = F.when(
             empty | ~is_object, F.concat(stamp, F.lit("}"))
         ).otherwise(
@@ -1997,11 +2057,14 @@ class MnemoSparkEngine:
     def verify_integrity(self) -> DataFrame:
         """Recompute each agent's chain from content hashes and diff
         against stored chain_hash → (agent_id, first break position);
-        empty result = intact."""
+        empty result = intact. Chain order is (created_at, chain_seq):
+        the reference's insertion-stable ORDER BY created_at
+        (duckdb.rs:689) — chain_seq carries the append order across
+        batches so same-timestamp writes recompute deterministically."""
         return verify_chain(
             self.memories.filter(F.col("content_hash").isNotNull()),
             ["agent_id"],
-            ["created_at", "id"],
+            ["created_at", "chain_seq"],
         )
 
     # -- lifecycle -------------------------------------------------------

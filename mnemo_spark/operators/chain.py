@@ -62,6 +62,7 @@ def assign_chain(
     order_cols: Sequence[str],
     hash_col: str,
     prev_head: DataFrame | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Assign prev_hash / chain_hash to every row (reference W7).
 
@@ -69,23 +70,33 @@ def assign_chain(
     `prev_head`: part_cols + 'chain_head') or '' genesis;
     chain_hash = sha256(content_hash ‖ prev_hash); next row's
     prev_hash = this chain_hash.
+
+    seq_col: when set, also assign a per-partition insertion sequence
+    (1-based, in `order_cols` order) so the chain's total order is
+    reproducible without the batch boundary. Cross-batch continuation
+    comes from an optional 'head_seq' column on `prev_head` (the
+    stored max sequence per key): new rows continue at head_seq + 1.
     """
     part_cols = list(part_cols)
     order_cols = list(order_cols)
     if prev_head is not None:
-        df = df.join(
-            F.broadcast(prev_head.withColumnRenamed("chain_head", "_carry")),
-            part_cols,
-            "left",
-        )
+        carry = prev_head.withColumnRenamed("chain_head", "_carry")
+        if "head_seq" in carry.columns:
+            carry = carry.withColumnRenamed("head_seq", "_seq_carry")
+        else:
+            carry = carry.withColumn("_seq_carry", F.lit(None).cast("long"))
+        df = df.join(F.broadcast(carry), part_cols, "left")
     else:
-        df = df.withColumn("_carry", F.lit(None).cast("string"))
+        df = df.withColumn("_carry", F.lit(None).cast("string")).withColumn(
+            "_seq_carry", F.lit(None).cast("long")
+        )
 
     out_fields = df.schema.fields
     schema = (
         ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
-                  if f.name != "_carry")
+                  if f.name not in ("_carry", "_seq_carry"))
         + ", prev_hash string, chain_hash string"
+        + (f", `{seq_col}` bigint" if seq_col else "")
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -98,9 +109,13 @@ def assign_chain(
             link = hashlib.sha256((h + prev).encode()).hexdigest()
             chains.append(link)
             prev = link
-        pdf = pdf.drop(columns=["_carry"])
+        seq0 = pdf["_seq_carry"].iloc[0]
+        pdf = pdf.drop(columns=["_carry", "_seq_carry"])
         pdf["prev_hash"] = prevs
         pdf["chain_hash"] = chains
+        if seq_col:
+            base = int(seq0) if pd.notna(seq0) else 0
+            pdf[seq_col] = range(base + 1, base + 1 + len(pdf))
         return pdf
 
     return df.groupBy(*part_cols).applyInPandas(fold, schema=schema)

@@ -1132,36 +1132,55 @@ def rolling_7d_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Heavy hitters via approx_top_k — the frequent-items sketch next to
-# the HLL cardinality row. Self-verifying (rows-only, like
-# approx_distinct_events): with capacity ≥ the live vocabulary the
-# sketch is exact, so each estimate must equal the exact count
-# computed in the same query.
+# the HLL cardinality row. Full-oracle since r7: in the
+# capacity-complete regime (maxItemsTracked ≥ live vocabulary) the
+# sketch is provably exact, so a deterministic (count desc, term)
+# rank over the sketch output hash-matches DuckDB's exact top-20.
 # ---------------------------------------------------------------------------
 
 
-@query("approx_topk_terms_docs")
+@query(
+    "approx_topk_terms_docs",
+    """
+    WITH tf AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    cnt AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS est_count
+      FROM tf GROUP BY term)
+    SELECT term, est_count, TRUE AS valid
+    FROM cnt ORDER BY est_count DESC, term LIMIT 20
+    """,
+)
 def approx_topk_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_top_k heavy hitters over document tokens, joined to the
     exact per-term counts from the same scan. At 100 TB the sketch is
     the only viable form (constant memory per partition, one merge);
     here capacity (10⁴) exceeds the corpus vocabulary, making the
-    estimates provably exact — `valid` must be uniformly true, and
-    the driver records the rows-only check (sketch layouts differ
-    across engines, same exemption as the HLL row)."""
+    estimates provably exact. The sketch is asked for its full
+    tracked set and the top-20 is cut with a deterministic
+    (est_count desc, term) rank — ties at the boundary resolve the
+    same way in both engines, so the exact-count oracle hash-matches;
+    `valid` (estimate == exact from the same scan) must be uniformly
+    TRUE or the hash breaks."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens("text")).alias("term"))
     sk = tok.agg(
-        F.expr("approx_top_k(term, 20, 10000)").alias("tk")
+        F.expr("approx_top_k(term, 10000, 10000)").alias("tk")
     ).select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("term"),
         F.col("e.count").cast("long").alias("est_count"),
     )
-    exact = tok.groupBy("term").agg(F.count("*").alias("exact_count"))
-    return sk.join(exact, "term", "left").select(
-        "term",
-        "est_count",
-        F.col("exact_count").cast("long").alias("exact_count"),
-        (F.col("est_count") == F.col("exact_count")).alias("valid"),
+    exact = tok.groupBy("term").agg(F.count("*").cast("long").alias("exact_count"))
+    return (
+        sk.join(exact, "term", "left")
+        .orderBy(F.desc("est_count"), "term")
+        .limit(20)
+        .select(
+            "term",
+            "est_count",
+            (F.col("est_count") == F.col("exact_count")).alias("valid"),
+        )
     )
 
 

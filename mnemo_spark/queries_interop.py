@@ -458,7 +458,39 @@ def consent_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decided.groupBy("scope", "decision").agg(F.count("*").alias("n"))
 
 
-@query("retention_audit_events")
+@query(
+    "retention_audit_events",
+    """
+    WITH m AS (
+      SELECT
+        count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+          AS lawful_drop,
+        count(*) FILTER (WHERE event_id % 37 = 0
+                           AND ts >= TIMESTAMP '2024-01-16 00:00:00')
+          AS n_drop,
+        count(*) FILTER (WHERE event_id % 37 = 0
+                           AND ts > TIMESTAMP '2024-01-16 00:00:00')
+          AS drop_in_floor,
+        count(*) FILTER (WHERE event_id % 41 = 0
+                           AND NOT (event_id % 37 = 0
+                                    AND ts >= TIMESTAMP '2024-01-16 00:00:00'))
+          AS n_rewrite
+      FROM events)
+    SELECT 'ttl_sweep' AS path, 'dpdp-rules' AS profile,
+           CAST(lawful_drop AS BIGINT) AS dropped_total,
+           CAST(0 AS BIGINT) AS dropped_in_floor,
+           CAST(0 AS BIGINT) AS rewritten, TRUE AS valid
+    FROM m
+    UNION ALL
+    SELECT 'bad_compaction', 'dpdp-rules',
+           CAST(n_drop AS BIGINT),
+           CAST(drop_in_floor AS BIGINT),
+           CAST(n_rewrite AS BIGINT),
+           ((drop_in_floor > 0 OR n_rewrite > 0)
+            AND drop_in_floor = n_drop)
+    FROM m
+    """,
+)
 def retention_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-conformance check (reference mnemo-compliance
     retention.rs verify_path via operators/compliance
@@ -467,11 +499,14 @@ def retention_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-day floor, and a violating compaction that both drops young
     rows and rewrites retained hashes.
 
-    Self-verifying rows-only check (`valid` uniformly true): the
-    lawful path must report ok with zero in-floor drops, the
-    violating path must be flagged with in-floor drops AND rewrites
-    pinned to the exact tampered counts. (The report row set depends
-    on two full snapshot diffs — no closed-form SQL twin.)
+    Full oracle since r7: both deletion paths are deterministic
+    modulus/cutoff predicates, so the report's diff counts have a
+    closed-form SQL twin — the lawful path must report ok with zero
+    in-floor drops, the violating path must be flagged with in-floor
+    drops AND rewrites pinned to the exact tampered counts, and
+    `valid` must be uniformly true or the hash breaks. (The floor
+    boundary is strict: a row aged exactly 30 d is OUTSIDE the
+    floor, mirrored by `ts >` vs `ts >=` in the twin.)
     """
     from mnemo_spark.operators.compliance import retention_verify_path
 

@@ -136,17 +136,26 @@ def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_events")
+@query(
+    "approx_distinct_events",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS valid
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per event_type — THE
     cardinality primitive at 100 TB, where exact countDistinct pays a
     full shuffle of every key and the sketch pays a constant few KB
-    per partition. No SQL oracle on values: DuckDB's approx sketch is
-    a different estimator, so cross-engine equality is not a contract.
-    Instead the query is SELF-verifying (rows-only check): the sketch
-    must land within HLL++'s configured rsd=2% of the exact count
-    (asserted at 5x slack), which is exactly the guarantee a planner
-    relies on when swapping it in."""
+    per partition. Cross-engine sketch VALUES are not a contract
+    (DuckDB's estimator differs), so the full-oracle form exposes the
+    exact count plus a tolerance-band flag: `valid` asserts the HLL++
+    estimate landed within 5x its configured rsd=2% of the exact
+    count (the guarantee a planner relies on when swapping it in).
+    The oracle expects `valid` uniformly TRUE, so a sketch outside
+    its error bound is a hash mismatch, not a silent pass."""
     e = _t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -154,7 +163,6 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type",
-        "approx_users",
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
@@ -217,24 +225,36 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles_lineitem")
+@query(
+    "approx_quantiles_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           TRUE AS valid
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Spark's KLL/Greenwald-Khanna
+    """Approximate percentiles (Spark's Greenwald-Khanna
     percentile_approx) per return flag — the other sketch a planner
     reaches for at 100 TB, where exact percentile sorts every
-    partition. Like approx_distinct_events this is rows-only: sketch
-    estimators differ across engines, so the contract is the error
-    bound, asserted against the exact percentile (rank error ≤ 1/acc
-    → value bracketed by exact p±2% neighbors at accuracy 10000)."""
+    partition. Sketch estimates differ across engines, so the
+    full-oracle form exposes the EXACT interpolated median (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, both linear interpolation
+    at (n-1)p) plus `valid`: the sketch value bracketed by the exact
+    p±2% neighbors (rank error ≤ 1/accuracy at accuracy 10000). The
+    oracle expects `valid` uniformly TRUE, so a sketch outside its
+    rank-error bound is a hash mismatch, not a silent pass."""
     e = _t(spark, sf_dir, "lineitem")
     agg = e.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_raw"),
         F.expr("percentile(l_extendedprice, 0.48)").alias("lo"),
         F.expr("percentile(l_extendedprice, 0.52)").alias("hi"),
     )
     return agg.select(
         "l_returnflag",
-        F.round("approx_p50", 2).alias("approx_p50"),
+        F.round("exact_p50_raw", 2).alias("exact_p50"),
         (
             (F.col("approx_p50") >= F.col("lo"))
             & (F.col("approx_p50") <= F.col("hi"))

@@ -744,10 +744,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first: the correlated scalar subquery becomes a window min
     over the regional cost frame partitioned by part (no re-scan,
-    one shuffle), then an equality filter. `supply_cost` is
-    min(price/qty) — min of identical IEEE divisions, so the
-    cross-engine equality filter is exact, no FP drift. Ranking is
-    orderBy+limit → TakeOrderedAndProject (parallel partial top-k).
+    one shuffle), then an equality filter. The selective part filter
+    (p_size/p_type) broadcast-joins BELOW the window: the window is
+    partitioned by l_partkey, so dropping whole parts before the min
+    cannot change any surviving part's min, and the windowed frame
+    shrinks by the part selectivity — at 100 TB that is the
+    difference between windowing all of partsupp and windowing ~1 %
+    of it. `supply_cost` is min(price/qty) — min of identical IEEE
+    divisions, so the cross-engine equality filter is exact, no FP
+    drift. Ranking is orderBy+limit → TakeOrderedAndProject
+    (parallel partial top-k).
     """
     l = _t(spark, sf_dir, "lineitem")
     cost = l.groupBy("l_partkey", "l_suppkey").agg(
@@ -764,14 +770,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
     )
-    regional = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+    regional = (
+        cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+    )
     w = Window.partitionBy("l_partkey")
     best = regional.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
         F.col("supply_cost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .select(
+        best.select(
             "s_acctbal",
             "s_name",
             "n_name",

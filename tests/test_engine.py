@@ -805,3 +805,51 @@ def test_empty_content_write_stores_null_embedding(spark):
     assert got["z3"] is not None and abs(
         sum(x * x for x in got["z3"]) - 1.0
     ) < 1e-5
+
+
+def test_remember_batch_schema_contract(engine):
+    """Structural contract (VERDICT r6 item 2): every column DECLARED
+    in MEMORY_SCHEMA must come out of remember_batch, and every
+    engine-assigned column must actually be populated — a field added
+    to the schema without an assignment anywhere (the r6 chain_seq
+    regression class) fails here, not 83 tests downstream."""
+    from mnemo_spark.engine import AUDIT_SCHEMA
+
+    assert [f.name for f in engine.memories.schema.fields] == [
+        f.name for f in MEMORY_SCHEMA.fields
+    ]
+    rows = {r["id"]: r for r in engine.memories.collect()}
+    for name in ("content_hash", "prev_hash", "chain_hash", "chain_seq",
+                 "embedding", "created_at"):
+        assert rows["m1"][name] is not None, f"declared-but-unassigned {name}"
+    # audit frame honors its declared schema too
+    assert [f.name for f in engine.events.schema.fields] == [
+        f.name for f in AUDIT_SCHEMA.fields
+    ]
+    ev = engine.events.limit(1).collect()
+    assert ev and ev[0]["chain_hash"] is not None
+    assert ev[0]["logical_clock"] is not None
+
+
+def test_chain_seq_continues_across_batches(spark):
+    """chain_seq is the per-agent insertion sequence: a second batch
+    continues past the stored maximum (never restarts at 1), and
+    same-timestamp cross-batch appends keep a stable
+    (created_at, chain_seq) total order so verify_integrity's
+    distributed recompute matches append order."""
+    t0 = dt.datetime(2026, 7, 1, 12, 0, 0)
+    eng = MnemoSparkEngine(spark).remember_batch(
+        _mk_rows(spark, [
+            ("c1", "a1", "first", "semantic", "private", 0.5, [], t0),
+            ("c2", "a1", "second", "semantic", "private", 0.5, [], t0),
+        ])
+    )
+    # same created_at in a LATER batch: allowed, seq breaks the tie
+    eng = eng.remember_batch(
+        _mk_rows(spark, [
+            ("c3", "a1", "third", "semantic", "private", 0.5, [], t0),
+        ])
+    )
+    seqs = {r["id"]: r["chain_seq"] for r in eng.memories.collect()}
+    assert seqs == {"c1": 1, "c2": 2, "c3": 3}
+    assert eng.verify_integrity().filter(F.col("n_breaks") > 0).count() == 0
