@@ -79,24 +79,31 @@ def assign_chain(
     """
     part_cols = list(part_cols)
     order_cols = list(order_cols)
+    # the seq carry column rides the Arrow transfer into every fold —
+    # only thread it when a sequence was actually requested
+    want_seq = seq_col is not None
+    helper_cols = ["_carry", "_seq_carry"] if want_seq else ["_carry"]
     if prev_head is not None:
         carry = prev_head.withColumnRenamed("chain_head", "_carry")
-        if "head_seq" in carry.columns:
-            carry = carry.withColumnRenamed("head_seq", "_seq_carry")
-        else:
-            carry = carry.withColumn("_seq_carry", F.lit(None).cast("long"))
+        if want_seq:
+            if "head_seq" in carry.columns:
+                carry = carry.withColumnRenamed("head_seq", "_seq_carry")
+            else:
+                carry = carry.withColumn("_seq_carry", F.lit(None).cast("long"))
+        elif "head_seq" in carry.columns:
+            carry = carry.drop("head_seq")
         df = df.join(F.broadcast(carry), part_cols, "left")
     else:
-        df = df.withColumn("_carry", F.lit(None).cast("string")).withColumn(
-            "_seq_carry", F.lit(None).cast("long")
-        )
+        df = df.withColumn("_carry", F.lit(None).cast("string"))
+        if want_seq:
+            df = df.withColumn("_seq_carry", F.lit(None).cast("long"))
 
     out_fields = df.schema.fields
     schema = (
         ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
-                  if f.name not in ("_carry", "_seq_carry"))
+                  if f.name not in helper_cols)
         + ", prev_hash string, chain_hash string"
-        + (f", `{seq_col}` bigint" if seq_col else "")
+        + (f", `{seq_col}` bigint" if want_seq else "")
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -109,11 +116,11 @@ def assign_chain(
             link = hashlib.sha256((h + prev).encode()).hexdigest()
             chains.append(link)
             prev = link
-        seq0 = pdf["_seq_carry"].iloc[0]
-        pdf = pdf.drop(columns=["_carry", "_seq_carry"])
+        seq0 = pdf["_seq_carry"].iloc[0] if want_seq else None
+        pdf = pdf.drop(columns=helper_cols)
         pdf["prev_hash"] = prevs
         pdf["chain_hash"] = chains
-        if seq_col:
+        if want_seq:
             base = int(seq0) if pd.notna(seq0) else 0
             pdf[seq_col] = range(base + 1, base + 1 + len(pdf))
         return pdf

@@ -163,3 +163,68 @@ def sessionize(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    cum_col: str,
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum over a global total order — the scale
+    form of `sum().over(Window.orderBy(...))`, which Spark executes
+    as a SINGLE-partition window (`WindowExec: No Partition Defined`)
+    no matter how large the frame is.
+
+    Three bounded steps instead:
+    1. range-partition on `order_cols` (each partition holds one
+       contiguous slice of the total order);
+    2. per-partition running sum — a window PARTITIONED by the range
+       partition id, so every task sorts only its slice;
+    3. per-partition totals prefix-folded into offsets (one row per
+       partition — cluster-sized, not data-sized) and broadcast back.
+
+    The input is persisted for the two passes so the partition ids
+    the offsets were computed from are the ones the final pass sees
+    (`spark_partition_id` is plan-dependent otherwise). Result values
+    are boundary-independent, so the range sampler's partition
+    placement never changes the output.
+
+    order_cols must form a total order (end with a unique tiebreak);
+    `total_col`, when set, additionally carries the grand total to
+    every row (the Pareto-share denominator) from the same offsets
+    frame — no second aggregation over the data.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    ptot = ordered.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    g = _const_partition(ptot)
+    w_off = (
+        Window.partitionBy(_GPART)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(_GPART)
+    offsets = g.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0.0)).alias("_poff"),
+        F.sum("_ptot").over(w_tot).alias("_gtot"),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ordered.join(F.broadcast(offsets), "_pid").withColumn(
+        cum_col, F.sum(value_col).over(w) + F.col("_poff")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_gtot"))
+    return out.drop("_pid", "_poff", "_gtot")

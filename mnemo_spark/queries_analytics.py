@@ -907,8 +907,8 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fences AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
            round(least(greatest(e.value, f.lo), f.hi), 6) AS value_w,
@@ -920,11 +920,18 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type 5%/95% winsorization: exact-percentile fences
     (broadcast, per-group scalars) clamp the value column; `clipped`
     marks affected rows. Downstream of this sits every
-    outlier-robust quality weight in the curation pipeline."""
+    outlier-robust quality weight in the curation pipeline.
+
+    The fences are rounded to 6dp BEFORE the clamp/compare, on both
+    sides: the two engines interpolate the percentile with different
+    FP expression orders, and a last-ulp fence difference flips
+    `clipped` for any row sitting exactly on the fence (surfaced at
+    the 10x replicated scale sweep, where duplicated values make
+    on-fence rows common)."""
     e = _t(spark, sf_dir, "events")
     fences = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
     )
     return e.join(F.broadcast(fences), "event_type").select(
         "event_id",
@@ -1437,24 +1444,26 @@ def trajectory_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def abc_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC customer segmentation by cumulative revenue share.
-    The ordered window runs over the customer DIMENSION (one row per
-    customer after the grouped sum), not the fact table — the global
-    ordering is dimension-sized by construction, the same stance as
-    revenue_mom_orders."""
+
+    The running sum is over the customer DIMENSION in a global
+    (revenue desc, custkey) order — a naive `Window.orderBy` executes
+    that on a single partition, which at 100 TB means one task
+    sorting every customer. `global_cumsum` replaces it with a
+    range-partitioned prefix sum (each task sorts one slice; offsets
+    are a cluster-sized broadcast), and carries the Pareto
+    denominator from the same offsets frame."""
+    from mnemo_spark.operators.window_ops import global_cumsum
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
-    w = (
-        Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy()
-    ranked = rev.select(
-        "o_custkey",
+    ranked = global_cumsum(
+        rev,
+        [F.desc("revenue"), F.asc("o_custkey")],
         "revenue",
-        F.sum("revenue").over(w).alias("cum_rev"),
-        F.sum("revenue").over(wt).alias("total_rev"),
+        "cum_rev",
+        total_col="total_rev",
     )
     share = F.col("cum_rev") / F.col("total_rev")
     return ranked.select(

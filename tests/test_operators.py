@@ -322,3 +322,52 @@ def test_trace_causality_both_direction(spark):
                                  direction="both").collect()
     }
     assert got == {3: 0, 2: 1, 1: 2, 4: 1}
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    """global_cumsum (the distributed prefix sum) must equal the
+    naive single-partition running sum on the same total order —
+    including cross-partition offset handoff (forced 4-way range
+    partitioning over 40 rows) and the grand-total carry."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from mnemo_spark.operators.window_ops import global_cumsum
+
+    rows = [(i, float((i * 37) % 100) + 0.25) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = {
+        r["k"]: (r["cum"], r["tot"])
+        for r in global_cumsum(
+            df, [F.desc("v"), F.asc("k")], "v", "cum",
+            total_col="tot", num_partitions=4,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("v"), F.asc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    total = sum(v for _, v in rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k]) < 1e-9, k
+        assert abs(got[k][1] - total) < 1e-9, k
+
+
+def test_global_cumsum_single_row_and_empty(spark):
+    import pyspark.sql.functions as F
+
+    from mnemo_spark.operators.window_ops import global_cumsum
+
+    one = spark.createDataFrame([(1, 5.0)], "k int, v double")
+    r = global_cumsum(one, [F.asc("k")], "v", "cum", total_col="tot",
+                      num_partitions=4).collect()
+    assert [(x["cum"], x["tot"]) for x in r] == [(5.0, 5.0)]
+    empty = spark.createDataFrame([], "k int, v double")
+    assert global_cumsum(empty, [F.asc("k")], "v", "cum",
+                         num_partitions=4).count() == 0

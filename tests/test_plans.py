@@ -601,3 +601,23 @@ def test_quarantine_review_pushes_cutoff_to_scan(plans):
     p = plans("quarantine_review_events")
     pushed = " ".join(ln for ln in p.splitlines() if "PushedFilters" in ln)
     assert "GreaterThanOrEqual(ts" in pushed
+
+
+def test_abc_cumsum_is_range_partitioned_not_global(spark, sf_dir):
+    """abc_customers_orders' Pareto running sum must plan as the
+    distributed prefix sum: a range exchange feeding a Window
+    PARTITIONED by the slice id — never the single-partition
+    `Window.orderBy` form. Grammar: a Window line WITH an order spec
+    (ASC/DESC present) must print 3 bracket groups (funcs,
+    partition, order); the offsets windows partition on the constant
+    key and the slice windows on _pid."""
+    import re
+
+    p = plan_of(QUERIES["abc_customers_orders"](spark, sf_dir), "simple")
+    assert "rangepartitioning" in p.lower()
+    for line in p.splitlines():
+        m = re.search(r"Window (\[.*)", line.strip())
+        if not m or ("ASC" not in line and "DESC" not in line):
+            continue
+        seps = re.findall(r"\], \[", m.group(1))
+        assert len(seps) == 2, f"unpartitioned ordered Window: {line.strip()}"
