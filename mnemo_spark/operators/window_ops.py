@@ -228,3 +228,64 @@ def global_cumsum(
     if total_col is not None:
         out = out.withColumn(total_col, F.col("_gtot"))
     return out.drop("_pid", "_poff", "_gtot")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    n: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed `ntile(n)` over a global total order — the scale
+    form of `ntile(n).over(Window.orderBy(...))`, which plans a
+    single-partition window.
+
+    Same machinery as `global_cumsum`, with counts instead of sums:
+    range-partition on the order, row_number within each slice, add
+    the broadcast count-offset of the slices before it, then apply
+    the closed-form SQL-standard tile rule — with q = N div n and
+    rem = N mod n, the first rem tiles hold q+1 rows and the rest q
+    (NOT the even `(r-1)*n div N` spread, which parts ways with SQL
+    ntile as soon as a larger bucket follows a boundary) — in exact
+    integer arithmetic: bit-identical to the engines' ntile, no FP
+    boundary.
+
+    order_cols must form a total order (end with a unique tiebreak),
+    which is also what makes ntile deterministic in the first place.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    pcnt = ordered.groupBy("_pid").agg(F.count("*").alias("_pc"))
+    g = _const_partition(pcnt)
+    w_off = (
+        Window.partitionBy(_GPART)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(_GPART)
+    offsets = g.select(
+        "_pid",
+        F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).cast("long").alias("_roff"),
+        F.sum("_pc").over(w_tot).cast("long").alias("_n"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    k = int(n)
+    tile = (
+        f"CASE WHEN (_r - 1) < (_n % {k}) * ((_n div {k}) + 1)"
+        f" THEN (_r - 1) div ((_n div {k}) + 1) + 1"
+        f" ELSE (_n % {k})"
+        f"  + ((_r - 1) - (_n % {k}) * ((_n div {k}) + 1)) div (_n div {k})"
+        f"  + 1 END"
+    )
+    return (
+        ordered.join(F.broadcast(offsets), "_pid")
+        .withColumn("_r", F.row_number().over(w) + F.col("_roff"))
+        .withColumn(out_col, F.expr(tile))
+        .drop("_pid", "_roff", "_n", "_r")
+    )

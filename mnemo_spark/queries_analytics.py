@@ -1567,25 +1567,35 @@ def growth_accounting_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quintile 1 = most recent / most
-    frequent / highest spend. Three ntile windows over the one-row-
-    per-customer aggregate (dimension-sized, same stance as the ABC
-    and MoM surfaces); o_custkey tiebreaks make the cuts exact."""
+    frequent / highest spend; o_custkey tiebreaks make the cuts
+    exact.
+
+    Each quintile is a GLOBAL ntile over the customer dimension — a
+    naive `Window.orderBy` plans three single-partition sorts of
+    every customer. `global_ntile` runs each as a range-partitioned
+    rank plus the closed-form tile rule (same distributed-prefix
+    machinery as the ABC surface), so every sort task holds one
+    slice."""
+    from mnemo_spark.operators.window_ops import global_ntile
+
     o = _t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").cast("long").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return base.select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(wr).cast("long").alias("r_quintile"),
-        F.ntile(5).over(wf).cast("long").alias("f_quintile"),
-        F.ntile(5).over(wm).cast("long").alias("m_quintile"),
+    out = global_ntile(
+        base, [F.desc("last_order"), F.asc("o_custkey")], 5, "r_quintile"
+    )
+    out = global_ntile(
+        out, [F.desc("frequency"), F.asc("o_custkey")], 5, "f_quintile"
+    )
+    out = global_ntile(
+        out, [F.desc("monetary"), F.asc("o_custkey")], 5, "m_quintile"
+    )
+    return out.select(
+        "o_custkey", "frequency", "monetary",
+        "r_quintile", "f_quintile", "m_quintile",
     )
 
 

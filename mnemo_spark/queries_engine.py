@@ -580,12 +580,13 @@ def recall_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.3)
-    w = Window.orderBy(F.desc("jaccard"), F.asc("doc_id"))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PLAN_TOP)
-        .select("doc_id", "jaccard", "rank")
-    )
+    # top-k with rank via TakeOrderedAndProject (parallel partial
+    # top-k), not a single-partition row_number over every candidate
+    from mnemo_spark.operators.window_ops import top_k_ranked
+
+    return top_k_ranked(
+        j, [F.desc("jaccard"), F.asc("doc_id")], _PLAN_TOP
+    ).select("doc_id", "jaccard", "rank")
 
 
 # ---------------------------------------------------------------------------

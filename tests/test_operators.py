@@ -371,3 +371,29 @@ def test_global_cumsum_single_row_and_empty(spark):
     empty = spark.createDataFrame([], "k int, v double")
     assert global_cumsum(empty, [F.asc("k")], "v", "cum",
                          num_partitions=4).count() == 0
+
+
+def test_global_ntile_matches_builtin_ntile(spark):
+    """global_ntile's closed-form tile rule must equal the built-in
+    single-partition ntile for sizes that do and don't divide evenly,
+    across forced multi-partition range slices."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from mnemo_spark.operators.window_ops import global_ntile
+
+    for n_rows in (10, 11, 23, 40):
+        rows = [(i, float((i * 13) % 37)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "k int, v double")
+        got = {
+            r["k"]: r["t"]
+            for r in global_ntile(
+                df, [F.desc("v"), F.asc("k")], 5, "t", num_partitions=4
+            ).collect()
+        }
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("v"), F.asc("k"))
+        want = {
+            r["k"]: r["t"]
+            for r in df.withColumn("t", F.ntile(5).over(w)).collect()
+        }
+        assert got == want, n_rows
