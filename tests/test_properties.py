@@ -386,3 +386,73 @@ def test_rrf_fuse_wide_matches_per_lane_path(spark, wide, lane_limit):
                           lane_limit=lane_limit).collect()
     }
     assert got == want
+
+
+# -- distributed global-order operators ≡ naive single-partition forms ----
+#
+# global_cumsum / global_ntile replace `Window.orderBy(...)` (a
+# one-task global sort at scale) with range-partitioned slices plus a
+# broadcast offsets frame. The contract is BIT-IDENTICAL results to
+# the naive window for any data — duplicates, negatives, sizes that
+# do / don't divide the tile count — under any partition count.
+
+cum_vals = st.lists(
+    st.integers(min_value=-1000, max_value=1000),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=cum_vals, parts=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_global_cumsum_matches_naive_window(spark, vals, parts):
+    from pyspark.sql import Window
+
+    from mnemo_spark.operators.window_ops import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "k int, v double"
+    )
+    got = {
+        r["k"]: (r["cum"], r["tot"])
+        for r in global_cumsum(
+            df, [F.asc("v"), F.asc("k")], "v", "cum",
+            total_col="tot", num_partitions=parts,
+        ).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("v"), F.asc("k"))
+    wt = Window.partitionBy(F.lit(0))
+    want = {
+        r["k"]: (r["cum"], r["tot"])
+        for r in df.withColumn("cum", F.sum("v").over(w))
+        .withColumn("tot", F.sum("v").over(wt))
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=cum_vals,
+    n=st.integers(min_value=1, max_value=7),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_global_ntile_matches_naive_ntile(spark, vals, n, parts):
+    from pyspark.sql import Window
+
+    from mnemo_spark.operators.window_ops import global_ntile
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "k int, v double"
+    )
+    got = {
+        r["k"]: r["t"]
+        for r in global_ntile(
+            df, [F.desc("v"), F.asc("k")], n, "t", num_partitions=parts
+        ).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("v"), F.asc("k"))
+    want = {
+        r["k"]: r["t"] for r in df.withColumn("t", F.ntile(n).over(w)).collect()
+    }
+    assert got == want

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# End-of-round preflight: EVERY gate, not just the driver's.
+#
+# Round 6 shipped green driver artifacts (oracle sweep + bench) over a
+# red pytest suite — the write-verb layer was broken but no registry
+# query routes through it, so CORRECTNESS/BENCH stayed green
+# (VERDICT r6 "What's wrong" #2). This script is the fence: run it
+# before any end-of-round snapshot; it exits non-zero if ANY layer is
+# red.
+#
+# Usage: bash tools/preflight.sh [sf_dir]   (default /root/testdata/sf0.01)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+rc=0
+
+echo "== 1/4 pytest (full suite) =="
+python -m pytest tests/ -q --tb=line 2>&1 | tail -3 || rc=1
+[ "${PIPESTATUS[0]}" -eq 0 ] || rc=1
+
+echo "== 2/4 oracle sweep ($SF) =="
+python tools/check_oracle.py "$SF" 2>&1 | grep -E "^(OK|FAIL|[0-9]+/)" | tail -3
+[ "${PIPESTATUS[0]}" -eq 0 ] || rc=1
+
+echo "== 3/4 driver-sim entry (plain SparkSession, no factory confs) =="
+python - <<'EOF' || rc=1
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+n = len(e.entry(spark).collect())
+assert n >= 0
+q = e.queries()
+assert q["event_chain_heads"](spark, "/root/testdata/sf0.01").count() > 0
+print(f"entry OK ({n} rows), {len(q)} queries registered")
+EOF
+
+echo "== 4/4 bench (sf0.1) =="
+python bench.py 2>/dev/null | tail -1 || rc=1
+
+echo
+if [ "$rc" -eq 0 ]; then echo "PREFLIGHT GREEN"; else echo "PREFLIGHT RED"; fi
+exit $rc
