@@ -744,14 +744,19 @@ def envelope_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gemini_cli lane; reference retrieval.rs:487-610): ranked hits
     rendered one pointer line each. The envelope itself collects k
     driver-side rows by design; this query keeps the identical
-    formatting relational so the oracle can check it."""
+    formatting relational so the oracle can check it.
+
+    The rank comes from `top_k_ranked` (TakeOrderedAndProject):
+    the old `row_number().over(Window.orderBy(...))` form windowed the
+    ENTIRE documents table through one task before keeping k — the
+    single-partition funnel at 100 TB (caught as a runtime WindowExec
+    warning in the sf1x sweep, r7)."""
+    from mnemo_spark.operators.window_ops import top_k_ranked
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = (
-        d.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ENVELOPE_K)
-        .withColumn("score", F.round(F.col("n_chars") / 100.0, 3))
-    )
+    ranked = top_k_ranked(
+        d, [F.desc("n_chars"), F.asc("doc_id")], _ENVELOPE_K
+    ).withColumn("score", F.round(F.col("n_chars") / 100.0, 3))
     first_line = F.trim(F.element_at(F.split(F.col("text"), "\n"), 1))
     return ranked.select(
         "rank",

@@ -151,7 +151,8 @@ def test_no_unpartitioned_window_in_ranked_queries(spark, sf_dir):
 
     for name in ("bm25_topk_docs", "hybrid_recall_docs", "rrf_hybrid_docs",
                  "rrf_explain_docs", "evidence_budget_docs",
-                 "token_budget_pack_docs", "current_fact_latest_event"):
+                 "token_budget_pack_docs", "current_fact_latest_event",
+                 "envelope_lines_docs", "recall_plan_docs"):
         p = plan_of(QUERIES[name](spark, sf_dir), "simple")
         for line in p.splitlines():
             m = re.search(r"Window (\[.*)", line.strip())

@@ -34,7 +34,9 @@ ALLOW = {
     # k-row or month/window-dimension frames (bounded by construction)
     ("revenue_mom_orders", "window"),        # months dimension (~tens)
     ("revenue_mom_orders", "single"),        # same month-dim sort
-    ("envelope_lines_docs", "window"),       # k-row envelope sample
+    # (envelope_lines_docs was allowlisted here until r7 — WRONG: its
+    # window input was the FULL documents table, not the k survivors;
+    # now fixed via top_k_ranked and no longer exempt)
     ("ivf_ann_topk", "window"),              # k probe results
     ("cosine_near_dup_embeddings", "single"),
     # final global top-k / single-row reduces: SinglePartition under
