@@ -38,12 +38,16 @@ def run_once(spark, name: str, sf: str) -> float:
 def main() -> int:
     args = sys.argv[1:]
     out_json = None
-    if args and args[0] == "--json":
-        out_json = args[1]
-        args = args[2:]
+    reps = 2
+    while args and args[0].startswith("--") and args[0] != "--":
+        if args[0] == "--json":
+            out_json = args[1]
+            args = args[2:]
+        elif args[0] == "--reps":
+            reps = int(args[1])
+            args = args[2:]
     sep = args.index("--")
     sf_dirs, names = args[:sep], args[sep + 1:]
-    reps = 2
 
     spark = get_spark("sf_growth")
     spark.sparkContext.setLogLevel("ERROR")
