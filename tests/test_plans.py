@@ -660,3 +660,43 @@ def test_rfm_quintiles_are_range_partitioned_not_global(spark, sf_dir):
             continue
         seps = re.findall(r"\], \[", m.group(1))
         assert len(seps) == 2, f"unpartitioned ordered Window: {line.strip()}"
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The 100-TB skew story has two layers: salting where we control
+    the plan (salted_agg_events) and AQE skew-join for everything
+    else. Pin the second: under the session's adaptive config, a
+    fact-fact sort-merge join with one hot key (85% of rows) must be
+    re-planned at RUNTIME with the hot partition split —
+    `SortMergeJoin(skew=true)` in the final adaptive plan. Thresholds
+    are lowered to surface at test scale; the mechanism (partition
+    size vs median × factor) is scale-independent."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        fact = spark.range(0, 400000).select(
+            F.when(F.col("id") % 100 < 85, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("d"),
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 400000  # execute -> final adaptive plan
+        p = plan_of(j)  # same DF object: explain shows the EXECUTED plan
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, "AQE did not split the hot partition"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
