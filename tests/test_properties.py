@@ -456,3 +456,87 @@ def test_global_ntile_matches_naive_ntile(spark, vals, n, parts):
         r["k"]: r["t"] for r in df.withColumn("t", F.ntile(n).over(w)).collect()
     }
     assert got == want
+
+
+@given(
+    vals=cum_vals,
+    k=st.integers(min_value=1, max_value=12),
+)
+@SETTINGS
+def test_top_k_ranked_matches_naive_window_rank(spark, vals, k):
+    """top_k_ranked (TakeOrderedAndProject + k-row rank) must equal the
+    naive global row_number window filtered to rank<=k — same rows,
+    same ranks — for any data and any k (including k > |df|)."""
+    from pyspark.sql import Window
+
+    from mnemo_spark.operators.window_ops import top_k_ranked
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "k int, v double"
+    )
+    order = [F.desc("v"), F.asc("k")]
+    got = {
+        (r["k"], r["rank"])
+        for r in top_k_ranked(df, order, k).collect()
+    }
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    want = {
+        (r["k"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_g")
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    n_users=st.integers(min_value=1, max_value=4),
+    n_events=st.integers(min_value=1, max_value=18),
+)
+@SETTINGS
+def test_scd2_versions_partition_the_timeline(spark, n_users, n_events):
+    """SCD2 invariants per user: versions are 1..n dense, intervals
+    are adjacent ([valid_to of v_i] == [valid_from of v_{i+1}]), only
+    the LAST version is current (valid_to null), and valid_from is
+    non-decreasing — i.e. the version rows partition the timeline with
+    no gaps or overlaps (the property as_of reads depend on)."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    rows = [
+        (
+            e,  # event_id
+            (e * 7919) % n_users,  # user_id
+            "purchase",
+            float((e * 13) % 97),
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                # duplicate timestamps on purpose: event_id tiebreak
+                hours=(e * 31) % max(1, n_events // 2)
+            ),
+        )
+        for e in range(n_events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts timestamp"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = df.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    ).collect()
+    by_user = {}
+    for r in scd:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1 and vs[-1]["is_current"]
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # adjacent: no gap/overlap
+            assert a["valid_from"] <= b["valid_from"]
+        assert vs[-1]["valid_to"] is None
