@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "decay_pass_events",
     "ttl_sweep_events",
     "dedup_clusters_docs",
+    "dup_representative_docs",
     "causality_trace_events",
     "hybrid_recall_docs",
     "asof_join_events",

@@ -244,6 +244,92 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_representative_docs",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(toks) - {P.JACCARD_SHINGLE_K - 2}, 1)),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shs
+           FROM tok),
+    e0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    dfr AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= {P.JACCARD_MAX_DF}),
+    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN dfr USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM e a JOIN e b USING (s) WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src),
+    lbl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    scored AS (SELECT l.node, l.cluster, length(d.text) AS text_len
+               FROM lbl l JOIN documents d ON l.node = d.doc_id),
+    rk AS (SELECT node, cluster, text_len,
+                  row_number() OVER (PARTITION BY cluster
+                                     ORDER BY text_len DESC, node) AS r
+           FROM scored)
+    SELECT cluster,
+           min(CASE WHEN r = 1 THEN node END) AS rep_id,
+           max(CASE WHEN r = 1 THEN text_len END) AS rep_len,
+           CAST(count(*) AS BIGINT) AS n_members,
+           string_agg(CASE WHEN r > 1 THEN node::VARCHAR END, '|'
+                      ORDER BY node) AS dropped_ids
+    FROM rk GROUP BY cluster
+    """,
+)
+def dup_representative_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative selection — the keep-best step
+    that turns dedup CLUSTERS into a deduplicated CORPUS (the
+    reference consolidates members into one Semantic record,
+    lifecycle.rs:199-398; a training pipeline instead keeps the most
+    complete member and drops the rest).
+
+    Representative = longest text, doc_id ascending as tiebreak —
+    deterministic and SQL-reproducible. Shape: the same pair graph +
+    connected components as `dedup_clusters_docs`, then ONE window
+    (partitioned by cluster — parallel across clusters, a cluster is
+    never bigger than its dup group) and a groupBy on the SAME key, so
+    the rank and the rollup reuse one exchange. The corpus-sized side
+    only ever joins on doc_id; nothing all-pairs, nothing global."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, 0.5, P.JACCARD_SHINGLE_K, max_df=P.JACCARD_MAX_DF
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    scored = labels.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            F.length("text").cast("long").alias("text_len"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("text_len"), F.asc("node"))
+    ranked = scored.withColumn("_r", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.min(F.when(F.col("_r") == 1, F.col("node"))).alias("rep_id"),
+        F.max(F.when(F.col("_r") == 1, F.col("text_len"))).alias("rep_len"),
+        F.count("*").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.when(F.col("_r") > 1, F.col("node")))),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("dropped_ids"),
+    )
+
+
+@query(
     "causality_trace_events",
     """
     WITH RECURSIVE p AS (

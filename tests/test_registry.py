@@ -56,6 +56,7 @@ EXPECT_NONEMPTY = {
     "decay_pass_events",
     "ttl_sweep_events",
     "dedup_clusters_docs",
+    "dup_representative_docs",
     "causality_trace_events",
     "hybrid_recall_docs",
     "asof_join_events",
@@ -152,21 +153,21 @@ EXPECT_NONEMPTY = {
 
 # non-SQL-expressible ops (DuckDB has no binary-safe sha256 / no AES):
 # the driver records a rows-only check for these; keep the list
-# explicit so drift is visible
+# explicit AND exact so drift is visible in both directions — a query
+# that gains an oracle must leave this set, one that loses its oracle
+# must be added deliberately
 ORACLE_EXEMPT = {
     "hmac_receipts_events",
     "aes_roundtrip_docs",
-    "approx_distinct_events",  # sketch estimators differ across engines
-    "approx_quantiles_lineitem",  # same: error-bound self-check instead
-    "approx_topk_terms_docs",  # same: exactness self-check vs exact counts
     "deal_chain_verify_orders",  # HMAC has no DuckDB twin; `valid` self-check
-    "retention_audit_events",  # two-snapshot diff report; `valid` self-check
 }
 
 
-def test_every_query_has_oracle():
-    missing = set(QUERIES) - set(ORACLE) - ORACLE_EXEMPT
-    assert missing == set(), f"queries without oracle SQL: {missing}"
+def test_oracle_exempt_set_is_exact():
+    assert set(QUERIES) - set(ORACLE) == ORACLE_EXEMPT, (
+        "rows-only queries drifted from the declared exempt set: "
+        f"{sorted((set(QUERIES) - set(ORACLE)) ^ ORACLE_EXEMPT)}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
