@@ -2022,9 +2022,15 @@ class MnemoSparkEngine:
         # idempotence marker on every later pass (ADVICE r6) — gate on
         # actual parseability (get_json_object returns NULL for
         # unparseable input, non-NULL '{...}' for a real object)
-        is_object = F.col("metadata").rlike(r"^\s*\{") & F.get_json_object(
-            F.col("metadata"), "$"
-        ).rlike(r"^\{")
+        # NULL-safe: get_json_object returns NULL for unparseable input,
+        # and TRUE & NULL = NULL would fall through when() into the
+        # splice branch (ADVICE r7) — coalesce the whole predicate to
+        # FALSE so malformed metadata always takes the fresh-object arm.
+        is_object = F.coalesce(
+            F.col("metadata").rlike(r"^\s*\{")
+            & F.get_json_object(F.col("metadata"), "$").rlike(r"^\{"),
+            F.lit(False),
+        )
         new_meta = F.when(
             empty | ~is_object, F.concat(stamp, F.lit("}"))
         ).otherwise(

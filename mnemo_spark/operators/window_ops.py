@@ -9,13 +9,54 @@ already-candidate-sized data.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mnemo_spark import cache
+
 
 _GPART = "_gpart"
+
+
+def _range_pin(df: DataFrame, n: int, order_cols: Sequence[Column], kind: str):
+    """Range-partition `df` on the total order and tag rows with their
+    slice id, pinned so the two passes (per-slice totals → offsets,
+    then the final join) agree on slice ids.
+
+    Returns (ordered, release) where `release()` MUST be called once
+    the offsets frame is materialized. Leak posture (ADVICE r7 — a
+    bare `.persist()` here retained one dimension-sized frame PER
+    invocation for the life of the session):
+
+    - bench/serving mode (MNEMO_CACHE_TABLES=1): route through
+      `cache.cached_persist` — one tracked copy per (plan, kind, n),
+      reused across repeated queries and freed by `cache.clear()`.
+    - one-shot mode: persist only until the offsets collect, then
+      unpersist; the final pass recomputes the range exchange. Safe
+      because RangePartitioner's boundary sampler is seeded per
+      partition index, so a deterministic input reproduces identical
+      slice boundaries (and the values are boundary-independent
+      anyway — only offsets↔rows slice-id agreement matters).
+    """
+    ordered = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    if os.environ.get("MNEMO_CACHE_TABLES", "") == "1":
+        return cache.cached_persist(ordered, "range_pin", kind, n), lambda: None
+    pinned = ordered.persist()
+    return pinned, lambda: pinned.unpersist()
+
+
+def _collect_offsets(offsets: DataFrame) -> DataFrame:
+    """Materialize the per-slice offsets frame (one row per partition —
+    cluster-sized, not data-sized) into a literal local-relation frame,
+    so the downstream broadcast join no longer references the pinned
+    input and the pin can be released immediately."""
+    spark = offsets.sparkSession
+    return spark.createDataFrame(offsets.collect(), offsets.schema)
 
 
 def _const_partition(df: DataFrame) -> DataFrame:
@@ -186,10 +227,11 @@ def global_cumsum(
     3. per-partition totals prefix-folded into offsets (one row per
        partition — cluster-sized, not data-sized) and broadcast back.
 
-    The input is persisted for the two passes so the partition ids
-    the offsets were computed from are the ones the final pass sees
-    (`spark_partition_id` is plan-dependent otherwise). Result values
-    are boundary-independent, so the range sampler's partition
+    Slice-id agreement between the offsets pass and the final pass is
+    handled by `_range_pin` (tracked cache in bench mode, short-lived
+    pin released once the cluster-sized offsets frame materializes
+    otherwise — no retained blocks after the call returns). Result
+    values are boundary-independent, so the range sampler's partition
     placement never changes the output.
 
     order_cols must form a total order (end with a unique tiebreak);
@@ -199,11 +241,7 @@ def global_cumsum(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ordered = (
-        df.repartitionByRange(n, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    ordered, release = _range_pin(df, n, order_cols, "cumsum")
     ptot = ordered.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
     g = _const_partition(ptot)
     w_off = (
@@ -212,11 +250,14 @@ def global_cumsum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = Window.partitionBy(_GPART)
-    offsets = g.select(
-        "_pid",
-        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0.0)).alias("_poff"),
-        F.sum("_ptot").over(w_tot).alias("_gtot"),
+    offsets = _collect_offsets(
+        g.select(
+            "_pid",
+            F.coalesce(F.sum("_ptot").over(w_off), F.lit(0.0)).alias("_poff"),
+            F.sum("_ptot").over(w_tot).alias("_gtot"),
+        )
     )
+    release()
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
@@ -256,11 +297,7 @@ def global_ntile(
     """
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    ordered = (
-        df.repartitionByRange(parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    ordered, release = _range_pin(df, parts, order_cols, "ntile")
     pcnt = ordered.groupBy("_pid").agg(F.count("*").alias("_pc"))
     g = _const_partition(pcnt)
     w_off = (
@@ -269,11 +306,16 @@ def global_ntile(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = Window.partitionBy(_GPART)
-    offsets = g.select(
-        "_pid",
-        F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).cast("long").alias("_roff"),
-        F.sum("_pc").over(w_tot).cast("long").alias("_n"),
+    offsets = _collect_offsets(
+        g.select(
+            "_pid",
+            F.coalesce(F.sum("_pc").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("_roff"),
+            F.sum("_pc").over(w_tot).cast("long").alias("_n"),
+        )
     )
+    release()
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     k = int(n)
     tile = (

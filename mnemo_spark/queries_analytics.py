@@ -1428,11 +1428,15 @@ def trajectory_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY o_custkey),
     ranked AS (
+      -- cum_rev is a sum of 2dp-exact values: snap it back to 2dp so
+      -- the engines' different FP association (sequential window here,
+      -- per-slice partials + offsets in Spark) cannot drift a customer
+      -- across the 6dp rounding or the 0.80/0.95 class boundary
       SELECT o_custkey, revenue,
-             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum_rev,
-             sum(revenue) OVER () AS total_rev
+             round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), 2) AS cum_rev,
+             round(sum(revenue) OVER (), 2) AS total_rev
       FROM rev)
     SELECT o_custkey, revenue,
            round(cum_rev / total_rev, 6) AS cum_share,
@@ -1464,6 +1468,14 @@ def abc_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "cum_rev",
         total_col="total_rev",
+    )
+    # snap both running sums of 2dp-exact values back to 2dp before the
+    # share/class math — removes the cross-engine FP-association drift
+    # (per-slice partials + offsets here vs the oracle's sequential
+    # ordered window) that could flip a boundary customer (ADVICE r7);
+    # exact while the grand total stays below ~1e12 (double ulp < 5e-3)
+    ranked = ranked.withColumn("cum_rev", F.round("cum_rev", 2)).withColumn(
+        "total_rev", F.round("total_rev", 2)
     )
     share = F.col("cum_rev") / F.col("total_rev")
     return ranked.select(

@@ -373,6 +373,32 @@ def test_global_cumsum_single_row_and_empty(spark):
                          num_partitions=4).count() == 0
 
 
+def test_global_cumsum_ntile_leave_no_persisted_rdds(spark):
+    """ADVICE r7: the old form persisted the range-partitioned frame
+    per invocation and never released it — a slow storage leak in a
+    resident serving session (rfm_segments chains three global_ntile
+    calls alone). Outside bench mode the pin must be released by the
+    time the call returns, i.e. zero retained RDD blocks after the
+    query materializes."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mnemo_spark.operators.window_ops import global_cumsum, global_ntile
+
+    assert os.environ.get("MNEMO_CACHE_TABLES", "") != "1"
+    spark.catalog.clearCache()  # isolate from earlier tests
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "k int, v double"
+    )
+    out = global_cumsum(df, [F.asc("k")], "v", "cum", num_partitions=4)
+    out = global_ntile(out, [F.desc("cum"), F.asc("k")], 3, "t",
+                       num_partitions=4)
+    assert out.count() == 50
+    retained = spark.sparkContext._jsc.getPersistentRDDs()
+    assert retained.isEmpty(), retained.toString()
+
+
 def test_global_ntile_matches_builtin_ntile(spark):
     """global_ntile's closed-form tile rule must equal the built-in
     single-partition ntile for sizes that do and don't divide evenly,

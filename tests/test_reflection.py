@@ -208,6 +208,12 @@ def test_dream_report_marker_survives_non_object_metadata(spark):
             ("num", "a1", trailer, "semantic", "private", 0.5, [], T0, "42"),
             ("nul", "a1", trailer, "semantic", "private", 0.5, [], T0, None),
             ("emp", "a1", trailer, "semantic", "private", 0.5, [], T0, ""),
+            # malformed: '{'-prefixed but unparseable — must take the
+            # fresh-object arm, not splice into invalid JSON (ADVICE r7:
+            # get_json_object→NULL makes the object predicate NULL, and
+            # TRUE AND NULL falls through when() into the splice branch)
+            ("bad", "a1", trailer, "semantic", "private", 0.5, [], T0,
+             "{bad"),
         ]
         + [(f"f{i}", "a1", f"filler {i}", "semantic", "private", 0.5, [],
             T0 + dt.timedelta(minutes=i), None) for i in range(5)],
@@ -215,11 +221,13 @@ def test_dream_report_marker_survives_non_object_metadata(spark):
     )
     eng = MnemoSparkEngine(spark).remember_batch(rows)
     out, rep = eng.run_reflection_pass_with_mode("a1", now=NOW)
-    assert rep["dream_report_ingested"] == 6
+    assert rep["dream_report_ingested"] == 7
     metas = {
         r["id"]: r["metadata"]
         for r in out.memories.filter(
-            F.col("id").isin(["obj", "arr", "str", "num", "nul", "emp"])
+            F.col("id").isin(
+                ["obj", "arr", "str", "num", "nul", "emp", "bad"]
+            )
         ).collect()
     }
     for mid, raw in metas.items():

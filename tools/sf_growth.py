@@ -46,6 +46,11 @@ def main() -> int:
         elif args[0] == "--reps":
             reps = int(args[1])
             args = args[2:]
+        else:
+            raise SystemExit(
+                f"unknown flag {args[0]!r}; usage: sf_growth.py [--json OUT]"
+                " [--reps N] SF_DIR... -- QUERY..."
+            )
     sep = args.index("--")
     sf_dirs, names = args[:sep], args[sep + 1:]
 
