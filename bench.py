@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "top_orders_per_priority",
     "bm25_topk_docs",
     "rrf_hybrid_docs",
+    "recall_batch_docs",
     "vector_topk",
     "ann_lsh_topk",
     "knn_label_vote",

@@ -592,6 +592,48 @@ class MnemoSparkEngine:
     # trustworthy by default (retrieval.rs:358-371)
     TRUSTED_REASONING = ("model_authored", "user_provided", "tool_verified")
 
+    def _recall_corpus(
+        self,
+        principal: str,
+        now,
+        domain_scope: dict | None,
+        reasoning_trust: dict | None,
+    ):
+        """Shared pre-scoring candidate pipeline for recall verbs:
+        visibility (J1) → plan-tier exclusion (P5) → domain scope (P3)
+        → reasoning-trust policy (P4). Returns (corpus, rt_admitted)
+        where rt_admitted is the down-weight predicate (None unless
+        action=down_weight) — recall and recall_batch compose the
+        IDENTICAL policy surface, so a batched query can never see a
+        record its single-query twin would not (the reference's
+        permission-safe-ANN contract, integration_test.rs:2130)."""
+        corpus = self.visible_to(principal, now=now).filter(
+            # P5: experience-tier plan records never surface in ordinary
+            # recall — replayed only via recall_plan (recall.rs:1131-1149)
+            ~F.coalesce(
+                F.array_contains(F.col("tags"), F.lit(EXPERIENCE_PLAN_TAG)),
+                F.lit(False),
+            )
+        )
+        corpus = self._apply_domain_scope(corpus, domain_scope)
+        rt_admitted = None
+        if reasoning_trust is not None:
+            from mnemo_spark.operators.poisoning import reasoning_admitted
+
+            action = reasoning_trust.get("action", "quarantine")
+            if action not in ("quarantine", "down_weight"):
+                raise ValueError(f"unknown reasoning_trust action {action!r}")
+            trusted = list(
+                reasoning_trust.get("trusted") or self.TRUSTED_REASONING
+            )
+            rt_admitted = reasoning_admitted("metadata", trusted)
+            if action == "quarantine":
+                # read-time quarantine joins the shared pre-scoring
+                # post-filter conjunction (P1), like passes_filters
+                corpus = corpus.filter(rt_admitted)
+                rt_admitted = None  # nothing left to down-weight
+        return corpus, rt_admitted
+
     def recall(
         self,
         query: str,
@@ -633,15 +675,9 @@ class MnemoSparkEngine:
         down_weight multiplies the final score (default x0.1) and
         re-ranks. None keeps the read path unchanged; composes with
         every strategy."""
-        corpus = self.visible_to(principal, now=now).filter(
-            # P5: experience-tier plan records never surface in ordinary
-            # recall — replayed only via recall_plan (recall.rs:1131-1149)
-            ~F.coalesce(
-                F.array_contains(F.col("tags"), F.lit(EXPERIENCE_PLAN_TAG)),
-                F.lit(False),
-            )
+        corpus, rt_admitted = self._recall_corpus(
+            principal, now, domain_scope, reasoning_trust
         )
-        corpus = self._apply_domain_scope(corpus, domain_scope)
         # legacy strategy-string aliases (retrieval.rs to_strategy_str):
         # "auto" is the reference's wire name for the hybrid RRF path;
         # "domain_scoped" (v0.4.15 DomainScoped mode) = restrict to the
@@ -651,22 +687,6 @@ class MnemoSparkEngine:
             strategy = "hybrid"
         elif strategy == "domain_scoped":
             strategy = "semantic"
-        rt_admitted = None
-        if reasoning_trust is not None:
-            from mnemo_spark.operators.poisoning import reasoning_admitted
-
-            action = reasoning_trust.get("action", "quarantine")
-            if action not in ("quarantine", "down_weight"):
-                raise ValueError(f"unknown reasoning_trust action {action!r}")
-            trusted = list(
-                reasoning_trust.get("trusted") or self.TRUSTED_REASONING
-            )
-            rt_admitted = reasoning_admitted("metadata", trusted)
-            if action == "quarantine":
-                # read-time quarantine joins the shared pre-scoring
-                # post-filter conjunction (P1), like passes_filters
-                corpus = corpus.filter(rt_admitted)
-                rt_admitted = None  # nothing left to down-weight
         if strategy == "exact":
             hits = corpus.filter(F.col("content") == query).withColumn(
                 "score", F.lit(1.0)
@@ -796,6 +816,219 @@ class MnemoSparkEngine:
         )
         return fused.withColumnRenamed("rrf_score", "score").drop("rank").join(
             corpus, "id"
+        )
+
+    def recall_batch(
+        self,
+        queries: DataFrame,
+        principal: str,
+        strategy: str = "hybrid",
+        k: int = 10,
+        now=None,
+        rrf_k: int = 30,
+        weights: dict[str, float] | None = None,
+        domain_scope: dict | None = None,
+        reasoning_trust: dict | None = None,
+        lane_limit: int | None = None,
+        qid_col: str = "query_id",
+        query_col: str = "query",
+    ) -> DataFrame:
+        """A DATAFRAME OF QUERIES through the full recall pipeline in
+        ONE plan → (query_id, id, agent_id, content, score, rank ≤ k
+        per query) — the engine-batches-queries serving posture
+        (SURVEY §6; the reference serves recall one request at a time,
+        recall.rs:332, and its J6 many-queries analog is the
+        golem:vector batch search surface).
+
+        Semantics contract: recall_batch(queries=[q]) ≡ recall(q) row
+        for row, for every strategy and policy knob — the permission
+        filter, plan-tier exclusion, domain scope and reasoning-trust
+        policy all run through the SAME `_recall_corpus` pipeline
+        BEFORE scoring (permission-safe ANN,
+        integration_test.rs:2130), and lane ranking/fusion use the
+        same 6dp-round + id tiebreak. Enforced by
+        tests/test_recall_batch.py's equivalence property.
+
+        Batch economics: the corpus side of every lane is computed
+        once — BM25 corpus statistics (batch_bm25), one corpus scan
+        for the semantic dot, one recency projection shared by all
+        queries — so per-query marginal cost is a broadcast join, not
+        a corpus pass. lane_limit opts into the reference's per-lane
+        candidate over-fetch (limit*3, recall.rs:397): each lane then
+        feeds only its per-query top-N into fusion (WindowGroupLimit
+        keeps the rank filter a bounded heap, not a sort), which is
+        the 100-TB shape; the default (None) keeps full-lane fusion —
+        exactly `recall`'s semantics.
+
+        graph strategy is per-seed iterative and stays single-query:
+        call recall(strategy='graph') per query.
+        """
+        corpus, rt_admitted = self._recall_corpus(
+            principal, now, domain_scope, reasoning_trust
+        )
+        if strategy == "auto":
+            strategy = "hybrid"
+        elif strategy == "domain_scoped":
+            strategy = "semantic"
+        if strategy == "graph":
+            raise ValueError(
+                "recall_batch does not support strategy='graph' (per-seed"
+                " iterative expansion); call recall(strategy='graph') per query"
+            )
+        q = queries.select(
+            F.col(qid_col).alias("_qid"), F.col(query_col).alias("_q")
+        )
+
+        def lexical_lane():
+            from mnemo_spark.operators.bm25 import batch_bm25
+
+            qterms = q.select(
+                "_qid",
+                F.filter(
+                    F.split(F.lower(F.col("_q")), r"\s+"), lambda t: t != ""
+                ).alias("_terms"),
+            )
+            return batch_bm25(
+                corpus,
+                qterms,
+                id_col="id",
+                text_col="content",
+                qid_col="_qid",
+                qterms_col="_terms",
+            ).withColumnRenamed("bm25", "score")
+
+        def semantic_lane():
+            # U1 fail-loud gate, identical to recall's
+            if not getattr(self.embedder, "semantic", False):
+                raise RuntimeError(
+                    f"recall_batch(strategy={strategy!r}) requires a semantic-"
+                    f"capable embedder; configured provider "
+                    f"{getattr(self.embedder, 'name', type(self.embedder).__name__)!r} "
+                    "cannot embed (reference fail-loud contract)"
+                )
+            if self._embedder_is_default():
+                qvecs = q.select("_qid", self._embed(F.col("_q")).alias("_qv"))
+            else:
+                # ONE provider batch call for the whole query frame —
+                # the point of the batch verb (vs recall's call-per-
+                # query); the query side is definitionally small
+                from pyspark.sql.types import (
+                    ArrayType,
+                    FloatType,
+                    StructField,
+                    StructType,
+                )
+
+                self.embedder.load()
+                qrows = q.collect()
+                vecs = self.embedder.embed([r["_q"] for r in qrows])
+                schema = StructType(
+                    [
+                        StructField("_qid", q.schema["_qid"].dataType),
+                        StructField("_qv", ArrayType(FloatType())),
+                    ]
+                )
+                qvecs = self.spark.createDataFrame(
+                    [
+                        (r["_qid"], [float(v) for v in vec])
+                        for r, vec in zip(qrows, vecs)
+                    ],
+                    schema,
+                )
+            joined = corpus.select("id", "embedding").crossJoin(
+                F.broadcast(qvecs)
+            )
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("_qv").cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return joined.select("_qid", "id", dot.alias("score")).filter(
+                F.col("score").isNotNull()
+            )
+
+        if strategy == "exact":
+            hits = (
+                corpus.join(
+                    F.broadcast(q), F.col("content") == F.col("_q"), "inner"
+                )
+                .withColumn("score", F.lit(1.0))
+                .drop("_q")
+            )
+        elif strategy == "lexical":
+            hits = lexical_lane().join(corpus, "id")
+        elif strategy == "semantic":
+            hits = semantic_lane().join(corpus, "id")
+        elif strategy == "hybrid":
+            from mnemo_spark.operators.rrf import rrf_fuse_grouped
+
+            now_c = (
+                F.lit(now).cast("timestamp")
+                if now is not None
+                else F.current_timestamp()
+            )
+            # recency is query-independent: rrf_fuse_grouped ranks it
+            # ONCE and replicates only the ranked rows per query
+            recency = corpus.select(
+                "id",
+                F.pow(
+                    F.lit(2.0),
+                    -(
+                        (
+                            F.unix_micros(now_c)
+                            - F.unix_micros(F.col("created_at"))
+                        )
+                        / F.lit(3.6e9)
+                    )
+                    / F.lit(168.0),
+                ).alias("score"),
+            )
+            fused = rrf_fuse_grouped(
+                {
+                    "semantic": semantic_lane(),
+                    "lexical": lexical_lane(),
+                    "recency": recency,
+                },
+                weights or {"semantic": 6.0, "lexical": 3.0, "recency": 1.0},
+                rrf_k,
+                group_col="_qid",
+                id_col="id",
+                score_col="score",
+                lane_limit=lane_limit,
+                groups=q.select("_qid"),
+            )
+            hits = fused.withColumnRenamed("rrf_score", "score").join(
+                corpus, "id"
+            )
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+
+        if rt_admitted is not None:
+            factor = float(reasoning_trust.get("down_weight_factor", 0.1))
+            hits = hits.withColumn(
+                "score",
+                F.when(rt_admitted, F.col("score")).otherwise(
+                    F.col("score") * factor
+                ),
+            )
+        w_final = Window.partitionBy("_qid").orderBy(
+            F.desc("score"), F.asc("id")
+        )
+        return (
+            hits.withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("_qid").alias(qid_col),
+                "id",
+                "agent_id",
+                "content",
+                F.round("score", 6).alias("score"),
+                "rank",
+            )
         )
 
     @staticmethod
@@ -2774,6 +3007,12 @@ def delegated_principals(
         (F.col("cap") - 1).alias("budget"),
     )
     out = frontier
+    # fixed-depth unroll with NO per-hop emptiness probe: the old
+    # `frontier.limit(1).count()` serialized every hop into its own
+    # driver round-trip/job (VERDICT r7 — 0.44 s where the recursive-CTE
+    # oracle spends 0.03); as one plan, AQE sees an empty hop's shuffle
+    # stats at runtime and collapses the remaining joins to empty
+    # relations, so a short chain costs nothing beyond the plan
     for _ in range(1, max_depth):
         frontier = (
             live.join(
@@ -2786,8 +3025,6 @@ def delegated_principals(
                 F.least(F.col("budget") - 1, F.col("cap") - 1).alias("budget"),
             )
         )
-        if frontier.limit(1).count() == 0:
-            break
         out = out.unionByName(frontier)
     return out.groupBy(F.col("_cur").alias("delegator")).agg(
         F.min("depth").alias("depth")

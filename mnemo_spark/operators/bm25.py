@@ -149,21 +149,29 @@ def batch_bm25(
     qterms = queries.select(
         F.col(qid_col).alias("_qid"), F.explode(qterms_col).alias("_term")
     ).distinct()
-    # broadcast-semi-join the exploded tokens against the query-term set:
-    # no driver-side collect of the term vocabulary (open-ended query
-    # batches stay distributed), and the semi-join is map-side so the
-    # only shuffle is still the (doc,term) aggregation below
-    terms = qterms.select("_term").distinct()
-    hits = toks.select("_id", F.explode("_tok").alias("_term")).join(
-        F.broadcast(terms), "_term", "left_semi"
+    # the FULL (doc, term, tf, dl) postings table is the index-time
+    # artifact (a Lucene segment): cache it per corpus so a query
+    # batch never re-tokenizes — its only work is the broadcast
+    # term semi-join over the postings and the scoring aggregation
+    postings = cached_persist(
+        toks.select("_id", F.explode("_tok").alias("_term"))
+        .groupBy("_id", "_term")
+        .agg(F.count("*").alias("_tf"))
+        .join(lens, "_id"),
+        "bm25_postings",
     )
-    tf = hits.groupBy("_id", "_term").agg(F.count("*").alias("_tf"))
+    # broadcast-semi-join the postings against the query-term set: no
+    # driver-side collect of the term vocabulary (open-ended query
+    # batches stay distributed) and the semi-join is map-side. Per-term
+    # df over the filtered postings equals df over the full table (the
+    # filter is BY term).
+    terms = qterms.select("_term").distinct()
+    tf = postings.join(F.broadcast(terms), "_term", "left_semi")
     df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
 
     return (
         tf.join(F.broadcast(qterms), "_term")
         .join(F.broadcast(df_), "_term")
-        .join(lens, "_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_idf",

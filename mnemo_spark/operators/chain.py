@@ -128,6 +128,128 @@ def assign_chain(
     return df.groupBy(*part_cols).applyInPandas(fold, schema=schema)
 
 
+def assign_chain_epochs(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    hash_col: str,
+    epoch_col: str,
+    prev_head: DataFrame | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """assign_chain with EPOCH SHARDING — the one-giant-agent
+    mitigation (VERDICT r5-r7; reference remember.rs:104-111 serializes
+    writers per chain, so one dominant agent is sequential by
+    semantics there too).
+
+    `epoch_col` must be monotone non-decreasing along `order_cols`
+    within each chain (a date bucket, an ingest batch id). Two passes:
+
+    1. HEAD PASS — sequential over epochs, cheap: per (chain, epoch),
+       fold the ordered hashes JVM-side (sha2 in whole-stage codegen —
+       no Arrow transfer, no Python) starting from the prior epoch's
+       carried head. Each step's output is one row per chain touched
+       in that epoch (cluster-sized, collected to a literal).
+    2. ASSIGN PASS — one PARALLEL job: the full frame grouped by
+       (chain, epoch); every epoch's Arrow fold now starts from its
+       known carry, so a single giant chain runs as E concurrent
+       bounded folds instead of one unbounded sequential fold — Arrow
+       batch memory is bounded by the epoch, and wall time scales
+       with cores until the largest epoch dominates.
+
+    Byte-identical to `assign_chain` on the same total order (pytest
+    equivalence in tests/test_chain_epochs.py). Heads are collected
+    per epoch — at 100 TB keep them as the stored heads table instead
+    (the streaming sink does exactly that) and broadcast-join them.
+    """
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    spark = df.sparkSession
+    epochs = sorted(
+        r[0] for r in df.select(epoch_col).distinct().collect()
+    )
+
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in order_cols], F.col(hash_col))
+            )
+        ),
+        lambda s: s[hash_col],
+    )
+
+    def norm_heads(h: DataFrame | None) -> DataFrame | None:
+        if h is None:
+            return None
+        out = h
+        if "head_seq" not in out.columns:
+            out = out.withColumn("head_seq", F.lit(None).cast("long"))
+        return out.select(*part_cols, "chain_head", "head_seq")
+
+    heads = norm_heads(prev_head)
+    per_epoch_carries = []
+    for e in epochs:
+        if heads is not None:
+            per_epoch_carries.append(
+                heads.withColumn(epoch_col, F.lit(e).cast(
+                    df.schema[epoch_col].dataType
+                ))
+            )
+        grouped = (
+            df.filter(F.col(epoch_col) == e)
+            .groupBy(*part_cols)
+            .agg(ordered.alias("_hs"), F.count("*").alias("_n"))
+        )
+        if heads is not None:
+            grouped = grouped.join(F.broadcast(heads), part_cols, "left")
+        else:
+            grouped = grouped.withColumn(
+                "_ch", F.lit(None).cast("string")
+            ).withColumnRenamed("_ch", "chain_head").withColumn(
+                "head_seq", F.lit(None).cast("long")
+            )
+        stepped = grouped.select(
+            *part_cols,
+            F.aggregate(
+                F.col("_hs"),
+                F.coalesce(F.col("chain_head"), F.lit("")),
+                lambda acc, h: F.sha2(F.concat(h, acc), 256),
+            ).alias("chain_head"),
+            (F.coalesce(F.col("head_seq"), F.lit(0)) + F.col("_n")).alias(
+                "head_seq"
+            ),
+        )
+        # materialize this epoch's heads (one row per chain touched)
+        stepped_local = spark.createDataFrame(
+            stepped.collect(), stepped.schema
+        )
+        if heads is None:
+            heads = stepped_local
+        else:
+            heads = stepped_local.unionByName(
+                heads.join(
+                    stepped_local.select(*part_cols), part_cols, "left_anti"
+                )
+            )
+
+    if not per_epoch_carries:
+        return assign_chain(
+            df, part_cols + [epoch_col], order_cols, hash_col,
+            prev_head=None, seq_col=seq_col,
+        )
+    ph = per_epoch_carries[0]
+    for c in per_epoch_carries[1:]:
+        ph = ph.unionByName(c)
+    return assign_chain(
+        df,
+        part_cols + [epoch_col],
+        order_cols,
+        hash_col,
+        prev_head=ph,
+        seq_col=seq_col,
+    )
+
+
 def verify_chain(
     df: DataFrame,
     part_cols: Sequence[str],

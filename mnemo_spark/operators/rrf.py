@@ -174,6 +174,126 @@ def rrf_fuse_wide(
     return fused.select(F.col("_id").alias(id_col), "rrf_score", *carry_cols)
 
 
+def rrf_fuse_grouped(
+    lanes: dict[str, DataFrame],
+    weights: dict[str, float] | None = None,
+    rrf_k: int = DEFAULT_RRF_K,
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    lane_limit: int | None = None,
+    limit: int | None = None,
+    groups: DataFrame | None = None,
+) -> DataFrame:
+    """RRF fusion for a BATCH of queries — every lane carries a group
+    key (the query id) and ranks are assigned WITHIN each group.
+
+    lanes: name → (group_col, id_col, score_col) DataFrame, one row
+    per (query, candidate). → (group_col, id_col, rrf_score[, rank]).
+
+    A lane WITHOUT the group column is a query-independent prior
+    (recency, document length): it is ranked ONCE and only its ranked
+    rows (top lane_limit when set) replicate to every group via a
+    broadcast cross join against `groups` — never corpus × queries.
+
+    Rank semantics per group match rank_lane exactly: 1-based by
+    (round(score, 6) DESC, id ASC). lane_limit is the reference's
+    per-lane candidate over-fetch (recall.rs:397) applied PER QUERY;
+    limit truncates the fused output per query.
+
+    Scale: the per-group windows partition on the query id — ranks
+    parallelize across queries, and the `row_number() <= lane_limit`
+    filter plans a WindowGroupLimit (Spark ≥3.5), so each partition
+    keeps a bounded top-k heap instead of sorting its full lane. The
+    fused aggregation is one groupBy(query, id) over O(queries ×
+    lanes × lane_limit) rows — never corpus-sized per task.
+    """
+    weights = weights or {}
+    contribs = []
+    for name, lane in lanes.items():
+        w_val = float(weights.get(name, 1.0))
+        order = [F.desc(F.round(F.col(score_col), ROUND_DP)), F.asc(id_col)]
+        if group_col not in lane.columns:
+            if groups is None:
+                raise ValueError(
+                    f"lane {name!r} has no {group_col!r} column; pass"
+                    " `groups` to replicate a query-independent lane"
+                )
+            if lane_limit is not None:
+                ranked1 = top_k_ranked(lane, order, lane_limit, rank_col="_rank")
+            else:
+                w_full = Window.partitionBy(_GPART).orderBy(*order)
+                ranked1 = _const_partition(lane).withColumn(
+                    "_rank", F.row_number().over(w_full)
+                )
+            # the group-id set is definitionally small (it IS the query
+            # batch): fold it to literals over a one-row relation — the
+            # same data movement as the broadcast, and the replication
+            # join is then provably bounded (OneRowRelation build side)
+            gsel = groups.select(F.col(group_col).alias("_g")).distinct()
+            vals = [r["_g"] for r in gsel.collect()]
+            spark = lane.sparkSession
+            if vals:
+                gloc = spark.sql("SELECT 1").select(
+                    F.explode(F.array(*[F.lit(v) for v in vals])).alias("_g")
+                )
+            else:
+                gloc = spark.createDataFrame([], gsel.schema)
+            ranked = ranked1.select(
+                F.col(id_col).alias("_id"), "_rank"
+            ).crossJoin(F.broadcast(gloc))
+            contribs.append(
+                ranked.select(
+                    "_g",
+                    "_id",
+                    (
+                        F.lit(w_val) / (F.lit(float(rrf_k)) + F.col("_rank"))
+                    ).alias("_contrib"),
+                )
+            )
+            continue
+        ranked = lane.select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_id"),
+            F.col(score_col).alias(score_col),
+        ).withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("_g").orderBy(
+                    F.desc(F.round(F.col(score_col), ROUND_DP)), F.asc("_id")
+                )
+            ),
+        )
+        if lane_limit is not None:
+            ranked = ranked.filter(F.col("_rank") <= lane_limit)
+        contribs.append(
+            ranked.select(
+                "_g",
+                "_id",
+                (F.lit(w_val) / (F.lit(float(rrf_k)) + F.col("_rank"))).alias(
+                    "_contrib"
+                ),
+            )
+        )
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    fused = unioned.groupBy("_g", "_id").agg(
+        F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score")
+    )
+    out = fused.select(
+        F.col("_g").alias(group_col), F.col("_id").alias(id_col), "rrf_score"
+    )
+    if limit is not None:
+        w_final = Window.partitionBy(group_col).orderBy(
+            F.desc("rrf_score"), F.asc(id_col)
+        )
+        out = out.withColumn("rank", F.row_number().over(w_final)).filter(
+            F.col("rank") <= limit
+        )
+    return out
+
+
 def max_fuse(
     lanes: dict[str, DataFrame],
     id_col: str = "doc_id",

@@ -123,6 +123,150 @@ def hybrid_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "score", "rank")
 
 
+from mnemo_spark.registry import _BATCH_QUERIES
+
+_BATCH_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BATCH_QUERIES for t in terms
+)
+_BUCKET = f"CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT)"
+_OVERFETCH = P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT
+
+
+@query(
+    "recall_batch_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    q(query_id, term) AS (VALUES {_BATCH_Q_SQL}),
+    qids AS (SELECT DISTINCT query_id FROM q),
+    -- lexical lane: batched BM25, corpus stats shared across queries
+    terms AS (SELECT DISTINCT term FROM q),
+    hits AS (SELECT t.doc_id, unnest(t.toks) AS term FROM tok t),
+    hk AS (SELECT h.doc_id, h.term FROM hits h JOIN terms USING (term)),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hk GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    bm AS (SELECT q.query_id, tf.doc_id,
+                  round(sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                             * (tf.tf * ({P.BM25_K1} + 1))
+                             / (tf.tf + {P.BM25_K1} * (1 - {P.BM25_B} + {P.BM25_B} * lens.dl / stats.avgdl)) ), 6) AS bm25
+           FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+           JOIN lens USING (doc_id) CROSS JOIN stats
+           GROUP BY q.query_id, tf.doc_id),
+    -- semantic lane: batched hash-bag cosine (hits-only, like an ANN
+    -- index returning matches) — doc bucket counts computed once
+    dtok AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    db AS (SELECT doc_id, {_BUCKET} AS bucket FROM dtok),
+    dcnt AS (SELECT doc_id, bucket, count(*) AS c FROM db GROUP BY doc_id, bucket),
+    dl2 AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM dcnt GROUP BY doc_id),
+    qb AS (SELECT query_id, {_BUCKET} AS bucket FROM (SELECT query_id, term AS t FROM q)),
+    qcnt AS (SELECT query_id, bucket, count(*) AS c FROM qb GROUP BY query_id, bucket),
+    qn AS (SELECT query_id, sqrt(sum(c * c)) AS l2 FROM qcnt GROUP BY query_id),
+    qvec AS (SELECT query_id, bucket, round(c / qn.l2, 6) AS qw
+             FROM qcnt JOIN qn USING (query_id)),
+    cos AS (SELECT v.query_id, d.doc_id,
+                   round(sum(d.c * v.qw) / max(dl2.l2), 6) AS score
+            FROM dcnt d JOIN qvec v USING (bucket) JOIN dl2 USING (doc_id)
+            GROUP BY v.query_id, d.doc_id),
+    -- per-query lane ranks (6dp-round + id tiebreak, the shared
+    -- protocol); the length prior is query-independent — ranked once
+    lane_bm25 AS (SELECT query_id, doc_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY round(bm25, 6) DESC, doc_id) AS r
+                  FROM bm),
+    lane_cos AS (SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY round(score, 6) DESC, doc_id) AS r
+                 FROM cos),
+    lane_len AS (SELECT doc_id, row_number() OVER (ORDER BY round(n_chars, 6) DESC, doc_id) AS r
+                 FROM documents),
+    contribs AS (
+      SELECT query_id, doc_id, {P.RECALL_WEIGHTS['bm25']} / ({P.RRF_K} + r) AS c
+      FROM lane_bm25 WHERE r <= {_OVERFETCH}
+      UNION ALL
+      SELECT query_id, doc_id, {P.RECALL_WEIGHTS['embed']} / ({P.RRF_K} + r) AS c
+      FROM lane_cos WHERE r <= {_OVERFETCH}
+      UNION ALL
+      SELECT qids.query_id, l.doc_id, {P.RECALL_WEIGHTS['length']} / ({P.RRF_K} + l.r) AS c
+      FROM lane_len l CROSS JOIN qids WHERE l.r <= {_OVERFETCH}),
+    fused AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+              FROM contribs GROUP BY query_id, doc_id),
+    adj AS (SELECT f.query_id, f.doc_id,
+                   round(f.rrf_score
+                         * CASE WHEN d.source IN ({_TRUSTED_SQL}) THEN 1.0 ELSE 0.1 END,
+                         6) AS score
+            FROM fused f JOIN documents d USING (doc_id))
+    SELECT query_id, doc_id, score, rank
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM adj)
+    WHERE rank <= {P.RECALL_LIMIT}
+    """,
+)
+def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-of-queries recall surface (SURVEY §6 "the engine
+    batches queries"; reference J6 many-queries analog) over the
+    documents corpus: a QUERIES DATAFRAME through BM25 + hash-bag
+    cosine + length-prior lanes, per-query weighted RRF with the
+    reference's lane over-fetch (limit*3, recall.rs:397), trust
+    down-weighting, per-query top-k.
+
+    One plan for the whole batch: both corpus-side lane indexes
+    (BM25 postings/stats, bucket counts + L2) are computed once and
+    shared by every query — per-query marginal cost is a broadcast
+    equi-join, which is what makes batched serving beat per-request
+    serving at scale. Per-query ranks partition on query_id
+    (WindowGroupLimit bounds the lane-rank filter) — nothing is
+    corpus-sized on one task."""
+    from mnemo_spark.functions.embedder import batch_hash_bag_cosine
+    from mnemo_spark.operators.bm25 import batch_bm25
+    from mnemo_spark.operators.rrf import rrf_fuse_grouped
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BATCH_QUERIES, "query_id string, terms array<string>"
+    )
+    bm = batch_bm25(docs, queries_df, k1=P.BM25_K1, b=P.BM25_B)
+    cos = batch_hash_bag_cosine(docs, queries_df, dim=P.EMBEDDING_DIM)
+    # the length prior is query-independent: rrf_fuse_grouped ranks it
+    # ONCE (parallel top-k) and replicates only its top-_OVERFETCH rows
+    # per query — never corpus × queries
+    length = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    fused = rrf_fuse_grouped(
+        {
+            "bm25": bm.withColumnRenamed("bm25", "score"),
+            "embed": cos.withColumnRenamed("cos", "score"),
+            "length": length,
+        },
+        {
+            "bm25": P.RECALL_WEIGHTS["bm25"],
+            "embed": P.RECALL_WEIGHTS["embed"],
+            "length": P.RECALL_WEIGHTS["length"],
+        },
+        P.RRF_K,
+        group_col="query_id",
+        id_col="doc_id",
+        lane_limit=_OVERFETCH,
+        groups=queries_df.select("query_id"),
+    )
+    trust = F.when(F.col("source").isin(*P.TRUSTED_SOURCES), 1.0).otherwise(0.1)
+    adj = fused.join(docs.select("doc_id", "source"), "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("rrf_score") * trust, 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        adj.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= P.RECALL_LIMIT)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 @query(
     "rrf_explain_docs",
     f"""

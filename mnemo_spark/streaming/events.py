@@ -310,6 +310,70 @@ def merge_parquet_sink(
     )
 
 
+def chain_merge_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    part_cols: tuple[str, ...] = ("user_id",),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    key_cols: tuple[str, ...] = ("event_id",),
+    hash_col: str = "ch",
+):
+    """Idempotent merge sink that ASSIGNS THE EVENT CHAIN in
+    foreachBatch — the durable form of the reference's append-only
+    audit contract (storage/mod.rs:156-166; remember.rs:100-111) on a
+    restartable stream:
+
+    1. anti-join the batch against the sink's stored keys — a
+       REPLAYED epoch (killed between write and checkpoint commit, or
+       a whole re-run over the same files) contributes nothing, so a
+       replay can never fork or double-extend a chain;
+    2. read each chain's stored head (chain_hash, chain_seq of the
+       max-seq row) — one max_by aggregate over the sink, at scale a
+       footer-pruned scan of the heads partition / stored heads table;
+    3. operators/chain.assign_chain(prev_head=heads, seq_col) over
+       the surviving rows — batches extend chains sequentially per
+       key while keys parallelize, byte-compatible with the batch
+       fold (the restart pytest proves verify_chain == 0 breaks and
+       head-equality with a one-shot batch rebuild).
+
+    Returns the DataStreamWriter (caller starts it). `_merge_chain_
+    batch` is exposed for direct unit-level replay testing.
+    """
+    from mnemo_spark.operators.chain import assign_chain
+
+    keys = list(key_cols)
+    parts = list(part_cols)
+    order = list(order_cols)
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            stored = spark.read.parquet(out_dir)
+        except Exception:  # noqa: BLE001 — sink dir not created yet
+            stored = None
+        fresh = batch_df
+        heads = None
+        if stored is not None:
+            fresh = batch_df.join(stored.select(*keys), keys, "left_anti")
+            heads = stored.groupBy(*parts).agg(
+                F.max_by("chain_hash", F.col("chain_seq")).alias("chain_head"),
+                F.max("chain_seq").alias("head_seq"),
+            )
+        chained = assign_chain(
+            fresh, parts, order, hash_col, prev_head=heads, seq_col="chain_seq"
+        )
+        chained.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    writer._merge_chain_batch = write_batch  # unit-level replay hook
+    return writer
+
+
 def view_purchase_join_stream(
     events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
