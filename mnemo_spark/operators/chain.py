@@ -178,68 +178,77 @@ def assign_chain_epochs(
         lambda s: s[hash_col],
     )
 
-    def norm_heads(h: DataFrame | None) -> DataFrame | None:
-        if h is None:
-            return None
-        out = h
-        if "head_seq" not in out.columns:
-            out = out.withColumn("head_seq", F.lit(None).cast("long"))
-        return out.select(*part_cols, "chain_head", "head_seq")
+    # heads live in a DRIVER dict between epoch steps: one row per
+    # chain (cluster-sized by contract — at 100 TB this is the stored
+    # heads table and the loop is the ingest scheduler). A DataFrame
+    # accumulator here grows a union/anti-join lineage per epoch and
+    # was measured ~100× slower than the fold it replaces.
+    heads: dict[tuple, tuple] = {}
+    if prev_head is not None:
+        has_seq = "head_seq" in prev_head.columns
+        for r in prev_head.collect():
+            heads[tuple(r[c] for c in part_cols)] = (
+                r["chain_head"],
+                int(r["head_seq"]) if has_seq and r["head_seq"] is not None
+                else 0,
+            )
 
-    heads = norm_heads(prev_head)
-    per_epoch_carries = []
-    for e in epochs:
-        if heads is not None:
-            per_epoch_carries.append(
-                heads.withColumn(epoch_col, F.lit(e).cast(
-                    df.schema[epoch_col].dataType
-                ))
-            )
-        grouped = (
-            df.filter(F.col(epoch_col) == e)
-            .groupBy(*part_cols)
-            .agg(ordered.alias("_hs"), F.count("*").alias("_n"))
-        )
-        if heads is not None:
-            grouped = grouped.join(F.broadcast(heads), part_cols, "left")
-        else:
-            grouped = grouped.withColumn(
-                "_ch", F.lit(None).cast("string")
-            ).withColumnRenamed("_ch", "chain_head").withColumn(
-                "head_seq", F.lit(None).cast("long")
-            )
-        stepped = grouped.select(
-            *part_cols,
-            F.aggregate(
-                F.col("_hs"),
-                F.coalesce(F.col("chain_head"), F.lit("")),
-                lambda acc, h: F.sha2(F.concat(h, acc), 256),
-            ).alias("chain_head"),
-            (F.coalesce(F.col("head_seq"), F.lit(0)) + F.col("_n")).alias(
-                "head_seq"
-            ),
-        )
-        # materialize this epoch's heads (one row per chain touched)
-        stepped_local = spark.createDataFrame(
-            stepped.collect(), stepped.schema
-        )
-        if heads is None:
-            heads = stepped_local
-        else:
-            heads = stepped_local.unionByName(
-                heads.join(
-                    stepped_local.select(*part_cols), part_cols, "left_anti"
+    # ONE corpus pass builds every (chain, epoch)'s ordered hash array;
+    # the sequential loop folds over this pinned frame — per-epoch cost
+    # is a filtered scan of a keys×epochs-sized frame, not a re-scan of
+    # the data
+    grouped_all = (
+        df.groupBy(*part_cols, epoch_col)
+        .agg(ordered.alias("_hs"), F.count("*").alias("_n"))
+        .persist()
+    )
+    carry_rows: list[tuple] = []  # (part..., epoch, chain_head, head_seq)
+    try:
+        for e in epochs:
+            for key, (ch, hs) in heads.items():
+                carry_rows.append((*key, e, ch, hs))
+            grouped = grouped_all.filter(F.col(epoch_col) == e)
+            if heads:
+                carry_df = spark.createDataFrame(
+                    [(*k, v[0], v[1]) for k, v in heads.items()],
+                    grouped_all.select(*part_cols).schema.add(
+                        "chain_head", "string"
+                    ).add("head_seq", "long"),
                 )
+                grouped = grouped.join(
+                    F.broadcast(carry_df), part_cols, "left"
+                )
+            else:
+                grouped = grouped.withColumn(
+                    "chain_head", F.lit(None).cast("string")
+                ).withColumn("head_seq", F.lit(None).cast("long"))
+            stepped = grouped.select(
+                *part_cols,
+                F.aggregate(
+                    F.col("_hs"),
+                    F.coalesce(F.col("chain_head"), F.lit("")),
+                    lambda acc, h: F.sha2(F.concat(h, acc), 256),
+                ).alias("chain_head"),
+                (F.coalesce(F.col("head_seq"), F.lit(0)) + F.col("_n")).alias(
+                    "head_seq"
+                ),
             )
+            for r in stepped.collect():
+                heads[tuple(r[c] for c in part_cols)] = (
+                    r["chain_head"],
+                    int(r["head_seq"]),
+                )
+    finally:
+        grouped_all.unpersist()
 
-    if not per_epoch_carries:
+    if not carry_rows:
         return assign_chain(
             df, part_cols + [epoch_col], order_cols, hash_col,
             prev_head=None, seq_col=seq_col,
         )
-    ph = per_epoch_carries[0]
-    for c in per_epoch_carries[1:]:
-        ph = ph.unionByName(c)
+    part_schema = df.select(*part_cols, epoch_col).schema
+    ph_schema = part_schema.add("chain_head", "string").add("head_seq", "long")
+    ph = spark.createDataFrame(carry_rows, ph_schema)
     return assign_chain(
         df,
         part_cols + [epoch_col],
