@@ -117,6 +117,55 @@ def perdoc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def perdoc_stats_multi(
+    docs: DataFrame,
+    terms: list[str],
+    qws: dict[str, dict[int, float]],
+    dim: int | None = None,
+) -> DataFrame:
+    """perdoc_stats generalized to a QUERY BATCH: one corpus pass
+    computing, per doc, the shared token stats (_dl, _l2sq), the tf of
+    every term in the batch's term universe (_tf0.._tfN over `terms`),
+    and one dot product per query (_dot_<qid> vs that query's 6dp
+    hash-bag weights). Everything any lane of any query in the batch
+    needs is then a PROJECTION over this one cached frame — the batch
+    twin of the r5 flagship collapse (module docstring).
+
+    → (doc_id, n_chars, source, _dl, _l2sq, _dot_<qid>..., _tf0...)
+    with token-derived columns null for token-less docs."""
+    dim = P.EMBEDDING_DIM if dim is None else dim
+    denses = {
+        qid: ", ".join(repr(w.get(b, 0.0)) for b in range(dim))
+        for qid, w in qws.items()
+    }
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("_t"))
+    bcnt = (
+        tok.withColumn("_b", token_bucket(F.col("_t"), dim))
+        .groupBy("doc_id", "_b")
+        .agg(
+            F.count("*").alias("_c"),
+            *[
+                F.count(F.when(F.col("_t") == t, True)).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    )
+    perdoc_tok = bcnt.groupBy("doc_id").agg(
+        F.sum("_c").alias("_dl"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_l2sq"),
+        *[
+            F.sum(F.col("_c") * F.expr(f"array({dense})[_b]")).alias(
+                f"_dot_{qid}"
+            )
+            for qid, dense in denses.items()
+        ],
+        *[F.sum(f"_tf{i}").alias(f"_tf{i}") for i in range(len(terms))],
+    )
+    return docs.select("doc_id", "n_chars", "source").join(
+        perdoc_tok, "doc_id", "left"
+    )
+
+
 def recall_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """perdoc_stats over the driver's documents table, cached per
     (corpus, terms) — the batch engine's resident index segment."""

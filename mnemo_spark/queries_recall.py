@@ -213,31 +213,113 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's lane over-fetch (limit*3, recall.rs:397), trust
     down-weighting, per-query top-k.
 
-    One plan for the whole batch: both corpus-side lane indexes
-    (BM25 postings/stats, bucket counts + L2) are computed once and
-    shared by every query — per-query marginal cost is a broadcast
-    equi-join, which is what makes batched serving beat per-request
-    serving at scale. Per-query ranks partition on query_id
-    (WindowGroupLimit bounds the lane-rank filter) — nothing is
+    One plan for the whole batch, one corpus pass for every lane of
+    every query: perdoc_stats_multi computes the shared token stats,
+    the tf of the batch's whole term universe, and one dot product per
+    query in a single cached frame (the r5 flagship collapse,
+    operators/recall_core.py, generalized to a batch) -- per-query
+    lane scores are then pure projections, corpus scalars are
+    literals, and the only per-batch jobs are the per-query lane ranks
+    (WindowGroupLimit-bounded) and the fusion aggregation. Nothing is
     corpus-sized on one task."""
-    from mnemo_spark.functions.embedder import batch_hash_bag_cosine
-    from mnemo_spark.operators.bm25 import batch_bm25
+    import math
+
+    from mnemo_spark.cache import cached_persist
+    from mnemo_spark.operators.recall_core import (
+        perdoc_stats_multi,
+        query_hash_bag_weights,
+    )
     from mnemo_spark.operators.rrf import rrf_fuse_grouped
 
     docs = _t(spark, sf_dir, "documents")
-    queries_df = spark.createDataFrame(
-        _BATCH_QUERIES, "query_id string, terms array<string>"
+    terms = sorted({t for _, ts in _BATCH_QUERIES for t in ts})
+    qws = {qid: query_hash_bag_weights(ts) for qid, ts in _BATCH_QUERIES}
+    perdoc = cached_persist(
+        perdoc_stats_multi(docs, terms, qws),
+        "recall_batch_perdoc",
+        tuple(terms),
+        tuple(sorted(qws)),
     )
-    bm = batch_bm25(docs, queries_df, k1=P.BM25_K1, b=P.BM25_B)
-    cos = batch_hash_bag_cosine(docs, queries_df, dim=P.EMBEDDING_DIM)
+    stats = perdoc.agg(
+        F.count("*").alias("n"),
+        F.avg(F.coalesce(F.col("_dl"), F.lit(0))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, True)).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    k1, b = P.BM25_K1, P.BM25_B
+    idf = {
+        t: math.log(
+            1.0
+            + (n_docs - float(stats[f"_df{i}"]) + 0.5)
+            / (float(stats[f"_df{i}"]) + 0.5)
+        )
+        for i, t in enumerate(terms)
+    }
+    tidx = {t: i for i, t in enumerate(terms)}
+
+    def bm25_of(qterms):
+        contribs, total_tf = [], F.lit(0)
+        for t in qterms:
+            tf = F.col(f"_tf{tidx[t]}")
+            total_tf = total_tf + F.coalesce(tf, F.lit(0))
+            contribs.append(
+                F.when(
+                    tf > 0,
+                    F.lit(idf[t])
+                    * (tf * (k1 + 1))
+                    / (tf + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))),
+                ).otherwise(F.lit(0.0))
+            )
+        s = contribs[0]
+        for c in contribs[1:]:
+            s = s + c
+        return F.when(total_tf > 0, F.round(s, 6))
+
+    # melt the wide per-query scores to long lanes: one row per
+    # (query, doc, lane score), hits-only (bm25 null when the doc has
+    # no query term; cos null when no shared bucket -- dot == 0 iff
+    # bucket-disjoint, since counts and 6dp weights are positive)
+    per_q = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    bm25_of(ts).alias("bm25"),
+                    F.when(
+                        F.col(f"_dot_{qid}") > 0,
+                        F.round(F.col(f"_dot_{qid}") / F.sqrt("_l2sq"), 6),
+                    ).alias("cos"),
+                )
+                for qid, ts in _BATCH_QUERIES
+            ]
+        )
+    )
+    melted = perdoc.select("doc_id", per_q.alias("_e")).select(
+        "doc_id",
+        F.col("_e.query_id").alias("query_id"),
+        F.col("_e.bm25").alias("bm25"),
+        F.col("_e.cos").alias("cos"),
+    )
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in _BATCH_QUERIES], "query_id string"
+    )
     # the length prior is query-independent: rrf_fuse_grouped ranks it
     # ONCE (parallel top-k) and replicates only its top-_OVERFETCH rows
-    # per query — never corpus × queries
-    length = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    # per query -- never corpus x queries
+    length = perdoc.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
     fused = rrf_fuse_grouped(
         {
-            "bm25": bm.withColumnRenamed("bm25", "score"),
-            "embed": cos.withColumnRenamed("cos", "score"),
+            "bm25": melted.filter(F.col("bm25").isNotNull()).select(
+                "query_id", "doc_id", F.col("bm25").alias("score")
+            ),
+            "embed": melted.filter(F.col("cos").isNotNull()).select(
+                "query_id", "doc_id", F.col("cos").alias("score")
+            ),
             "length": length,
         },
         {
@@ -249,10 +331,10 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="query_id",
         id_col="doc_id",
         lane_limit=_OVERFETCH,
-        groups=queries_df.select("query_id"),
+        groups=qids,
     )
     trust = F.when(F.col("source").isin(*P.TRUSTED_SOURCES), 1.0).otherwise(0.1)
-    adj = fused.join(docs.select("doc_id", "source"), "doc_id").select(
+    adj = fused.join(perdoc.select("doc_id", "source"), "doc_id").select(
         "query_id",
         "doc_id",
         F.round(F.col("rrf_score") * trust, 6).alias("score"),

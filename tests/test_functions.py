@@ -147,3 +147,52 @@ def test_budget_fallback_ladder(spark):
 
     with _pytest.raises(ValueError):
         ContextBudget.for_model("unknown-model")
+
+
+def test_batch_hash_bag_cosine_matches_reference_math(spark):
+    """functions.embedder.batch_hash_bag_cosine (the batched semantic
+    lane, reference J6 many-queries analog): per-(query, doc) score =
+    round(sum_b c_b * qw_b / ||c||, 6) with 6dp-rounded L2-normalized
+    query weights — verified against a direct python recomputation,
+    hits-only (no row when the query and doc share no hashed bucket)."""
+    import hashlib
+    from collections import Counter
+
+    from mnemo_spark.functions.embedder import batch_hash_bag_cosine
+
+    dim = 16
+    docs_rows = [
+        (1, "spark join window"),
+        (2, "join join join query"),
+        (3, "completely unrelated words here"),
+        (4, ""),
+    ]
+    q_rows = [("qa", ["spark", "join"]), ("qb", ["query"])]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    queries = spark.createDataFrame(q_rows, "query_id string, terms array<string>")
+    got = {
+        (r["query_id"], r["doc_id"]): r["cos"]
+        for r in batch_hash_bag_cosine(docs, queries, dim=dim).collect()
+    }
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % dim
+
+    import math
+    import re
+
+    want = {}
+    for qid, terms in q_rows:
+        qc = Counter(bucket(t) for t in terms)
+        l2 = math.sqrt(sum(c * c for c in qc.values()))
+        qw = {b: round(c / l2, 6) for b, c in qc.items()}
+        for did, text in docs_rows:
+            dc = Counter(bucket(t) for t in re.findall(r"[a-z0-9]+", text.lower()))
+            if not dc or not (set(dc) & set(qw)):
+                continue  # hits-only
+            dot = sum(c * qw.get(b, 0.0) for b, c in dc.items())
+            dl2 = math.sqrt(sum(c * c for c in dc.values()))
+            want[(qid, did)] = round(dot / dl2, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
