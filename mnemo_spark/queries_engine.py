@@ -360,7 +360,13 @@ def delegation_closure_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    seeds = spark.range(5).select(F.col("id").cast("long").alias("user_id"))
+    # 5 seeds on ONE partition: range() defaults to defaultParallelism
+    # partitions, and with 4 unioned hop layers that planned 128
+    # near-empty tasks whose launch overhead was ~90% of this query's
+    # wall time (0.83 s → 0.25 s at sf0.1)
+    seeds = spark.range(0, 5, 1, 1).select(
+        F.col("id").cast("long").alias("user_id")
+    )
     # a delegation table is definitionally small (principals, not
     # events): broadcast the EDGES and skip per-hop dedup, so the
     # whole depth-3 walk chains map-side in a single job — the
@@ -418,7 +424,11 @@ def bitemporal_walk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "click", F.col("ts") + F.expr("INTERVAL 30 DAY")
         ).alias("valid_to"),
     )
-    seeds = spark.range(5).select(F.col("id").cast("long").alias("user_id"))
+    # 1-partition seeds: see delegation_closure_users — default-
+    # parallelism seed partitions multiply into near-empty hop tasks
+    seeds = spark.range(0, 5, 1, 1).select(
+        F.col("id").cast("long").alias("user_id")
+    )
     return expand_bitemporal(
         edges, seeds, _BITEMPORAL_AS_OF, hops=2, decay=0.5, seed_col="user_id"
     ).select("user_id", "hop", "score")
