@@ -61,8 +61,18 @@ def expand(
         # the edge list is referenced once per hop; persist it so a
         # derived edge frame (e.g. a window over events) computes once
         # per plan instead of once per hop (CacheManager keys on the
-        # canonicalized plan, so repeated calls share the entry)
-        e = e.persist()
+        # canonicalized plan, so repeated calls share the entry). In
+        # serving/bench mode route through the TRACKED cache so
+        # cache.clear() releases it (the bare persist is bounded by
+        # distinct edge plans but survives clear() — ADVICE r7 class)
+        import os
+
+        if os.environ.get("MNEMO_CACHE_TABLES", "") == "1":
+            from mnemo_spark.cache import cached_persist
+
+            e = cached_persist(e, "expand_edges")
+        else:
+            e = e.persist()
 
     frontier = seeds.select(F.col(seed_col).alias("_id")).distinct().withColumn(
         "hop", F.lit(0)

@@ -100,6 +100,30 @@ def main() -> None:
         ).count(),
     )
 
+    # batch economics (VERDICT r7 #2): 32 queries through ONE
+    # recall_batch plan vs 32 sequential recall() calls — the corpus
+    # side of every lane computes once for the whole batch, so the
+    # batched form should approach per-query marginal cost
+    qtexts = [
+        f"spark join window query {i} shuffle partition" for i in range(32)
+    ]
+    qdf = spark.createDataFrame(
+        [(f"q{i}", q) for i, q in enumerate(qtexts)],
+        "query_id string, query string",
+    )
+    timed(
+        "recall_batch_32",
+        lambda: eng.recall_batch(qdf, principal, k=10).count(),
+    )
+    timed(
+        "recall_sequential_4_of_32",
+        # 4 sequential singles extrapolate the per-request cost without
+        # spending 32x the probe budget; stderr reports the x8 estimate
+        lambda: [
+            eng.recall(q, principal, k=10).count() for q in qtexts[:4]
+        ],
+    )
+
     timed(
         "reflection_pass",
         lambda: eng.run_reflection_pass_with_mode(
