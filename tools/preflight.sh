@@ -14,15 +14,22 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 rc=0
 
-echo "== 1/5 pytest (full suite) =="
+echo "== 1/5 working tree clean (gates cover exactly the committed tree) =="
+if [ -n "$(git status --porcelain)" ]; then
+  echo "DIRTY working tree — commit BEFORE preflight so gates cover it:"
+  git status --porcelain
+  rc=1
+fi
+
+echo "== 2/5 pytest (full suite) =="
 python -m pytest tests/ -q --tb=line 2>&1 | tail -3 || rc=1
 [ "${PIPESTATUS[0]}" -eq 0 ] || rc=1
 
-echo "== 2/5 oracle sweep ($SF) =="
+echo "== 3/5 oracle sweep ($SF) =="
 python tools/check_oracle.py "$SF" 2>&1 | grep -E "^(OK|FAIL|[0-9]+/)" | tail -3
 [ "${PIPESTATUS[0]}" -eq 0 ] || rc=1
 
-echo "== 3/5 driver-sim entry (plain SparkSession, no factory confs) =="
+echo "== 4/5 driver-sim entry (plain SparkSession, no factory confs) =="
 python - <<'EOF' || rc=1
 from pyspark.sql import SparkSession
 spark = SparkSession.builder.master("local[8]").getOrCreate()
@@ -35,16 +42,9 @@ assert q["event_chain_heads"](spark, "/root/testdata/sf0.01").count() > 0
 print(f"entry OK ({n} rows), {len(q)} queries registered")
 EOF
 
-echo "== 4/5 bench (sf0.1) =="
+echo "== 5/5 bench (sf0.1; rewrites BENCH_DETAIL.json — commit it as the round artifact) =="
 python bench.py 2>/dev/null | tail -1
 [ "${PIPESTATUS[0]}" -eq 0 ] || rc=1
-
-echo "== 5/5 working tree clean (nothing landed after the gates) =="
-if [ -n "$(git status --porcelain)" ]; then
-  echo "DIRTY working tree — commit BEFORE preflight so gates cover it:"
-  git status --porcelain
-  rc=1
-fi
 
 echo
 if [ "$rc" -eq 0 ]; then echo "PREFLIGHT GREEN"; else echo "PREFLIGHT RED"; fi
