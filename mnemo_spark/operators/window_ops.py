@@ -23,40 +23,32 @@ _GPART = "_gpart"
 
 def _range_pin(df: DataFrame, n: int, order_cols: Sequence[Column], kind: str):
     """Range-partition `df` on the total order and tag rows with their
-    slice id, pinned so the two passes (per-slice totals → offsets,
-    then the final join) agree on slice ids.
+    slice id, PINNED for the life of the returned plan: the offsets
+    pass and the final pass must see identical slice ids, and
+    `spark_partition_id` after `repartitionByRange` is NOT stable
+    across re-executions — the boundary sampler reads its input in
+    shuffle-fetch order, which varies run to run, so a released-and-
+    recomputed exchange can assign rows to different slices than the
+    ones their offsets were computed for. The round-8 sf1x sweep
+    caught exactly that: an early-release variant (collect offsets,
+    unpersist, let the final pass re-exchange) shifted abc/rfm rows by
+    whole slices at 1.5M keys while staying green at sf0.1.
 
-    Returns (ordered, release) where `release()` MUST be called once
-    the offsets frame is materialized. Leak posture (ADVICE r7 — a
-    bare `.persist()` here retained one dimension-sized frame PER
-    invocation for the life of the session):
-
-    - bench/serving mode (MNEMO_CACHE_TABLES=1): route through
-      `cache.cached_persist` — one tracked copy per (plan, kind, n),
-      reused across repeated queries and freed by `cache.clear()`.
-    - one-shot mode: persist only until the offsets collect, then
-      unpersist; the final pass recomputes the range exchange. Safe
-      because RangePartitioner's boundary sampler is seeded per
-      partition index, so a deterministic input reproduces identical
-      slice boundaries (and the values are boundary-independent
-      anyway — only offsets↔rows slice-id agreement matters).
+    Leak posture (ADVICE r7):
+    - bench/serving mode (MNEMO_CACHE_TABLES=1) — the resident-session
+      scenario the ADVICE is about — routes through
+      `cache.cached_persist`: one tracked copy per (plan, kind, n),
+      reused across repeated queries, freed by `cache.clear()`.
+    - one-shot mode keeps a plain persist: CacheManager dedups it by
+      canonicalized plan, so repeated identical calls share one entry
+      and the retention is bounded by distinct inputs per session.
     """
     ordered = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     if os.environ.get("MNEMO_CACHE_TABLES", "") == "1":
-        return cache.cached_persist(ordered, "range_pin", kind, n), lambda: None
-    pinned = ordered.persist()
-    return pinned, lambda: pinned.unpersist()
-
-
-def _collect_offsets(offsets: DataFrame) -> DataFrame:
-    """Materialize the per-slice offsets frame (one row per partition —
-    cluster-sized, not data-sized) into a literal local-relation frame,
-    so the downstream broadcast join no longer references the pinned
-    input and the pin can be released immediately."""
-    spark = offsets.sparkSession
-    return spark.createDataFrame(offsets.collect(), offsets.schema)
+        return cache.cached_persist(ordered, "range_pin", kind, n)
+    return ordered.persist()
 
 
 def _const_partition(df: DataFrame) -> DataFrame:
@@ -228,10 +220,10 @@ def global_cumsum(
        partition — cluster-sized, not data-sized) and broadcast back.
 
     Slice-id agreement between the offsets pass and the final pass is
-    handled by `_range_pin` (tracked cache in bench mode, short-lived
-    pin released once the cluster-sized offsets frame materializes
-    otherwise — no retained blocks after the call returns). Result
-    values are boundary-independent, so the range sampler's partition
+    handled by `_range_pin` (pinned for the plan's lifetime — see its
+    docstring for why an early release is NOT safe, and how the
+    tracked cache bounds retention in serving mode). Result values
+    are boundary-independent, so the range sampler's partition
     placement never changes the output.
 
     order_cols must form a total order (end with a unique tiebreak);
@@ -241,7 +233,7 @@ def global_cumsum(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ordered, release = _range_pin(df, n, order_cols, "cumsum")
+    ordered = _range_pin(df, n, order_cols, "cumsum")
     ptot = ordered.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
     g = _const_partition(ptot)
     w_off = (
@@ -250,14 +242,11 @@ def global_cumsum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = Window.partitionBy(_GPART)
-    offsets = _collect_offsets(
-        g.select(
-            "_pid",
-            F.coalesce(F.sum("_ptot").over(w_off), F.lit(0.0)).alias("_poff"),
-            F.sum("_ptot").over(w_tot).alias("_gtot"),
-        )
+    offsets = g.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0.0)).alias("_poff"),
+        F.sum("_ptot").over(w_tot).alias("_gtot"),
     )
-    release()
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
@@ -297,7 +286,7 @@ def global_ntile(
     """
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    ordered, release = _range_pin(df, parts, order_cols, "ntile")
+    ordered = _range_pin(df, parts, order_cols, "ntile")
     pcnt = ordered.groupBy("_pid").agg(F.count("*").alias("_pc"))
     g = _const_partition(pcnt)
     w_off = (
@@ -306,16 +295,13 @@ def global_ntile(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_tot = Window.partitionBy(_GPART)
-    offsets = _collect_offsets(
-        g.select(
-            "_pid",
-            F.coalesce(F.sum("_pc").over(w_off), F.lit(0))
-            .cast("long")
-            .alias("_roff"),
-            F.sum("_pc").over(w_tot).cast("long").alias("_n"),
-        )
+    offsets = g.select(
+        "_pid",
+        F.coalesce(F.sum("_pc").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_roff"),
+        F.sum("_pc").over(w_tot).cast("long").alias("_n"),
     )
-    release()
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     k = int(n)
     tile = (

@@ -373,40 +373,39 @@ def test_global_cumsum_single_row_and_empty(spark):
                          num_partitions=4).count() == 0
 
 
-def test_global_cumsum_ntile_leave_no_persisted_rdds(spark):
-    """ADVICE r7: the old form persisted the range-partitioned frame
-    per invocation and never released it — a slow storage leak in a
-    resident serving session (rfm_segments chains three global_ntile
-    calls alone). Outside bench mode the pin must be released by the
-    time the call returns, i.e. zero retained RDD blocks after the
-    query materializes."""
+def test_global_cumsum_ntile_serving_pin_is_tracked_and_released(spark):
+    """ADVICE r7 leak posture, CORRECTED in r8: the range pin must
+    stay alive for the plan's whole lifetime (the sf1x sweep proved an
+    early release lets the re-executed range exchange assign rows to
+    different slices than their offsets — wrong cumsums at scale). So
+    the leak fix is scoping, not early release: in serving/bench mode
+    the pin goes through the TRACKED cache and cache.clear() frees
+    it; in one-shot mode CacheManager dedups the persist by plan, so
+    retention is bounded by distinct inputs."""
     import os
 
     import pyspark.sql.functions as F
 
+    from mnemo_spark import cache
     from mnemo_spark.operators.window_ops import global_cumsum, global_ntile
 
-    assert os.environ.get("MNEMO_CACHE_TABLES", "") != "1"
-
-    def rdd_ids():
-        # earlier tests may hold localCheckpoint RDDs (outside the SQL
-        # cache) — assert on the DELTA, not on global emptiness
-        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
-        ids = set()
-        while it.hasNext():
-            ids.add(it.next())
-        return ids
-
-    before = rdd_ids()
     df = spark.createDataFrame(
         [(i, float(i % 7)) for i in range(50)], "k int, v double"
     )
-    out = global_cumsum(df, [F.asc("k")], "v", "cum", num_partitions=4)
-    out = global_ntile(out, [F.desc("cum"), F.asc("k")], 3, "t",
-                       num_partitions=4)
-    assert out.count() == 50
-    leaked = rdd_ids() - before
-    assert not leaked, leaked
+    os.environ["MNEMO_CACHE_TABLES"] = "1"
+    try:
+        n_before = len(cache._CACHE)
+        out = global_cumsum(df, [F.asc("k")], "v", "cum", num_partitions=4)
+        out = global_ntile(out, [F.desc("cum"), F.asc("k")], 3, "t",
+                           num_partitions=4)
+        assert out.count() == 50
+        # both pins registered in the tracked cache...
+        assert len(cache._CACHE) >= n_before + 2
+    finally:
+        os.environ.pop("MNEMO_CACHE_TABLES", None)
+        cache.clear()
+    # ...and clear() released them
+    assert len(cache._CACHE) == 0
 
 
 def test_global_ntile_matches_builtin_ntile(spark):
