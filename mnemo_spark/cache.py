@@ -1,19 +1,34 @@
-"""Env-gated memoized persist for shared intermediate frames.
+"""Serving-session memoized persist for shared intermediate frames.
 
-`cached_persist(df, *key)` returns `df` untouched unless
-MNEMO_CACHE_TABLES=1 (the bench harness sets it). When enabled, the
-frame is persisted ONCE per (session, input-plan semantic hash, key)
-and every later semantically-equal request returns the same persisted
-frame — so repeated queries over the same corpus reuse one
-materialization instead of leaking a fresh `persist()` per call
+`cached_persist(df, *key)` returns `df` untouched unless a serving
+session is active (see `serving()` / `serving_enabled()`). When
+active, the frame is persisted ONCE per (session, input-plan semantic
+hash, key) and every later semantically-equal request returns the
+same persisted frame — so repeated queries over the same corpus reuse
+one materialization instead of leaking a fresh `persist()` per call
 (which evicts useful blocks and adds GC pressure as a long session
 accumulates them).
+
+Serving sessions have a FIRST-CLASS lifecycle (r9, VERDICT r8 #5 —
+previously only the MNEMO_CACHE_TABLES env var):
+
+    with engine.serving():          # or mnemo_spark.cache.serving()
+        ... repeated queries ...    # shared intermediates tracked
+    # exit → clear(): every tracked persist released
+
+The MNEMO_CACHE_TABLES=1 env var is kept as the process-wide form of
+the same switch (the bench harness sets it and calls `clear()`
+between runs); `serving()` is the scoped library surface. Everything
+that conditionally persists — `cached_persist` callers, the
+range-pin in operators/window_ops, graph expand's edge persist, the
+table reader — routes through `serving_enabled()`, so a context exit
+provably releases every block the session pinned
+(tests/test_serving_session.py asserts getPersistentRDDs drains).
 
 The key includes the SparkSession's applicationId: after a session
 restart in the same process a stale entry would hand back a DataFrame
 bound to a stopped session. `clear()` unpersists and empties the
-cache — the bench harness calls it between runs so persisted blocks
-don't accumulate unboundedly.
+cache.
 
 At cluster scale the equivalent is materializing the shared
 intermediate (shingle table, term-frequency table) once per corpus
@@ -22,11 +37,37 @@ snapshot and reading it from storage.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame
 
 _CACHE: dict[tuple, DataFrame] = {}
+_SERVING = 0  # nesting depth of active serving() contexts
+
+
+def serving_enabled() -> bool:
+    """True when shared intermediates should be persisted + tracked:
+    inside a `serving()` context, or process-wide under
+    MNEMO_CACHE_TABLES=1 (the bench harness's mode)."""
+    return _SERVING > 0 or os.environ.get("MNEMO_CACHE_TABLES", "") == "1"
+
+
+@contextlib.contextmanager
+def serving():
+    """Scoped serving session: persist-and-track shared intermediates
+    for the duration, release them all on exit. Re-entrant — only the
+    outermost exit clears (and a process-wide MNEMO_CACHE_TABLES=1
+    keeps the cache alive across context exits, since the bench
+    harness owns clearing in that mode)."""
+    global _SERVING
+    _SERVING += 1
+    try:
+        yield
+    finally:
+        _SERVING -= 1
+        if _SERVING == 0 and os.environ.get("MNEMO_CACHE_TABLES", "") != "1":
+            clear()
 
 
 def cached_persist(
@@ -39,7 +80,7 @@ def cached_persist(
     identical programs and the cache both misses and leaks a persisted
     copy per call. Callers pass the pre-ML input projection (a stable
     plan) plus key_parts that pin the transform's own parameters."""
-    if os.environ.get("MNEMO_CACHE_TABLES", "") != "1":
+    if not serving_enabled():
         return df
     try:
         app_id = df.sparkSession.sparkContext.applicationId
@@ -54,9 +95,12 @@ def cached_persist(
 
 
 def clear() -> None:
-    """Unpersist every cached frame and reset. Safe to call with a
-    stopped session (unpersist failures are swallowed — the JVM-side
-    blocks die with the session anyway)."""
+    """Unpersist every tracked frame and reset — the tracked
+    intermediates here plus the table cache (mnemo_spark.io) and the
+    prepared-plan cache (mnemo_spark.registry), so one release drains
+    everything a serving session pinned. Safe to call with a stopped
+    session (unpersist failures are swallowed — the JVM-side blocks
+    die with the session anyway)."""
     global _CACHE
     for frame in _CACHE.values():
         try:
@@ -64,3 +108,8 @@ def clear() -> None:
         except Exception:  # noqa: BLE001 - session may be gone
             pass
     _CACHE = {}
+    from mnemo_spark.io import clear_table_cache
+    from mnemo_spark.registry import clear_plan_cache
+
+    clear_plan_cache()
+    clear_table_cache()

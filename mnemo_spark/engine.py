@@ -2403,6 +2403,30 @@ class MnemoSparkEngine:
             "agent_ids": list(mem["agents"]),
         }
 
+    def serving(self):
+        """Scoped serving session (VERDICT r8 #5 — the first-class form
+        of the MNEMO_CACHE_TABLES switch): inside the context, shared
+        intermediates (range-pin exchanges, graph edge frames, BM25
+        postings, table scans, prepared plans) persist ONCE and are
+        reused across repeated queries; the context exit releases every
+        tracked block.
+
+            with engine.serving():
+                engine.recall_batch(...)   # repeated calls share work
+            # ← all persisted intermediates released here
+
+        Re-entrant; see mnemo_spark.cache.serving()."""
+        from mnemo_spark import cache
+
+        return cache.serving()
+
+    def release(self) -> None:
+        """Explicitly drop every tracked persisted intermediate (the
+        imperative form of exiting `serving()`); safe to call anytime."""
+        from mnemo_spark import cache
+
+        cache.clear()
+
     def expire(
         self, ids: list[str], ttl_seconds: int | None = None, now=None
     ) -> "MnemoSparkEngine":

@@ -59,7 +59,9 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    caching = os.environ.get("MNEMO_CACHE_TABLES", "") == "1"
+    from mnemo_spark import cache
+
+    caching = cache.serving_enabled()
     # applicationId in the key: a cached frame from a stopped session
     # must never be handed to a restarted one
     cache_key = (spark.sparkContext.applicationId, sf_dir, name)

@@ -140,7 +140,7 @@ def batch_bm25(
     shuffles on term with query-term selectivity, so 10⁴ queries cost
     barely more than one.
     """
-    from mnemo_spark.cache import cached_persist
+    from mnemo_spark.cache import cached_persist, serving_enabled
 
     toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
     lens = cached_persist(toks.select("_id", F.size("_tok").alias("_dl")), "bm25_lens")
@@ -149,24 +149,37 @@ def batch_bm25(
     qterms = queries.select(
         F.col(qid_col).alias("_qid"), F.explode(qterms_col).alias("_term")
     ).distinct()
-    # the FULL (doc, term, tf, dl) postings table is the index-time
-    # artifact (a Lucene segment): cache it per corpus so a query
-    # batch never re-tokenizes — its only work is the broadcast
-    # term semi-join over the postings and the scoring aggregation
-    postings = cached_persist(
-        toks.select("_id", F.explode("_tok").alias("_term"))
-        .groupBy("_id", "_term")
-        .agg(F.count("*").alias("_tf"))
-        .join(lens, "_id"),
-        "bm25_postings",
-    )
-    # broadcast-semi-join the postings against the query-term set: no
-    # driver-side collect of the term vocabulary (open-ended query
-    # batches stay distributed) and the semi-join is map-side. Per-term
-    # df over the filtered postings equals df over the full table (the
-    # filter is BY term).
+    # broadcast-semi-join against the query-term set: no driver-side
+    # collect of the term vocabulary (open-ended query batches stay
+    # distributed) and the semi-join is map-side. Per-term df over the
+    # term-filtered postings equals df over the full table (the filter
+    # is BY term).
     terms = qterms.select("_term").distinct()
-    tf = postings.join(F.broadcast(terms), "_term", "left_semi")
+    hits = toks.select("_id", F.explode("_tok").alias("_term"))
+    if serving_enabled():
+        # the FULL (doc, term, tf, dl) postings table is the
+        # index-time artifact (a Lucene segment): in a serving session
+        # build + cache it per corpus so later batches never
+        # re-tokenize — their only work is the broadcast term
+        # semi-join over the postings and the scoring aggregation
+        postings = cached_persist(
+            hits.groupBy("_id", "_term")
+            .agg(F.count("*").alias("_tf"))
+            .join(lens, "_id"),
+            "bm25_postings",
+        )
+        tf = postings.join(F.broadcast(terms), "_term", "left_semi")
+    else:
+        # one-shot call: semi-join to query terms BEFORE the groupBy
+        # so the shuffle is proportional to matching tokens, not the
+        # corpus vocabulary (ADVICE r8 — the full postings build is
+        # only worth it when a cache retains it across calls)
+        tf = (
+            hits.join(F.broadcast(terms), "_term", "left_semi")
+            .groupBy("_id", "_term")
+            .agg(F.count("*").alias("_tf"))
+            .join(lens, "_id")
+        )
     df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
 
     return (

@@ -61,16 +61,15 @@ def expand(
         # the edge list is referenced once per hop; persist it so a
         # derived edge frame (e.g. a window over events) computes once
         # per plan instead of once per hop (CacheManager keys on the
-        # canonicalized plan, so repeated calls share the entry). In
-        # serving/bench mode route through the TRACKED cache so
-        # cache.clear() releases it (the bare persist is bounded by
-        # distinct edge plans but survives clear() — ADVICE r7 class)
-        import os
+        # canonicalized plan, so repeated calls share the entry). In a
+        # serving session (engine.serving() / bench harness) route
+        # through the TRACKED cache so context exit releases it (the
+        # bare persist is bounded by distinct edge plans but survives
+        # clear() — ADVICE r7 class)
+        from mnemo_spark import cache
 
-        if os.environ.get("MNEMO_CACHE_TABLES", "") == "1":
-            from mnemo_spark.cache import cached_persist
-
-            e = cached_persist(e, "expand_edges")
+        if cache.serving_enabled():
+            e = cache.cached_persist(e, "expand_edges")
         else:
             e = e.persist()
 

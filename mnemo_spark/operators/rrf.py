@@ -227,21 +227,14 @@ def rrf_fuse_grouped(
                     "_rank", F.row_number().over(w_full)
                 )
             # the group-id set is definitionally small (it IS the query
-            # batch): fold it to literals over a one-row relation — the
-            # same data movement as the broadcast, and the replication
-            # join is then provably bounded (OneRowRelation build side)
+            # batch): broadcast it straight into the replication cross
+            # join — same data movement as folding the ids to literals,
+            # without the driver collect or the 10⁴-literal expression
+            # tree that strains codegen at large batches (ADVICE r8)
             gsel = groups.select(F.col(group_col).alias("_g")).distinct()
-            vals = [r["_g"] for r in gsel.collect()]
-            spark = lane.sparkSession
-            if vals:
-                gloc = spark.sql("SELECT 1").select(
-                    F.explode(F.array(*[F.lit(v) for v in vals])).alias("_g")
-                )
-            else:
-                gloc = spark.createDataFrame([], gsel.schema)
             ranked = ranked1.select(
                 F.col(id_col).alias("_id"), "_rank"
-            ).crossJoin(F.broadcast(gloc))
+            ).crossJoin(F.broadcast(gsel))
             contribs.append(
                 ranked.select(
                     "_g",

@@ -34,11 +34,13 @@ def _range_pin(df: DataFrame, n: int, order_cols: Sequence[Column], kind: str):
     unpersist, let the final pass re-exchange) shifted abc/rfm rows by
     whole slices at 1.5M keys while staying green at sf0.1.
 
-    Leak posture (ADVICE r7):
-    - bench/serving mode (MNEMO_CACHE_TABLES=1) — the resident-session
-      scenario the ADVICE is about — routes through
+    Leak posture (ADVICE r7, serving surface r9):
+    - serving sessions (`engine.serving()` context / cache.serving(),
+      or the bench harness's MNEMO_CACHE_TABLES=1) — the
+      resident-session scenario the ADVICE is about — route through
       `cache.cached_persist`: one tracked copy per (plan, kind, n),
-      reused across repeated queries, freed by `cache.clear()`.
+      reused across repeated queries, freed on context exit /
+      `cache.clear()`.
     - one-shot mode keeps a plain persist: CacheManager dedups it by
       canonicalized plan, so repeated identical calls share one entry
       and the retention is bounded by distinct inputs per session.
@@ -46,7 +48,7 @@ def _range_pin(df: DataFrame, n: int, order_cols: Sequence[Column], kind: str):
     ordered = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    if os.environ.get("MNEMO_CACHE_TABLES", "") == "1":
+    if cache.serving_enabled():
         return cache.cached_persist(ordered, "range_pin", kind, n)
     return ordered.persist()
 

@@ -48,6 +48,12 @@ ORACLE: dict[str, str] = {}
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def clear_plan_cache() -> None:
+    """Drop every prepared plan (no persisted blocks of its own — the
+    frames reference tracked/table caches, which clear separately)."""
+    _PLAN_CACHE.clear()
+
+
 def query(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         import functools
@@ -55,7 +61,9 @@ def query(name: str, sql: str | None = None):
 
         @functools.wraps(fn)
         def serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-            if os.environ.get("MNEMO_CACHE_TABLES", "") != "1":
+            from mnemo_spark import cache
+
+            if not cache.serving_enabled():
                 return fn(spark, sf_dir)
             key = (spark.sparkContext.applicationId, sf_dir, name)
             df = _PLAN_CACHE.get(key)

@@ -272,6 +272,28 @@ def enrich_stream(
     return events.join(F.broadcast(dims), on, "left")
 
 
+def _read_sink(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Read a foreachBatch sink dir, or None iff the path does not
+    exist YET (the first micro-batch). ONLY the path-missing case is
+    swallowed: any other read failure — corrupt footer, FS hiccup,
+    permissions — must fail the micro-batch so the checkpoint retries
+    it. Treating those as "empty sink" would silently skip the key
+    anti-join (duplicating keys) and, on the chain sink, the head
+    lookup (re-chaining from genesis and forking the audit chain) —
+    ADVICE r8."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir)
+    except AnalysisException as e:
+        cond = (
+            e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        )
+        if cond == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def merge_parquet_sink(
     stream_df: DataFrame,
     out_dir: str,
@@ -295,12 +317,12 @@ def merge_parquet_sink(
     keys = list(key_cols)
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(out_dir).select(*keys)
-            fresh = batch_df.join(existing, keys, "left_anti")
-        except Exception:  # noqa: BLE001 — sink dir not created yet
-            fresh = batch_df
+        stored = _read_sink(batch_df.sparkSession, out_dir)
+        fresh = (
+            batch_df
+            if stored is None
+            else batch_df.join(stored.select(*keys), keys, "left_anti")
+        )
         fresh.write.mode("append").parquet(out_dir)
 
     return (
@@ -347,11 +369,7 @@ def chain_merge_sink(
     order = list(order_cols)
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            stored = spark.read.parquet(out_dir)
-        except Exception:  # noqa: BLE001 — sink dir not created yet
-            stored = None
+        stored = _read_sink(batch_df.sparkSession, out_dir)
         fresh = batch_df
         heads = None
         if stored is not None:
