@@ -107,6 +107,39 @@ def test_epoch_fold_parallelism_shape(spark):
     assert ev.select("agent_id", "epoch").distinct().count() == 3
 
 
+def test_null_epoch_fails_loud(spark):
+    """ADVICE r8: a NULL epoch must raise a diagnostic error, never a
+    bare TypeError (old driver-side sorted()) or a corrupt chain."""
+    ev = _events(spark, n=12).withColumn(
+        "epoch", F.when(F.col("id") == "giant-5", F.lit(None)).otherwise(
+            F.col("epoch")
+        )
+    )
+    out = assign_chain_epochs(
+        ev, ["agent_id"], ["ts", "id"], "content_hash",
+        epoch_col="epoch", seq_col="seq",
+    )
+    with pytest.raises(Exception, match="NULL value in epoch column"):
+        out.collect()
+
+
+def test_non_monotone_epoch_fails_loud(spark):
+    """ADVICE r8: an epoch that decreases along order_cols within a
+    chain violates the documented precondition — must surface as an
+    error, not a silently mis-ordered chain."""
+    ev = _events(spark, n=90).withColumn(
+        "epoch", F.when(F.col("id") == "giant-85", F.lit(0)).otherwise(
+            F.col("epoch")
+        )
+    )
+    out = assign_chain_epochs(
+        ev, ["agent_id"], ["ts", "id"], "content_hash",
+        epoch_col="epoch", seq_col="seq",
+    )
+    with pytest.raises(Exception, match="not.*monotone"):
+        out.collect()
+
+
 def test_single_epoch_degenerates_to_plain_fold(spark):
     ev = _events(spark, n=20).withColumn("epoch", F.lit(0))
     single = _collect(
