@@ -117,6 +117,11 @@ PLAN_SIMILARITY_THRESHOLD = 0.7  # experience.rs:57
 PLAN_SUCCESS_THRESHOLD = 0.5  # experience.rs:60
 WORKING_TTL_HOURS = 1  # T3, remember.rs:116-124
 PROCEDURAL_IMPORTANCE_FLOOR = 0.8  # memory.rs:157-173
+RECALL_LANE_OVERFETCH = 3  # recall.rs:397: each lane feeds its top
+# limit*3 into fusion — the reference's default; AUTO_LANE_LIMIT
+# resolves to k * this. Pass lane_limit=None for full-lane fusion
+# (the opt-in exactness mode).
+AUTO_LANE_LIMIT = object()  # sentinel: "use the reference default"
 
 
 class MnemoSparkEngine:
@@ -646,10 +651,19 @@ class MnemoSparkEngine:
         domain_scope: dict | None = None,
         edges: DataFrame | None = None,
         reasoning_trust: dict | None = None,
+        lane_limit=AUTO_LANE_LIMIT,
     ) -> DataFrame:
         """→ (id, agent_id, content, score, rank). Permission filter
         runs BEFORE scoring (the reference's filtered_search contract:
         permission-safe ANN, SURVEY §4).
+
+        lane_limit: per-lane candidate over-fetch feeding RRF fusion.
+        Default AUTO = k * RECALL_LANE_OVERFETCH — the reference's
+        limit*3 (recall.rs:397), which bounds fusion input to
+        O(lanes·3k) instead of O(corpus) per lane (the 100-TB shape;
+        r9 flips this to the default, VERDICT r8 #6). Pass None for
+        full-lane fusion — the exactness mode where every corpus row
+        contributes its reciprocal-rank term.
 
         domain_scope (P3, retrieval.rs:154-174 DomainScope / the
         v0.4.15 anti-dilution mode): {"namespace": str, "doc_class":
@@ -678,6 +692,8 @@ class MnemoSparkEngine:
         corpus, rt_admitted = self._recall_corpus(
             principal, now, domain_scope, reasoning_trust
         )
+        if lane_limit is AUTO_LANE_LIMIT:
+            lane_limit = k * RECALL_LANE_OVERFETCH
         # legacy strategy-string aliases (retrieval.rs to_strategy_str):
         # "auto" is the reference's wire name for the hybrid RRF path;
         # "domain_scoped" (v0.4.15 DomainScoped mode) = restrict to the
@@ -711,7 +727,9 @@ class MnemoSparkEngine:
                 )
             sem = self._semantic_lane(corpus, query)
             if strategy == "graph":
-                hits = self._graph_recall(corpus, sem, edges, k, rrf_k, weights)
+                hits = self._graph_recall(
+                    corpus, sem, edges, k, rrf_k, weights, lane_limit=lane_limit
+                )
             elif strategy == "semantic":
                 hits = sem.join(corpus, "id")
             else:
@@ -736,6 +754,7 @@ class MnemoSparkEngine:
                     weights or {"semantic": 6.0, "lexical": 3.0, "recency": 1.0},
                     rrf_k,
                     id_col="id",
+                    lane_limit=lane_limit,
                 )
                 hits = fused.withColumnRenamed("rrf_score", "score").join(corpus, "id")
         else:
@@ -764,6 +783,7 @@ class MnemoSparkEngine:
         rrf_k: int,
         weights: dict[str, float] | None,
         max_hops: int = 2,
+        lane_limit: int | None = None,
     ) -> DataFrame:
         """RetrievalMode::Graph (recall.rs:479-545): semantic seeds
         (k*3 over-fetch), multi-hop expansion over relation edges with
@@ -813,10 +833,70 @@ class MnemoSparkEngine:
             weights or {"vector": 1.0, "graph": 1.0},
             rrf_k,
             id_col="id",
+            lane_limit=lane_limit,
         )
         return fused.withColumnRenamed("rrf_score", "score").drop("rank").join(
             corpus, "id"
         )
+
+    def _graph_recall_batch(
+        self,
+        corpus: DataFrame,
+        sem: DataFrame,
+        edges: DataFrame | None,
+        k: int,
+        rrf_k: int,
+        weights: dict[str, float] | None,
+        max_hops: int = 2,
+        lane_limit: int | None = None,
+    ) -> DataFrame:
+        """Batched RetrievalMode::Graph (recall.rs:479-545, batched
+        across a queries frame — VERDICT r8 #2, the last strategy
+        recall_batch lacked): per-query semantic seeds (k*3
+        over-fetch, WindowGroupLimit-bounded rank), fixed-depth
+        expansion over relation edges with 0.5^hop decay and
+        per-(query, node) first-visit dedup, per-query RRF fusion of
+        the vector and graph lanes — identical semantics to the
+        single-query walk (equivalence pytest) in ONE plan for the
+        whole batch. Expansion semi-joins the permission-filtered
+        corpus every hop (operators/graph.expand_grouped), so an
+        invisible memory neither surfaces nor bridges for ANY query."""
+        from mnemo_spark.operators.graph import expand_grouped
+        from mnemo_spark.operators.rrf import rrf_fuse_grouped
+
+        if edges is None:
+            raise ValueError(
+                "recall_batch(strategy='graph') needs an edges DataFrame "
+                "(src_id, dst_id); the schema has no relations table"
+            )
+        w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("id"))
+        seeds = (
+            sem.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k * 3)
+            .drop("_r")
+        )
+        lane = expand_grouped(
+            edges,
+            seeds,
+            hops=max_hops,
+            decay=0.5,
+            src_col="src_id",
+            dst_col="dst_id",
+            group_col="_qid",
+            seed_col="id",
+            visible=corpus.select("id"),
+            bidirectional=True,
+        ).select("_qid", "id", "score")
+        fused = rrf_fuse_grouped(
+            {"vector": seeds.select("_qid", "id", "score"), "graph": lane},
+            weights or {"vector": 1.0, "graph": 1.0},
+            rrf_k,
+            group_col="_qid",
+            id_col="id",
+            score_col="score",
+            lane_limit=lane_limit,
+        )
+        return fused.withColumnRenamed("rrf_score", "score").join(corpus, "id")
 
     def recall_batch(
         self,
@@ -828,8 +908,9 @@ class MnemoSparkEngine:
         rrf_k: int = 30,
         weights: dict[str, float] | None = None,
         domain_scope: dict | None = None,
+        edges: DataFrame | None = None,
         reasoning_trust: dict | None = None,
-        lane_limit: int | None = None,
+        lane_limit=AUTO_LANE_LIMIT,
         qid_col: str = "query_id",
         query_col: str = "query",
     ) -> DataFrame:
@@ -853,28 +934,28 @@ class MnemoSparkEngine:
         once — BM25 corpus statistics (batch_bm25), one corpus scan
         for the semantic dot, one recency projection shared by all
         queries — so per-query marginal cost is a broadcast join, not
-        a corpus pass. lane_limit opts into the reference's per-lane
-        candidate over-fetch (limit*3, recall.rs:397): each lane then
-        feeds only its per-query top-N into fusion (WindowGroupLimit
-        keeps the rank filter a bounded heap, not a sort), which is
-        the 100-TB shape; the default (None) keeps full-lane fusion —
-        exactly `recall`'s semantics.
+        a corpus pass. lane_limit is the reference's per-lane
+        candidate over-fetch (limit*3, recall.rs:397) and defaults to
+        AUTO = k*3 (r9, VERDICT r8 #6): each lane feeds only its
+        per-query top-N into fusion (WindowGroupLimit keeps the rank
+        filter a bounded heap, not a sort) — the 100-TB shape, and
+        what the reference always does. Pass lane_limit=None for
+        full-lane fusion (the opt-in exactness mode); `recall` shares
+        the same default, so the batch≡single equivalence holds at
+        every setting.
 
-        graph strategy is per-seed iterative and stays single-query:
-        call recall(strategy='graph') per query.
+        strategy='graph' (r9): per-query semantic seeds expanded over
+        the `edges` frame — see _graph_recall_batch.
         """
         corpus, rt_admitted = self._recall_corpus(
             principal, now, domain_scope, reasoning_trust
         )
+        if lane_limit is AUTO_LANE_LIMIT:
+            lane_limit = k * RECALL_LANE_OVERFETCH
         if strategy == "auto":
             strategy = "hybrid"
         elif strategy == "domain_scoped":
             strategy = "semantic"
-        if strategy == "graph":
-            raise ValueError(
-                "recall_batch does not support strategy='graph' (per-seed"
-                " iterative expansion); call recall(strategy='graph') per query"
-            )
         q = queries.select(
             F.col(qid_col).alias("_qid"), F.col(query_col).alias("_q")
         )
@@ -963,6 +1044,11 @@ class MnemoSparkEngine:
             hits = lexical_lane().join(corpus, "id")
         elif strategy == "semantic":
             hits = semantic_lane().join(corpus, "id")
+        elif strategy == "graph":
+            hits = self._graph_recall_batch(
+                corpus, semantic_lane(), edges, k, rrf_k, weights,
+                lane_limit=lane_limit,
+            )
         elif strategy == "hybrid":
             from mnemo_spark.operators.rrf import rrf_fuse_grouped
 

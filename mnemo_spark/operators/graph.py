@@ -100,6 +100,92 @@ def expand(
     )
 
 
+def expand_grouped(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 2,
+    decay: float = 0.5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    group_col: str = "query_id",
+    seed_col: str = "id",
+    visible: DataFrame | None = None,
+    bidirectional: bool = False,
+) -> DataFrame:
+    """BFS for a BATCH of seed sets — one row per (group, reached id)
+    at the minimum hop, score = decay^hop (reference recall.rs:479-555
+    graph expansion, batched across queries; VERDICT r8 #2).
+
+    seeds: (group_col, seed_col) — each group expands independently
+    but in ONE plan: every hop is a single equi-join on the edge key
+    with the group id carried through, then a per-(group, id) distinct.
+    `visible`: optional (id) frame; each hop's frontier semi-joins it,
+    so an invisible node neither surfaces NOR bridges to hop n+1 — the
+    same per-record permission check the single-query walk applies.
+
+    First-visit dedup is the final min-hop groupBy: a node reached at
+    hop 1 and again at hop 2 scores decay^1, identical to the
+    single-query seen-set walk (re-expanding an already-seen node can
+    only re-reach nodes already reached at an earlier-or-equal hop, so
+    min-hop is unaffected — the seen anti-join is an optimization the
+    batch form trades for one fewer shuffle per hop).
+
+    Scale: shuffles are per-hop equi-joins on the edge key over
+    (groups × frontier) rows; the edge table is persisted across hops
+    (tracked in serving sessions). Never corpus × groups — frontiers
+    are seed-bounded and dedup'd per hop.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    if bidirectional:
+        e = e.unionByName(
+            edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+        )
+    if hops > 1:
+        from mnemo_spark import cache
+
+        if cache.serving_enabled():
+            e = cache.cached_persist(e, "expand_grouped_edges")
+        else:
+            e = e.persist()
+    vis = (
+        visible.select(F.col(visible.columns[0]).alias("_id")).distinct()
+        if visible is not None
+        else None
+    )
+    frontier = (
+        seeds.select(
+            F.col(group_col).alias("_g"), F.col(seed_col).alias("_id")
+        )
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    layers = [frontier]
+    for h in range(1, hops + 1):
+        frontier = (
+            frontier.join(e, frontier["_id"] == e["_s"])
+            .select("_g", F.col("_d").alias("_id"))
+            .distinct()
+        )
+        if vis is not None:
+            frontier = frontier.join(vis, "_id", "left_semi")
+        frontier = frontier.withColumn("hop", F.lit(h))
+        layers.append(frontier)
+    all_nodes = layers[0]
+    for l in layers[1:]:
+        all_nodes = all_nodes.unionByName(l)
+    return (
+        all_nodes.groupBy("_g", "_id")
+        .agg(F.min("hop").alias("hop"))
+        .withColumn("score", F.round(F.pow(F.lit(decay), F.col("hop")), ROUND_DP))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(seed_col),
+            "hop",
+            "score",
+        )
+    )
+
+
 def trace_causality(
     events: DataFrame,
     root_ids: DataFrame,

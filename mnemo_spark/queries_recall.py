@@ -350,6 +350,139 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "recall_batch_graph_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                 FROM documents),
+    q(query_id, term) AS (VALUES {_BATCH_Q_SQL}),
+    -- semantic lane: batched hash-bag cosine (the seeds source)
+    dtok AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    db AS (SELECT doc_id, {_BUCKET} AS bucket FROM dtok),
+    dcnt AS (SELECT doc_id, bucket, count(*) AS c FROM db GROUP BY doc_id, bucket),
+    dl2 AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM dcnt GROUP BY doc_id),
+    qb AS (SELECT query_id, {_BUCKET} AS bucket FROM (SELECT query_id, term AS t FROM q)),
+    qcnt AS (SELECT query_id, bucket, count(*) AS c FROM qb GROUP BY query_id, bucket),
+    qn AS (SELECT query_id, sqrt(sum(c * c)) AS l2 FROM qcnt GROUP BY query_id),
+    qvec AS (SELECT query_id, bucket, round(c / qn.l2, 6) AS qw
+             FROM qcnt JOIN qn USING (query_id)),
+    cos AS (SELECT v.query_id, d.doc_id,
+                   round(sum(d.c * v.qw) / max(dl2.l2), 6) AS score
+            FROM dcnt d JOIN qvec v USING (bucket) JOIN dl2 USING (doc_id)
+            GROUP BY v.query_id, d.doc_id),
+    -- per-query seeds: the k*3 over-fetch (recall.rs:397)
+    seeds AS (SELECT query_id, doc_id, score
+              FROM (SELECT query_id, doc_id, score,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY round(score, 6) DESC, doc_id) AS r
+                    FROM cos)
+              WHERE r <= {_OVERFETCH}),
+    -- derived memory-graph relations: consecutive docs per source
+    e0 AS (SELECT doc_id AS src,
+                  lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS dst
+           FROM documents),
+    e1 AS (SELECT src, dst FROM e0 WHERE dst IS NOT NULL),
+    und AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+    -- 2-hop expansion per query, first-visit = min hop, 0.5^hop decay
+    h0 AS (SELECT query_id, doc_id AS id, 0 AS hop FROM seeds),
+    h1 AS (SELECT DISTINCT h0.query_id, und.dst AS id, 1 AS hop
+           FROM h0 JOIN und ON und.src = h0.id),
+    h2 AS (SELECT DISTINCT h1.query_id, und.dst AS id, 2 AS hop
+           FROM h1 JOIN und ON und.src = h1.id),
+    g AS (SELECT query_id, id, min(hop) AS hop
+          FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+                UNION ALL SELECT * FROM h2)
+          GROUP BY query_id, id),
+    glane AS (SELECT query_id, id AS doc_id,
+                     round(pow(0.5, hop), 6) AS score
+              FROM g),
+    -- per-query lane ranks + equal-weight RRF (recall.rs:479-545)
+    lane_vec AS (SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY round(score, 6) DESC, doc_id) AS r
+                 FROM seeds),
+    lane_g AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(score, 6) DESC, doc_id) AS r
+               FROM glane),
+    contribs AS (
+      SELECT query_id, doc_id, 1.0 / ({P.RRF_K} + r) AS c
+      FROM lane_vec WHERE r <= {_OVERFETCH}
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / ({P.RRF_K} + r) AS c
+      FROM lane_g WHERE r <= {_OVERFETCH}),
+    fused AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+              FROM contribs GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, score, rank
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= {P.RECALL_LIMIT}
+    """,
+)
+def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched GRAPH-strategy recall (VERDICT r8 #2; reference
+    recall.rs:479-545 RetrievalMode::Graph, served per request there —
+    batched across a queries frame here): per-query hash-bag-cosine
+    seeds (k*3 over-fetch), 2-hop expansion over a derived relation
+    graph (consecutive docs per source) with 0.5^hop decay and
+    first-visit dedup, equal-weight RRF of the vector and graph lanes,
+    per-query top-k.
+
+    Runs the SAME operator code engine.recall_batch(strategy='graph')
+    composes (operators/graph.expand_grouped +
+    operators/rrf.rrf_fuse_grouped), so the oracle gates the batched
+    walk's semantics: layered hop joins with per-(query, node) min-hop
+    dedup — one plan for the whole batch, never corpus × queries."""
+    from pyspark.sql import Window
+
+    from mnemo_spark.functions.embedder import batch_hash_bag_cosine
+    from mnemo_spark.operators.graph import expand_grouped
+    from mnemo_spark.operators.rrf import rrf_fuse_grouped
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BATCH_QUERIES, "query_id string, terms array<string>"
+    )
+    cos = batch_hash_bag_cosine(docs, queries_df, dim=P.EMBEDDING_DIM)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("doc_id")
+    )
+    seeds = (
+        cos.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _OVERFETCH)
+        .select("query_id", "doc_id", F.col("cos").alias("score"))
+    )
+    ws = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", F.lead("doc_id").over(ws).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    lane = expand_grouped(
+        edges,
+        seeds,
+        hops=2,
+        decay=0.5,
+        group_col="query_id",
+        seed_col="doc_id",
+        bidirectional=True,
+    ).select("query_id", "doc_id", "score")
+    fused = rrf_fuse_grouped(
+        {"vector": seeds, "graph": lane},
+        {"vector": 1.0, "graph": 1.0},
+        P.RRF_K,
+        group_col="query_id",
+        id_col="doc_id",
+        lane_limit=_OVERFETCH,
+        limit=P.RECALL_LIMIT,
+    )
+    return fused.select(
+        "query_id", "doc_id", F.col("rrf_score").alias("score"), "rank"
+    )
+
+
+@query(
     "rrf_explain_docs",
     f"""
     WITH {{bm25_ctes}},

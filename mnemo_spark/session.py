@@ -22,6 +22,13 @@ def get_spark(app_name: str = "mnemo_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): byte-based
+        # coalescing (parallelismFirst=false + a small advisory size)
+        # was measured r9 to halve the co-purchase pair aggregation BUT
+        # collapse the exchange feeding the applyInPandas chain fold to
+        # 1-2 partitions — Python/Arrow stages look tiny in bytes while
+        # being the most CPU-expensive stages in the suite
+        # (assign_chain_events 1.4s -> 6.3s). Net bench -15%; reverted.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

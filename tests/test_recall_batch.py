@@ -145,8 +145,78 @@ def test_batch_lane_limit_overfetch(engine):
         assert len(ranks) <= 2
 
 
-def test_batch_graph_refuses(engine):
-    with pytest.raises(ValueError, match="graph"):
+def _edges(spark):
+    # memory-graph relations: m1-m2 linked (both paris), m3-m6 linked
+    # (both code), m4 reachable only from m3, m5 dangling private
+    return spark.createDataFrame(
+        [("m1", "m2"), ("m3", "m6"), ("m6", "m4"), ("m5", "m2")],
+        "src_id string, dst_id string",
+    )
+
+
+def test_batch_graph_requires_edges(engine):
+    with pytest.raises(ValueError, match="edges"):
         engine.recall_batch(
             _qdf(engine.spark, ["x"]), "alice", strategy="graph"
+        ).collect()
+
+
+def test_single_query_batch_graph_equals_recall(engine):
+    """VERDICT r8 #2: batch(1 graph query) ≡ recall(strategy='graph')
+    — the last strategy asymmetry between the verbs, closed."""
+    e = _edges(engine.spark)
+    for q in ("paris tower", "spark join window"):
+        single = _rows(
+            engine.recall(q, "alice", strategy="graph", edges=e, now=NOW),
+            drop=(),
         )
+        batch = _rows(
+            engine.recall_batch(
+                _qdf(engine.spark, [q]), "alice", strategy="graph",
+                edges=e, now=NOW,
+            )
+        )
+        assert batch == single, q
+
+
+def test_multi_query_batch_graph_equals_per_query(engine):
+    """Graph expansion batches without cross-query interference, and
+    stays permission-safe: an edge into an invisible memory never
+    surfaces it (expand semi-joins the filtered corpus per hop)."""
+    e = _edges(engine.spark)
+    queries = ["paris tower", "rank rows"]
+    out = engine.recall_batch(
+        _qdf(engine.spark, queries), "alice", strategy="graph",
+        edges=e, now=NOW,
+    )
+    for i, q in enumerate(queries):
+        got = _rows(out.filter(F.col("query_id") == f"q{i}"))
+        want = _rows(
+            engine.recall(q, "alice", strategy="graph", edges=e, now=NOW),
+            drop=(),
+        )
+        assert got == want, q
+    # permission safety: bob's batch never surfaces alice's private
+    # m1/m2/m3/m6 even though edges point at them
+    bout = engine.recall_batch(
+        _qdf(engine.spark, ["paris", "spark"]), "bob", strategy="graph",
+        edges=e, now=NOW,
+    ).collect()
+    assert bout and all(r["agent_id"] == "bob" for r in bout)
+
+
+def test_batch_full_lane_optin_matches_recall(engine):
+    """lane_limit=None (full-lane fusion, the pre-r9 default) stays
+    available and the batch≡single equivalence holds there too."""
+    single = _rows(
+        engine.recall("paris tower", "alice", strategy="hybrid",
+                      lane_limit=None, now=NOW),
+        drop=(),
+    )
+    batch = _rows(
+        engine.recall_batch(
+            _qdf(engine.spark, ["paris tower"]), "alice",
+            strategy="hybrid", lane_limit=None, now=NOW,
+        )
+    )
+    assert batch == single
