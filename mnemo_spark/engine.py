@@ -132,7 +132,7 @@ class MnemoSparkEngine:
         spark: SparkSession,
         memories: DataFrame | None = None,
         acls: DataFrame | None = None,
-        embedding_dim: int = 64,
+        embedding_dim: int = 256,
         events: DataFrame | None = None,
         embedder=None,
     ):
@@ -2816,7 +2816,7 @@ class MnemoSparkEngine:
         spark: SparkSession,
         store_path: str,
         version: int | None = None,
-        embedding_dim: int = 64,
+        embedding_dim: int = 256,
         embedder=None,
         mem_where: tuple[str, object, object] | None = None,
         events_where: tuple[str, object, object] | None = None,
@@ -2875,7 +2875,7 @@ class VersionedEngine(MnemoSparkEngine):
     """
 
     def __init__(self, spark, memories=None, acls=None, checkpoints=None,
-                 embedding_dim: int = 64, events=None, embedder=None):
+                 embedding_dim: int = 256, events=None, embedder=None):
         if memories is not None and "branch" not in memories.columns:
             memories = memories.withColumn("branch", F.lit("main"))
         super().__init__(spark, memories, acls, embedding_dim, events, embedder)

@@ -64,7 +64,7 @@ class NoopEmbedder(BatchEmbedder):
     name = "noop"
     semantic = False
 
-    def __init__(self, dim: int = 64):
+    def __init__(self, dim: int = 256):
         self.dim = dim
 
     def embed(self, texts: list[str]) -> np.ndarray:
@@ -88,7 +88,7 @@ class HashBagEmbedder(BatchEmbedder):
     name = "hash_bag"
     semantic = True
 
-    def __init__(self, dim: int = 64):
+    def __init__(self, dim: int = 256):
         self.dim = dim
 
     def embed(self, texts: list[str]) -> np.ndarray:

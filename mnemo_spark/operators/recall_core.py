@@ -69,7 +69,7 @@ def query_hash_bag_weights(
     jobs per recall). Same bucket hash and rounding as
     functions.embedder / the SQL twin."""
     terms = P.BM25_QUERY_TERMS if terms is None else terms
-    dim = P.EMBEDDING_DIM if dim is None else dim
+    dim = P.HASHBAG_DIM if dim is None else dim
     counts = Counter(
         int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % dim for t in terms
     )
@@ -92,11 +92,11 @@ def perdoc_stats(docs: DataFrame) -> DataFrame:
     frame at query time)."""
     terms = P.BM25_QUERY_TERMS
     qw = query_hash_bag_weights()
-    dense = ", ".join(repr(qw.get(b, 0.0)) for b in range(P.EMBEDDING_DIM))
+    dense = ", ".join(repr(qw.get(b, 0.0)) for b in range(P.HASHBAG_DIM))
 
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("_t"))
     bcnt = (
-        tok.withColumn("_b", token_bucket(F.col("_t"), P.EMBEDDING_DIM))
+        tok.withColumn("_b", token_bucket(F.col("_t"), P.HASHBAG_DIM))
         .groupBy("doc_id", "_b")
         .agg(
             F.count("*").alias("_c"),
@@ -133,7 +133,7 @@ def perdoc_stats_multi(
 
     → (doc_id, n_chars, source, _dl, _l2sq, _dot_<qid>..., _tf0...)
     with token-derived columns null for token-less docs."""
-    dim = P.EMBEDDING_DIM if dim is None else dim
+    dim = P.HASHBAG_DIM if dim is None else dim
     denses = {
         qid: ", ".join(repr(w.get(b, 0.0)) for b in range(dim))
         for qid, w in qws.items()

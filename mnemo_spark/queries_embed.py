@@ -40,7 +40,7 @@ _COS_RAW = (
     WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
                  FROM documents),
     b AS (SELECT doc_id,
-                 CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+                 CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.HASHBAG_DIM} AS INT) AS bucket
           FROM tok),
     cnt AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
     n AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM cnt GROUP BY doc_id)
@@ -53,7 +53,7 @@ def hash_bag_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding/mod.rs:68-114): md5-prefix token buckets, L2-normalized,
     sparse long form — the engine's reproducible fallback embedder."""
     return hash_bag_embedding(
-        _t(spark, sf_dir, "documents"), P.EMBEDDING_DIM, "doc_id", "text"
+        _t(spark, sf_dir, "documents"), P.HASHBAG_DIM, "doc_id", "text"
     )
 
 
@@ -63,7 +63,7 @@ def hash_bag_embedding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
                  FROM documents),
     b AS (SELECT doc_id,
-                 CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+                 CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.HASHBAG_DIM} AS INT) AS bucket
           FROM tok),
     cnt AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
     n AS (SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM cnt GROUP BY doc_id)
@@ -80,7 +80,7 @@ def embed_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mnemo_spark.functions.embed_batch import HashBagEmbedder, embed_batch
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dense = embed_batch(docs, HashBagEmbedder(P.EMBEDDING_DIM), "text", "_vec")
+    dense = embed_batch(docs, HashBagEmbedder(P.HASHBAG_DIM), "text", "_vec")
     return (
         dense.select("doc_id", F.posexplode("_vec").alias("bucket", "weight"))
         .filter(F.col("weight") != 0.0)

@@ -44,11 +44,11 @@ _TRUSTED_SQL = ", ".join(f"'{s}'" for s in P.TRUSTED_SOURCES)
       dtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
                FROM documents),
       db AS (SELECT doc_id,
-                    CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+                    CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.HASHBAG_DIM} AS INT) AS bucket
              FROM dtok),
       dcnt AS (SELECT doc_id, bucket, count(*) AS c FROM db GROUP BY doc_id, bucket),
       qtok AS (SELECT unnest([{_QTERMS_SQL}]) AS t),
-      qb AS (SELECT CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT) AS bucket
+      qb AS (SELECT CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.HASHBAG_DIM} AS INT) AS bucket
              FROM qtok),
       qcnt AS (SELECT bucket, count(*) AS c FROM qb GROUP BY bucket),
       qn AS (SELECT sqrt(sum(c * c)) AS l2 FROM qcnt),
@@ -128,7 +128,7 @@ from mnemo_spark.registry import _BATCH_QUERIES
 _BATCH_Q_SQL = ", ".join(
     f"('{qid}', '{t}')" for qid, terms in _BATCH_QUERIES for t in terms
 )
-_BUCKET = f"CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.EMBEDDING_DIM} AS INT)"
+_BUCKET = f"CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.HASHBAG_DIM} AS INT)"
 _OVERFETCH = P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT
 
 
@@ -444,7 +444,7 @@ def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = spark.createDataFrame(
         _BATCH_QUERIES, "query_id string, terms array<string>"
     )
-    cos = batch_hash_bag_cosine(docs, queries_df, dim=P.EMBEDDING_DIM)
+    cos = batch_hash_bag_cosine(docs, queries_df, dim=P.HASHBAG_DIM)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 6)), F.asc("doc_id")
     )

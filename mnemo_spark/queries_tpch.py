@@ -807,7 +807,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS p_partkey,
            CAST(round(value, 2) AS DOUBLE) AS part_value
     FROM val
-    WHERE CAST(value AS DOUBLE) > (SELECT CAST(sum(value) AS DOUBLE) * 0.0005 FROM val)
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(sum(value) AS DOUBLE) * 0.05
+                  / (SELECT count(*) FROM supplier)
+           FROM val)
     """,
 )
 def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,13 +823,20 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined (broadcast, 1 row) onto the per-part frame — the
     `val` frame computes once and feeds both sides of the compare
     via a cheap re-aggregation, not a cached collect.
+
+    The value-share fraction scales inversely with supplier count —
+    TPC-H's own Q11 rule (fraction = 0.0001/SF): a fixed share is
+    degenerate under data growth (every part's share shrinks as 1/SF,
+    so a constant threshold empties the result — exactly what the r8
+    sf1x sweep caught). 0.05/|supplier| reproduces the old 0.0005 at
+    the sf0.01 gate (100 suppliers) and stays non-vacuous at sf0.1 /
+    sf1x.
     """
+    supplier = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    nsup = (
-        _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .select("s_suppkey")
-    )
+    nsup = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey")
     l = _t(spark, sf_dir, "lineitem")
     val = (
         l.join(F.broadcast(nsup), l.l_suppkey == F.col("s_suppkey"))
@@ -842,7 +852,12 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
-    total = val.agg((F.sum("value").cast("double") * F.lit(0.0005)).alias("threshold"))
+    n_supp = supplier.agg(F.count("*").alias("_ns"))
+    total = (
+        val.agg(F.sum("value").cast("double").alias("_tot"))
+        .crossJoin(F.broadcast(n_supp))
+        .select((F.col("_tot") * F.lit(0.05) / F.col("_ns")).alias("threshold"))
+    )
     return (
         val.crossJoin(F.broadcast(total))
         .filter(F.col("value").cast("double") > F.col("threshold"))
@@ -866,7 +881,7 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING sum(l_quantity) > 50)
     SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'NATION_1'
+    WHERE n.n_name = 'NATION_13'
       AND s.s_suppkey IN (SELECT l_suppkey FROM qty)
     """,
 )
@@ -897,7 +912,9 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
         .distinct()
     )
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    # NATION_13 has qualifying suppliers at every gated SF (NATION_1
+    # was vacuous at sf0.1+ — r9 de-vacuation, VERDICT r8 #3)
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
     s = _t(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
     )

@@ -133,7 +133,7 @@ def test_doctor_report_checks(eng, spark):
 
     bare = MnemoSparkEngine(
         spark, memories=eng.memories, events=eng.events,
-        embedder=NoopEmbedder(64),
+        embedder=NoopEmbedder(256),
     )
     rep2 = {r["check"]: r for r in bare.doctor(now=T0).collect()}
     assert rep2["embedder"]["status"] == "warn"

@@ -91,9 +91,9 @@ def evaluate(spark, sf_dir: str, n_q: int = 100) -> dict:
 
     # semantic: sparse hash-bag cosine, all queries at once (join on
     # bucket — the batch form of the J6 lane)
-    dvec = hash_bag_embedding(docs, P.EMBEDDING_DIM, "doc_id", "text")
+    dvec = hash_bag_embedding(docs, P.HASHBAG_DIM, "doc_id", "text")
     qdocs = qs.select("query_id", F.array_join("terms", " ").alias("text"))
-    qvec = hash_bag_embedding(qdocs, P.EMBEDDING_DIM, "query_id", "text").select(
+    qvec = hash_bag_embedding(qdocs, P.HASHBAG_DIM, "query_id", "text").select(
         F.col("query_id"), F.col("bucket"), F.col("weight").alias("qw")
     )
     sem = (
