@@ -725,7 +725,18 @@ class MnemoSparkEngine:
                     f"{getattr(self.embedder, 'name', type(self.embedder).__name__)!r} "
                     "cannot embed (reference fail-loud contract)"
                 )
-            sem = self._semantic_lane(corpus, query)
+            # per-strategy lane pruning (margin-safe — see
+            # batch_dot_scores): graph consumes only the k*3 seed
+            # over-fetch; plain semantic only the final top-k UNLESS a
+            # down-weight pass can promote arbitrary ranks; hybrid only
+            # each lane's top-lane_limit (None = full-lane exactness)
+            if strategy == "graph":
+                sem_limit = k * 3
+            elif strategy == "semantic":
+                sem_limit = None if rt_admitted is not None else k
+            else:
+                sem_limit = lane_limit
+            sem = self._semantic_lane(corpus, query, limit=sem_limit)
             if strategy == "graph":
                 hits = self._graph_recall(
                     corpus, sem, edges, k, rrf_k, weights, lane_limit=lane_limit
@@ -978,7 +989,7 @@ class MnemoSparkEngine:
                 qterms_col="_terms",
             ).withColumnRenamed("bm25", "score")
 
-        def semantic_lane():
+        def semantic_lane(limit: int | None = None):
             # U1 fail-loud gate, identical to recall's
             if not getattr(self.embedder, "semantic", False):
                 raise RuntimeError(
@@ -1016,21 +1027,7 @@ class MnemoSparkEngine:
                     ],
                     schema,
                 )
-            joined = corpus.select("id", "embedding").crossJoin(
-                F.broadcast(qvecs)
-            )
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("_qv").cast("array<double>"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            return joined.select("_qid", "id", dot.alias("score")).filter(
-                F.col("score").isNotNull()
-            )
+            return self._dot_lane(corpus, qvecs, limit=limit)
 
         if strategy == "exact":
             hits = (
@@ -1043,10 +1040,15 @@ class MnemoSparkEngine:
         elif strategy == "lexical":
             hits = lexical_lane().join(corpus, "id")
         elif strategy == "semantic":
-            hits = semantic_lane().join(corpus, "id")
+            # margin-safe pruning to the final top-k unless a
+            # down-weight pass can promote arbitrary ranks (the same
+            # per-strategy policy recall applies)
+            hits = semantic_lane(
+                limit=None if rt_admitted is not None else k
+            ).join(corpus, "id")
         elif strategy == "graph":
             hits = self._graph_recall_batch(
-                corpus, semantic_lane(), edges, k, rrf_k, weights,
+                corpus, semantic_lane(limit=k * 3), edges, k, rrf_k, weights,
                 lane_limit=lane_limit,
             )
         elif strategy == "hybrid":
@@ -1075,7 +1077,7 @@ class MnemoSparkEngine:
             )
             fused = rrf_fuse_grouped(
                 {
-                    "semantic": semantic_lane(),
+                    "semantic": semantic_lane(limit=lane_limit),
                     "lexical": lexical_lane(),
                     "recency": recency,
                 },
@@ -1263,7 +1265,17 @@ class MnemoSparkEngine:
         }
         return hits, belief
 
-    def _semantic_lane(self, corpus: DataFrame, query: str) -> DataFrame:
+    def _semantic_lane(
+        self, corpus: DataFrame, query: str, limit: int | None = None
+    ) -> DataFrame:
+        """(id, score=dot) for one query — a 1-query view of the same
+        Arrow matmul kernel the batch verb uses (operators/vector.
+        batch_dot_scores; r9 — the interpreted zip_with/aggregate dot
+        was measured 10-100× slower per row, the known HOF-vs-kernel
+        gap). `limit` margin-prunes per Arrow batch when the caller
+        only consumes a per-query top-N (see batch_dot_scores); the
+        callers pass it ONLY where truncation provably cannot change
+        their output."""
         if self._embedder_is_default():
             qdf = self.spark.createDataFrame([(query,)], ["content"])
             qvec = qdf.select(self._embed(F.col("content")).alias("qv"))
@@ -1276,17 +1288,56 @@ class MnemoSparkEngine:
             qvec = self.spark.range(1).select(
                 F.array(*[F.lit(v) for v in vec]).cast("array<float>").alias("qv")
             )
-        joined = corpus.select("id", "embedding").crossJoin(F.broadcast(qvec))
+        lane = self._dot_lane(
+            corpus,
+            qvec.select(F.lit(0).alias("_qid"), F.col("qv").alias("_qv")),
+            limit=limit,
+        )
+        return lane.select("id", "score")
+
+    def _dot_lane(
+        self, corpus: DataFrame, qvecs: DataFrame, limit: int | None = None
+    ) -> DataFrame:
+        """(\\_qid, id, score) dense dot scores for a (small) query-
+        vector frame against the permission-filtered corpus.
+
+        Kernel path: collect the query vectors (definitionally small —
+        the same data movement their broadcast performed) and run one
+        numpy matmul per corpus Arrow batch. NULL query vectors (a
+        zero-token query) fall back to the expression form so the
+        NULL-propagation contract stays exact."""
+        rows = qvecs.collect()
+        ids = [r["_qid"] for r in rows]
+        vecs = [r["_qv"] for r in rows]
+        qid_type = qvecs.schema["_qid"].dataType
+        if ids and not any(v is None for v in vecs):
+            import numpy as np
+
+            from mnemo_spark.operators.vector import batch_dot_scores
+
+            Q = np.asarray([[float(x) for x in v] for v in vecs], dtype=np.float64)
+            return batch_dot_scores(
+                corpus,
+                ids,
+                Q,
+                corpus_id="id",
+                corpus_vec="embedding",
+                query_id="_qid",
+                qid_type=qid_type,
+                score_col="score",
+                limit=limit,
+            )
+        joined = corpus.select("id", "embedding").crossJoin(F.broadcast(qvecs))
         dot = F.aggregate(
             F.zip_with(
                 F.col("embedding").cast("array<double>"),
-                F.col("qv").cast("array<double>"),
+                F.col("_qv").cast("array<double>"),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return joined.select("id", dot.alias("score")).filter(
+        return joined.select("_qid", "id", dot.alias("score")).filter(
             F.col("score").isNotNull()
         )
 
