@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "bm25_topk_docs",
     "rrf_hybrid_docs",
     "recall_batch_docs",
+    # round-9 surface: the batched graph lane
+    "recall_batch_graph_docs",
     "vector_topk",
     "ann_lsh_topk",
     "knn_label_vote",

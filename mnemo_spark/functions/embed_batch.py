@@ -90,13 +90,28 @@ class HashBagEmbedder(BatchEmbedder):
 
     def __init__(self, dim: int = 256):
         self.dim = dim
+        # token→bucket memo: corpora are Zipfian, so the md5 per token
+        # OCCURRENCE (the r8 form) recomputed the same hash tens of
+        # times per document; memoizing per unique token cuts the
+        # Python-side cost to one md5 per vocabulary entry per task.
+        # Values are pure functions of (token, dim) — memoization
+        # cannot change any embedding.
+        self._bucket_memo: dict[str, int] = {}
+
+    def _bucket(self, tok: str) -> int:
+        b = self._bucket_memo.get(tok)
+        if b is None:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % self.dim
+            self._bucket_memo[tok] = b
+        return b
 
     def embed(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        bucket = self._bucket
         for i, text in enumerate(texts):
-            for tok in _TOKEN_RE.findall((text or "").lower()):
-                b = int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % self.dim
-                out[i, b] += 1.0
+            toks = _TOKEN_RE.findall((text or "").lower())
+            if toks:
+                np.add.at(out[i], [bucket(t) for t in toks], 1.0)
         norms = np.sqrt((out * out).sum(axis=1, keepdims=True))
         norms[norms == 0.0] = 1.0  # zero-token doc -> zero vector
         return np.round(out / norms, 6)
