@@ -158,6 +158,25 @@ def main() -> None:
         lambda: eng.verify_integrity().filter(F.col("n_breaks") > 0).count(),
     )
 
+    # resident-session posture (r9 serving lifecycle): the same read
+    # verbs inside ONE engine.serving() context, where the corpus-side
+    # artifacts (BM25 postings/lengths, table scans, prepared plans)
+    # persist once and amortize across calls — the steady-state cost a
+    # long-lived server pays per request. First call inside the
+    # session is the warm-up that materializes the tracked caches.
+    with eng.serving():
+        eng.recall_batch(qdf, principal, k=10).count()
+        timed(
+            "recall_batch_32_serving",
+            lambda: eng.recall_batch(qdf, principal, k=10).count(),
+        )
+        timed(
+            "recall_hybrid_serving",
+            lambda: eng.recall(
+                "spark join window query", principal, k=10
+            ).count(),
+        )
+
     print(f"# corpus: {n_docs} docs -> memories", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "n_memories": n_docs, "verbs": out}))
 
