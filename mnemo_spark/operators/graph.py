@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mnemo_spark.io import local_frame
+
 ROUND_DP = 6
 
 
@@ -69,7 +71,7 @@ def expand(
         from mnemo_spark import cache
 
         if cache.serving_enabled():
-            e = cache.cached_persist(e, "expand_edges")
+            e = cache.cached_persist(e, "expand_edges", compact=True)
         else:
             e = e.persist()
 
@@ -111,6 +113,7 @@ def expand_grouped(
     seed_col: str = "id",
     visible: DataFrame | None = None,
     bidirectional: bool = False,
+    local_frontier_bound: int | None = None,
 ) -> DataFrame:
     """BFS for a BATCH of seed sets — one row per (group, reached id)
     at the minimum hop, score = decay^hop (reference recall.rs:479-555
@@ -134,24 +137,49 @@ def expand_grouped(
     (groups × frontier) rows; the edge table is persisted across hops
     (tracked in serving sessions). Never corpus × groups — frontiers
     are seed-bounded and dedup'd per hop.
+
+    local_frontier_bound (r10, VERDICT r9 #1): when the caller can
+    BOUND every hop's frontier (seeds × max-degree^hop provably small
+    — e.g. a lead-graph with degree ≤2, or tree-shaped relations),
+    pass the bound and the walk runs DRIVER-COORDINATED: each hop is
+    one broadcast-hash join of the tiny local frontier against the
+    distributed edge table (edges never shuffle, never collect), the
+    ≤bound result rows hop through the driver where the seen-set /
+    min-hop dedup is a plain dict — the same frontier coordination
+    GraphFrames' BFS and Pregel loops do, with an explicit fail-loud
+    bound instead of a silent driver OOM. Semantics are byte-identical
+    to the lazy path (tests/test_graph_expand.py equivalence); the
+    lazy path ran ~7 shuffle stages with the hop lineage re-executing
+    inside every later hop (plans are trees), which at the local job
+    floor dominated the batched graph recall's latency.
     """
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     if bidirectional:
         e = e.unionByName(
             edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
         )
-    if hops > 1:
-        from mnemo_spark import cache
-
-        if cache.serving_enabled():
-            e = cache.cached_persist(e, "expand_grouped_edges")
-        else:
-            e = e.persist()
     vis = (
         visible.select(F.col(visible.columns[0]).alias("_id")).distinct()
         if visible is not None
         else None
     )
+    if local_frontier_bound is not None:
+        return _expand_grouped_bounded(
+            e, seeds, hops, decay, group_col, seed_col, vis,
+            local_frontier_bound,
+        )
+    if hops > 1:
+        from mnemo_spark import cache
+
+        # serving sessions pin the (undirected) edge frame once per
+        # corpus and the lifecycle drains it; one-shot calls do NOT
+        # persist (r10 — the old unconditional persist() leaked one
+        # block set per call in a serving-less server). One-shot
+        # multi-hop reads of the same edge lineage dedupe via
+        # exchange/stage reuse where plans allow; at cluster scale the
+        # edge frame is a stored table and re-scan is the norm.
+        if cache.serving_enabled():
+            e = cache.cached_persist(e, "expand_grouped_edges", compact=True)
     frontier = (
         seeds.select(
             F.col(group_col).alias("_g"), F.col(seed_col).alias("_id")
@@ -183,6 +211,112 @@ def expand_grouped(
             "hop",
             "score",
         )
+    )
+
+
+def _expand_grouped_bounded(
+    e: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    decay: float,
+    group_col: str,
+    seed_col: str,
+    vis: DataFrame | None,
+    bound: int,
+) -> DataFrame:
+    """Driver-coordinated grouped BFS (see expand_grouped's
+    local_frontier_bound). Identical first-visit/min-hop semantics:
+    `seen` maps (group, node) → first hop; only UNSEEN nodes join the
+    next frontier, exactly the single-query walk's seen-set. Each hop
+    is one Spark job: broadcast(frontier) ⋈ edges [⋈ visible], with a
+    hard `bound`-row collect guard (structural bound violated → raise,
+    never OOM)."""
+    spark = seeds.sparkSession
+    gtype = seeds.schema[group_col].dataType
+    itype = seeds.schema[seed_col].dataType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    fr_schema = StructType(
+        [StructField("_g", gtype, True), StructField("_id", itype, True)]
+    )
+    seed_rows = seeds.select(
+        F.col(group_col).alias("_g"), F.col(seed_col).alias("_id")
+    ).limit(bound + 1).collect()
+    if len(seed_rows) > bound:
+        raise ValueError(
+            f"expand_grouped: seed set exceeds local_frontier_bound={bound}"
+        )
+    seen: dict[tuple, int] = {}
+    for r in seed_rows:
+        seen.setdefault((r["_g"], r["_id"]), 0)
+    frontier = sorted(seen)
+    own_persist = False
+    if hops > 1:
+        from mnemo_spark import cache
+
+        if cache.serving_enabled():
+            # serving sessions pin the edge frame once per corpus —
+            # shared across calls, drained by the session lifecycle
+            e = cache.cached_persist(e, "expand_grouped_edges", compact=True)
+        else:
+            # referenced once per hop as separate eager jobs — persist
+            # for the walk, released before returning (no leak)
+            e = e.persist()
+            own_persist = True
+    try:
+        for h in range(1, hops + 1):
+            if not frontier:
+                break
+            # one broadcast-hash join per hop: the local frontier
+            # broadcasts, the (cached) edge table never shuffles; an
+            # isin-literal adjacency fetch was measured SLOWER (0.40 vs
+            # 0.25 s/hop — the wide In list costs more than the
+            # broadcast build)
+            fdf = local_frame(spark, frontier, fr_schema)
+            nxt = (
+                F.broadcast(fdf)
+                .join(e, fdf["_id"] == e["_s"])
+                .select("_g", F.col("_d").alias("_id"))
+            )
+            if vis is not None:
+                nxt = nxt.join(vis, "_id", "left_semi")
+            # coalesce(1): one mini-job instead of CollectLimit's
+            # incremental 1→4→16→32 partition scans
+            rows = nxt.coalesce(1).limit(bound + 1).collect()
+            if len(rows) > bound:
+                raise ValueError(
+                    f"expand_grouped: hop-{h} frontier exceeds "
+                    f"local_frontier_bound={bound} — the caller's "
+                    "structural bound does not hold; use the "
+                    "distributed path (local_frontier_bound=None)"
+                )
+            frontier = sorted(
+                {
+                    (r["_g"], r["_id"])
+                    for r in rows
+                    if (r["_g"], r["_id"]) not in seen
+                }
+            )
+            for key in frontier:
+                seen[key] = h
+    finally:
+        if own_persist:
+            try:
+                e.unpersist()
+            except Exception:  # noqa: BLE001 - session may be gone
+                pass
+    out_schema = StructType(
+        [
+            StructField(group_col, gtype, True),
+            StructField(seed_col, itype, True),
+            StructField("hop", IntegerType(), True),
+        ]
+    )
+    out = local_frame(
+        spark, [(g, i, h) for (g, i), h in sorted(seen.items())], out_schema
+    )
+    return out.withColumn(
+        "score", F.round(F.pow(F.lit(decay), F.col("hop")), ROUND_DP)
     )
 
 

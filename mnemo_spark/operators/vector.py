@@ -248,10 +248,18 @@ def batch_dot_scores(
             StructField(score_col, DoubleType(), True),
         ]
     )
-    qid_arr = np.asarray(qids, dtype=object)
     nq = len(qids)
+    # Ship the query matrix as a broadcast variable, not a closure
+    # capture (ADVICE r9): a captured ndarray is re-pickled into EVERY
+    # task's serialized closure, while a broadcast moves it to each
+    # executor once and tasks share the handle.
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (np.asarray(qids, dtype=object), np.asarray(Q, dtype=np.float64))
+    )
 
     def score(batches):
+        qid_arr, Qm = bc.value
+        qdim = Qm.shape[1] if Qm.ndim == 2 else len(Qm)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -259,10 +267,31 @@ def batch_dot_scores(
             if nulls.all():
                 continue
             pdf = pdf[~nulls]
-            V = np.vstack(pdf[corpus_vec].to_numpy()).astype(
-                np.float64, copy=False
-            )
-            sims = V @ Q.T  # (n, nq)
+            try:
+                V = np.vstack(pdf[corpus_vec].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                if V.shape[1] != qdim:
+                    raise ValueError(
+                        f"corpus vectors are {V.shape[1]}-d"
+                    )
+            except ValueError as e:
+                # ragged or wrong-width corpus vectors: fail loud WITH
+                # the dims (ADVICE r9) — the raw executor traceback
+                # ('all input arrays must have the same shape') names
+                # neither side; the constructor's U1 guard catches the
+                # engine-level case, this catches frames built outside
+                # the engine
+                widths = sorted(
+                    {len(v) for v in pdf[corpus_vec].to_numpy()[:1024]}
+                )
+                raise ValueError(
+                    f"batch_dot_scores: corpus column {corpus_vec!r} "
+                    f"width(s) {widths} incompatible with {qdim}-d query "
+                    f"vectors — corpus and queries must share one "
+                    f"embedder/dim ({e})"
+                ) from e
+            sims = V @ Qm.T  # (n, nq)
             ids = pdf[corpus_id].to_numpy()
             if limit is not None:
                 yield _local_topk_frame(

@@ -7,6 +7,7 @@ as literals on both sides) — sign-random-projection LSH for cosine.
 
 from __future__ import annotations
 
+import os
 import random
 
 EMBEDDING_DIM = 64  # the embeddings TABLE's vector dimensionality
@@ -44,6 +45,16 @@ def _hyperplanes(num: int = LSH_NUM_PLANES, dim: int = EMBEDDING_DIM, seed: int 
 
 
 LSH_HYPERPLANES: list[list[float]] = _hyperplanes()
+
+# serving-cache byte budget (VERDICT r9 #5): total MATERIALIZED cached
+# bytes a serving session may pin before cached_persist starts evicting
+# its oldest tracked entries (degrade-to-recompute, never OOM). 0 = un-
+# bounded. Default 32 GiB — a quarter of the local 128 GiB heap; on a
+# real cluster set it per-executor-fleet via the env var. Reference
+# analog: the LRU record cache's max_entries bound (cache.rs:1-196).
+SERVING_CACHE_BUDGET_BYTES = int(
+    os.environ.get("MNEMO_CACHE_BUDGET_BYTES", str(32 << 30))
+)
 
 # temporal / lifecycle
 SESSION_GAP_MINUTES = 30.0

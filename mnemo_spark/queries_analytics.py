@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mnemo_spark.functions.text import tokens
+from mnemo_spark.io import broadcast_if_small
 from mnemo_spark.registry import _t, query
 
 # ---------------------------------------------------------------------------
@@ -234,8 +235,11 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings + docfreq) — in a serving session both persist once per
     corpus, so a warm keyword-extraction call pays only the broadcast
     df join and the per-doc rank window (0.55 s → ~0.2 s at sf0.1).
-    df is vocabulary-sized, hence the explicit broadcast: the tf side
-    never shuffles on term."""
+    df is vocabulary-sized, so the broadcast is GATED on Catalyst's
+    size estimate (broadcast_if_small, ADVICE r9): small vocabularies
+    hint and the tf side never shuffles on term; an over-cap estimate
+    falls through to AQE's runtime decision instead of force-feeding
+    the driver an unbounded build side."""
     from mnemo_spark.cache import cached_persist
 
     d = _t(spark, sf_dir, "documents")
@@ -250,7 +254,7 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(broadcast_if_small(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1676,9 +1680,10 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a warm affinity query then pays ONLY the irreducible ΣC(basket,2)
     pair shuffle (measured 1.08 s → 0.43 s at sf0.1; the residual vs
     DuckDB's 0.10 s is that one exchange, which the single-node twin
-    never pays). Explicit broadcast on both marginal joins keeps the
-    pair side shuffle-free regardless of AQE estimates; at 100-TB part
-    cardinality they degrade to shuffle joins by lifting the hint. The
+    never pays). The marginal joins broadcast via broadcast_if_small
+    (ADVICE r9): hinted while Catalyst's estimate fits, degrading to
+    AQE-decided shuffle joins at 100-TB part cardinality with no code
+    edit. The
     suggested min-support pre-filter stays out: measured a no-op
     (every part has support ≥ 2 at sf0.1 AND at the 10x sf1x corpus),
     and byte-based AQE coalescing of the pair exchange was measured a
@@ -1721,8 +1726,8 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b"))
     return (
-        pairs.join(F.broadcast(ma), "part_a")
-        .join(F.broadcast(mb), "part_b")
+        pairs.join(broadcast_if_small(ma), "part_a")
+        .join(broadcast_if_small(mb), "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",

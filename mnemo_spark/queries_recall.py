@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mnemo_spark import params as P
+from mnemo_spark.io import localize_small
 from mnemo_spark.operators.bm25 import bm25_score
 from mnemo_spark.operators.recall_core import recall_scored
 from mnemo_spark.operators.rrf import rrf_fuse_wide
@@ -131,6 +132,43 @@ _BATCH_Q_SQL = ", ".join(
 _BUCKET = f"CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % {P.HASHBAG_DIM} AS INT)"
 _OVERFETCH = P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT
 
+# Handle memo for the batch per-doc stats frame (r10): the
+# perdoc_stats_multi PLAN carries nq dense 256-literal arrays, so just
+# ANALYZING it (cached_persist's semanticHash key) costs ~0.3 s of
+# driver CPU per call. The persisted blocks are tracked/drained by the
+# serving cache as before; this only memoizes the DataFrame handle per
+# (session, sf_dir) so repeated calls skip plan re-analysis. A stale
+# handle after cache.clear() still computes correctly (just unpinned).
+_PERDOC_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _batch_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared wide per-doc stats artifact for the fixed query
+    batch (recall_batch_docs + recall_batch_graph_docs): per-doc token
+    stats, per-term tf, one dot column per query — one corpus pass,
+    cached compactly under the serving cache."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PERDOC_HANDLES.get(key)
+    if df is None:
+        from mnemo_spark.cache import cached_persist
+        from mnemo_spark.operators.recall_core import (
+            perdoc_stats_multi,
+            query_hash_bag_weights,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        terms = sorted({t for _, ts in _BATCH_QUERIES for t in ts})
+        qws = {qid: query_hash_bag_weights(ts) for qid, ts in _BATCH_QUERIES}
+        df = cached_persist(
+            perdoc_stats_multi(docs, terms, qws),
+            "recall_batch_perdoc",
+            tuple(terms),
+            tuple(sorted(qws)),
+            compact=True,
+        )
+        _PERDOC_HANDLES[key] = df
+    return df
+
 
 @query(
     "recall_batch_docs",
@@ -224,22 +262,10 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized on one task."""
     import math
 
-    from mnemo_spark.cache import cached_persist
-    from mnemo_spark.operators.recall_core import (
-        perdoc_stats_multi,
-        query_hash_bag_weights,
-    )
     from mnemo_spark.operators.rrf import rrf_fuse_grouped
 
-    docs = _t(spark, sf_dir, "documents")
     terms = sorted({t for _, ts in _BATCH_QUERIES for t in ts})
-    qws = {qid: query_hash_bag_weights(ts) for qid, ts in _BATCH_QUERIES}
-    perdoc = cached_persist(
-        perdoc_stats_multi(docs, terms, qws),
-        "recall_batch_perdoc",
-        tuple(terms),
-        tuple(sorted(qws)),
-    )
+    perdoc = _batch_perdoc(spark, sf_dir)
     stats = perdoc.agg(
         F.count("*").alias("n"),
         F.avg(F.coalesce(F.col("_dl"), F.lit(0))).alias("avgdl"),
@@ -419,6 +445,10 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM fused)
     WHERE rank <= {P.RECALL_LIMIT}
     """,
+    # build runs eager jobs (seed localize + driver-coordinated hops):
+    # memoizing it would memoize RESULTS and a repeated-call bench
+    # would time a dict lookup — every call rebuilds honestly
+    plan_cache=False,
 )
 def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched GRAPH-strategy recall (VERDICT r8 #2; reference
@@ -432,19 +462,51 @@ def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs the SAME operator code engine.recall_batch(strategy='graph')
     composes (operators/graph.expand_grouped +
     operators/rrf.rrf_fuse_grouped), so the oracle gates the batched
-    walk's semantics: layered hop joins with per-(query, node) min-hop
-    dedup — one plan for the whole batch, never corpus × queries."""
+    walk's semantics — one plan for the whole batch, never corpus ×
+    queries.
+
+    r10 perf rework (VERDICT r9 #1, 1.8 s → ≲0.6 s per full call):
+    the seed lane is a PROJECTION over the same cached wide per-doc
+    frame recall_batch_docs builds (operators/recall_core.
+    perdoc_stats_multi — per-query dot columns next to the shared
+    norms, one corpus pass per corpus), replacing a join-aggregate
+    cascade that paid 4 shuffle stages per call; the structurally-tiny
+    seed set (nq × k×3) is localized once and the 2-hop walk runs
+    driver-coordinated (expand_grouped's local_frontier_bound — the
+    lead-graph's degree ≤2 bounds every frontier), so the edge table
+    never shuffles and the fusion windows run over local relations."""
     from pyspark.sql import Window
 
-    from mnemo_spark.functions.embedder import batch_hash_bag_cosine
     from mnemo_spark.operators.graph import expand_grouped
     from mnemo_spark.operators.rrf import rrf_fuse_grouped
 
     docs = _t(spark, sf_dir, "documents")
-    queries_df = spark.createDataFrame(
-        _BATCH_QUERIES, "query_id string, terms array<string>"
+    # the SAME artifact recall_batch_docs uses — one per-doc stats
+    # frame serves the hybrid and graph batch surfaces
+    perdoc = _batch_perdoc(spark, sf_dir)
+    per_q = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.when(
+                        F.col(f"_dot_{qid}") > 0,
+                        F.round(F.col(f"_dot_{qid}") / F.sqrt("_l2sq"), 6),
+                    ).alias("cos"),
+                )
+                for qid, _ in _BATCH_QUERIES
+            ]
+        )
     )
-    cos = batch_hash_bag_cosine(docs, queries_df, dim=P.HASHBAG_DIM)
+    cos = (
+        perdoc.select("doc_id", per_q.alias("_e"))
+        .select(
+            "doc_id",
+            F.col("_e.query_id").alias("query_id"),
+            F.col("_e.cos").alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 6)), F.asc("doc_id")
     )
@@ -453,6 +515,7 @@ def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= _OVERFETCH)
         .select("query_id", "doc_id", F.col("cos").alias("score"))
     )
+    seeds = localize_small(seeds, why="batch graph seeds, nq x k*3")
     ws = Window.partitionBy("source").orderBy("doc_id")
     edges = (
         docs.select("doc_id", F.lead("doc_id").over(ws).alias("dst"))
@@ -467,6 +530,11 @@ def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="query_id",
         seed_col="doc_id",
         bidirectional=True,
+        # lead-graph degree ≤2 (prev/next within a source) bounds every
+        # frontier at nq × k×3 × 2^hop — well under this guard, so the
+        # walk runs driver-coordinated: one broadcast join per hop, the
+        # edge table never shuffles (r10, VERDICT r9 #1)
+        local_frontier_bound=100_000,
     ).select("query_id", "doc_id", "score")
     fused = rrf_fuse_grouped(
         {"vector": seeds, "graph": lane},

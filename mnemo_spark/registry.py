@@ -54,7 +54,13 @@ def clear_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
-def query(name: str, sql: str | None = None):
+def query(name: str, sql: str | None = None, plan_cache: bool = True):
+    """plan_cache=False opts a query out of prepared-plan memoization:
+    required for queries whose BUILD step runs eager Spark jobs (e.g.
+    a driver-coordinated graph expansion) — memoizing those would
+    memoize per-call RESULTS, not a plan, and a repeated-call benchmark
+    would silently measure a dict lookup (r10)."""
+
     def deco(fn: QueryFn) -> QueryFn:
         import functools
         import os
@@ -63,7 +69,7 @@ def query(name: str, sql: str | None = None):
         def serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             from mnemo_spark import cache
 
-            if not cache.serving_enabled():
+            if not cache.serving_enabled() or not plan_cache:
                 return fn(spark, sf_dir)
             key = (spark.sparkContext.applicationId, sf_dir, name)
             df = _PLAN_CACHE.get(key)
