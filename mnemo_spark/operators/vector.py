@@ -28,7 +28,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from mnemo_spark.functions.similarity import cosine, cosine_arrow, stack_batch
 
@@ -241,6 +247,12 @@ def batch_dot_scores(
     when a later re-weighting can promote arbitrary ranks, e.g.
     reasoning-trust down-weight on a single-lane strategy).
     """
+    if qid_type is None:
+        # infer from the ids themselves: engine callers pass explicit
+        # types; bare callers almost always use string or int qids
+        qid_type = (
+            LongType() if qids and isinstance(qids[0], int) else StringType()
+        )
     out_schema = StructType(
         [
             StructField(query_id, qid_type, True),
