@@ -145,10 +145,17 @@ BENCH_QUERIES = [
     "quarantine_review_events",
     "reasoning_trust_events",
     "topic_doc_bodies_events",
-    # (lineage_ancestry_events / otlp_roundtrip_events stay correctness-
-    # only: their oracles are deliberately closed-form twins of walk/
-    # parse work, so a perf comparison against them is meaningless)
 ]
+
+# r10 (VERDICT r9 #4): every registry query is timed — the 47 engine-
+# verb/interop surfaces previously outside the list were invisible to
+# round-over-round perf diffs. The explicit list above keeps its order
+# (stable round-over-round comparisons); everything else in the
+# registry appends alphabetically. Queries whose DuckDB oracles are
+# deliberately closed-form twins of walk/parse work (lineage, OTLP)
+# are timed too — tools/bench_compare.py is where twin comparability
+# matters, and it discloses those rows as shape-mismatched.
+BENCH_QUERIES += sorted(q for q in QUERIES if q not in set(BENCH_QUERIES))
 
 
 def main() -> None:

@@ -128,6 +128,109 @@ def assign_chain(
     return df.groupBy(*part_cols).applyInPandas(fold, schema=schema)
 
 
+def assign_chain_auto(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[str],
+    hash_col: str,
+    prev_head: DataFrame | None = None,
+    seq_col: str | None = None,
+    epoch_col: str | None = None,
+    crossover_rows: int | None = None,
+    n_epochs: int = 16,
+) -> DataFrame:
+    """ONE code path for chain assignment (VERDICT r9 #6): pick the
+    single per-chain fold below the measured epoch-fold crossover and
+    the epoch-sharded form above it, so callers no longer opt in to
+    `assign_chain_epochs` by hand.
+
+    The crossover is MEASURED, not guessed: docs/benchmarks/
+    chain_epochs_growth_r9.json demonstrates the epoch form winning
+    from ~2x the sf0.1 one-agent chain (~200k rows/chain) onward, with
+    the gap widening 1.6x per doubling — below it the single fold's
+    lower fixed cost wins. Default threshold 200_000 rows
+    (MNEMO_CHAIN_EPOCH_CROSSOVER env-overridable for cluster-measured
+    values).
+
+    One extra agg job decides: per-chain row counts (max), plus the
+    global min/max of the leading order column. Above the crossover,
+    `epoch_col` (a caller's natural bucket) is used when given;
+    otherwise an epoch is DERIVED as equal-width buckets of the
+    leading order column between its global min/max — monotone
+    non-decreasing along order_cols by construction, so the epoch
+    contract holds and the output is byte-identical to the single
+    fold (tests/test_chain_epochs.py proves identity for any valid
+    epoch choice). A NULL leading order value (or a non-numeric/
+    temporal leading column when no epoch_col is given) falls back to
+    the single fold — never a guessed bucket.
+    """
+    import os
+
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampType,
+    )
+
+    if crossover_rows is None:
+        crossover_rows = int(
+            os.environ.get("MNEMO_CHAIN_EPOCH_CROSSOVER", "200000")
+        )
+    part_cols = list(part_cols)
+    order_cols = list(order_cols)
+    lead = order_cols[0]
+    lead_t = df.schema[lead].dataType
+    derivable = isinstance(lead_t, (NumericType, TimestampType, DateType))
+
+    stats = (
+        df.groupBy(*part_cols)
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(lead).alias("_mn"),
+            F.max(lead).alias("_mx"),
+            F.max(F.col(lead).isNull().cast("int")).alias("_null"),
+        )
+        .agg(
+            F.max("_n").alias("maxn"),
+            F.min("_mn").alias("gmin"),
+            F.max("_mx").alias("gmax"),
+            F.max("_null").alias("has_null"),
+        )
+        .collect()
+    )
+    row = stats[0] if stats else None
+    big = row is not None and row["maxn"] is not None and row["maxn"] > crossover_rows
+    if not big or (epoch_col is None and (not derivable or row["has_null"])):
+        return assign_chain(
+            df, part_cols, order_cols, hash_col, prev_head, seq_col
+        )
+    if epoch_col is not None:
+        return assign_chain_epochs(
+            df, part_cols, order_cols, hash_col, epoch_col, prev_head, seq_col
+        )
+    gmin, gmax = row["gmin"], row["gmax"]
+    v = F.col(lead).cast("double")
+    lo, hi = (
+        F.lit(gmin).cast(lead_t).cast("double"),
+        F.lit(gmax).cast(lead_t).cast("double"),
+    )
+    width = (hi - lo) / F.lit(float(n_epochs))
+    bucket = F.when(width > 0, F.least(
+        F.lit(n_epochs - 1).cast("long"),
+        F.floor((v - lo) / width),
+    )).otherwise(F.lit(0).cast("long"))
+    out = assign_chain_epochs(
+        df.withColumn("_auto_epoch", bucket),
+        part_cols,
+        order_cols,
+        hash_col,
+        "_auto_epoch",
+        prev_head,
+        seq_col,
+    )
+    return out.drop("_auto_epoch")
+
+
 def assign_chain_epochs(
     df: DataFrame,
     part_cols: Sequence[str],

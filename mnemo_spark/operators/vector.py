@@ -228,6 +228,8 @@ def batch_dot_scores(
     qid_type=None,
     score_col: str = "score",
     limit: int | None = None,
+    route: "tuple | None" = None,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Raw DOT-product scores of a collected query matrix against the
     corpus — the engine's batched semantic lane kernel (r9; the
@@ -246,6 +248,22 @@ def batch_dot_scores(
     full cross product; limit=None emits every scored pair (needed
     when a later re-weighting can promote arbitrary ranks, e.g.
     reasoning-trust down-weight on a single-lane strategy).
+
+    route=(C, cell_queries) switches the kernel to IVF cell probing
+    (VERDICT r9 #3 — the engine's sub-O(corpus) dense lane above
+    params.ANN_ROUTE_MIN_CORPUS): C is the (n_cells, dim) centroid
+    matrix, cell_queries maps cell index → array of query indices that
+    probe it. Each corpus Arrow batch assigns its rows to their
+    nearest-cosine cell (one matmul) and scores a row ONLY against the
+    queries probing its cell — per-query work shrinks from O(corpus)
+    to O(corpus × nprobe / n_cells), and on the partitioned-by-cell
+    layout (ivf_write_partitioned) the unprobed cells are never read
+    at all. Unprobed rows are NOT lane candidates (the ANN contract —
+    same as ivf_topk; recall vs exact is gated by tools/eval_ann.py
+    --routed). With cell_col set, rows carry a PRECOMPUTED cell id
+    (the index-time artifact — the engine persists it once per store)
+    and the kernel skips the assignment matmul entirely; C may then be
+    None.
     """
     if qid_type is None:
         # infer from the ids themselves: engine callers pass explicit
@@ -265,12 +283,34 @@ def batch_dot_scores(
     # capture (ADVICE r9): a captured ndarray is re-pickled into EVERY
     # task's serialized closure, while a broadcast moves it to each
     # executor once and tasks share the handle.
+    if route is not None:
+        C, cell_queries = route
+        if C is None and cell_col is None:
+            raise ValueError(
+                "batch_dot_scores: routed mode needs centroids (in-kernel "
+                "assignment) or cell_col (precomputed cells)"
+            )
+        C = None if C is None else np.asarray(C, dtype=np.float64)
+        cell_queries = {
+            int(c): np.asarray(qs, dtype=np.int64)
+            for c, qs in cell_queries.items()
+        }
+    else:
+        C, cell_queries = None, None
     bc = corpus.sparkSession.sparkContext.broadcast(
-        (np.asarray(qids, dtype=object), np.asarray(Q, dtype=np.float64))
+        (
+            np.asarray(qids, dtype=object),
+            np.asarray(Q, dtype=np.float64),
+            C,
+            cell_queries,
+        )
     )
 
     def score(batches):
-        qid_arr, Qm = bc.value
+        qid_arr, Qm, Cm, cq = bc.value
+        cn = (
+            np.sqrt((Cm * Cm).sum(axis=1)) if Cm is not None else None
+        )
         qdim = Qm.shape[1] if Qm.ndim == 2 else len(Qm)
         for pdf in batches:
             if len(pdf) == 0:
@@ -303,8 +343,52 @@ def batch_dot_scores(
                     f"vectors — corpus and queries must share one "
                     f"embedder/dim ({e})"
                 ) from e
-            sims = V @ Qm.T  # (n, nq)
             ids = pdf[corpus_id].to_numpy()
+            if cq is not None:
+                # IVF-routed: each row scores against ONLY the queries
+                # probing its cell (mirrors ivf_topk.probe_score; dot
+                # scores keep the lane's exact score semantics). Cell
+                # ids come precomputed from cell_col (the index-time
+                # artifact) or from an in-kernel assignment matmul.
+                if cell_col is not None:
+                    cell = pdf[cell_col].to_numpy()
+                else:
+                    vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                    denom = np.outer(vn, cn)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims_vc = np.where(
+                            denom > 0.0,
+                            (V @ Cm.T) / np.where(denom == 0.0, 1.0, denom),
+                            -np.inf,
+                        )
+                    cell = sims_vc.argmax(axis=1)
+                for ci, qidx in cq.items():
+                    mask = cell == ci
+                    if not mask.any():
+                        continue
+                    sims_m = V[mask] @ Qm[qidx].T
+                    ids_m = ids[mask]
+                    if limit is not None:
+                        yield _local_topk_frame(
+                            qid_arr[qidx],
+                            ids_m,
+                            sims_m,
+                            np.ones_like(sims_m, dtype=bool),
+                            limit,
+                            query_id,
+                            corpus_id,
+                        ).rename(columns={"cos_sim": score_col})
+                    else:
+                        nm = int(mask.sum())
+                        yield pd.DataFrame(
+                            {
+                                query_id: np.repeat(qid_arr[qidx], nm),
+                                corpus_id: np.tile(ids_m, len(qidx)),
+                                score_col: sims_m.T.reshape(-1),
+                            }
+                        )
+                continue
+            sims = V @ Qm.T  # (n, nq)
             if limit is not None:
                 yield _local_topk_frame(
                     qid_arr,
@@ -325,7 +409,102 @@ def batch_dot_scores(
                     }
                 )
 
-    return corpus.select(corpus_id, corpus_vec).mapInPandas(score, out_schema)
+    in_cols = [corpus_id, corpus_vec] + ([cell_col] if cell_col else [])
+    return corpus.select(*in_cols).mapInPandas(score, out_schema)
+
+
+def refine_centroids(
+    corpus: DataFrame,
+    C: "np.ndarray",
+    corpus_vec: str = "embedding",
+    iters: int = 2,
+) -> "np.ndarray":
+    """Lloyd-refine a deterministic seed codebook against the corpus —
+    sharpens IVF cells far beyond raw seed rows (measured: routed
+    recall@10 0.93 → ≥0.95 at the 10x corpus) while staying
+    deterministic: fixed seeds + a fixed iteration count, no RNG.
+
+    Per iteration ONE Arrow pass emits per-batch per-cell (sum, n) —
+    at most n_cells tiny rows per batch — the driver combines and
+    averages (the reduce side of a k-means step without a shuffle).
+    Empty cells keep their previous centroid. Cost: `iters` corpus
+    passes at INDEX time; the serving path never pays it (the refined
+    codebook and cell column are cached artifacts).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from mnemo_spark.functions.similarity import stack_batch
+
+    out_schema = StructType(
+        [
+            StructField("cell", IntegerType(), True),
+            StructField("s", ArrayType(DoubleType()), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+    C = np.asarray(C, dtype=np.float64)
+    for _ in range(iters):
+        bc = corpus.sparkSession.sparkContext.broadcast(C)
+
+        def partial_sums(batches):
+            Cm = bc.value
+            cn = np.sqrt((Cm * Cm).sum(axis=1))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nulls = pdf[corpus_vec].isna().to_numpy()
+                if nulls.all():
+                    continue
+                V = stack_batch(pdf[corpus_vec], nulls)
+                V = V[~nulls]
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                denom = np.outer(vn, cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(
+                        denom > 0.0,
+                        (V @ Cm.T) / np.where(denom == 0.0, 1.0, denom),
+                        -np.inf,
+                    )
+                cell = sims.argmax(axis=1)
+                cells, inv = np.unique(cell, return_inverse=True)
+                sums = np.zeros((len(cells), V.shape[1]))
+                np.add.at(sums, inv, V)
+                counts = np.bincount(inv)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype("int32"),
+                        "s": list(sums),
+                        "n": counts.astype("int64"),
+                    }
+                )
+
+        rows = (
+            corpus.select(corpus_vec)
+            .mapInPandas(partial_sums, out_schema)
+            .groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("s"),
+                    F.array(*[F.lit(0.0) for _ in range(C.shape[1])]),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        bc.unpersist()
+        newC = C.copy()
+        for r in rows:
+            if r["n"]:
+                newC[int(r["cell"])] = np.asarray(r["s"]) / float(r["n"])
+        C = newC
+    return C
 
 
 def lsh_sign_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:

@@ -110,6 +110,24 @@ TOKEN_BUDGET = 400
 IVF_CENTROID_IDS = list(range(20, 28))
 IVF_NPROBE = 2
 
+# dense-lane ANN routing (VERDICT r9 #3): recall/recall_batch route
+# their semantic lane through IVF cell probing once the store exceeds
+# this row count — the exact kernel is O(corpus) per query by design,
+# so above the threshold the engine switches to the sub-O(corpus)
+# probe, mirroring the reference's serve-from-HNSW-not-exact choice
+# (index/usearch.rs:18-28). Gated: tools/eval_ann.py --routed measures
+# recall@10 vs exact ≥ 0.95 at the 10x corpus. Tunables mirror FAISS
+# conventions: more cells → finer partition, more probes → higher
+# recall at higher cost.
+ANN_ROUTE_MIN_CORPUS = int(os.environ.get("MNEMO_ANN_ROUTE_MIN_CORPUS", "200000"))
+# cell count floor — actual n_cells = max(this, min(4096, √store)),
+# the FAISS nlist≈√n convention (per-query probe cost O(nprobe·√n))
+ANN_ROUTE_CELLS = int(os.environ.get("MNEMO_ANN_ROUTE_CELLS", "64"))
+# probe floor — actual nprobe = max(this, n_cells/8)
+ANN_ROUTE_NPROBE = int(os.environ.get("MNEMO_ANN_ROUTE_NPROBE", "16"))
+# Lloyd refinement passes over the seed codebook at index time
+ANN_ROUTE_KMEANS_ITERS = int(os.environ.get("MNEMO_ANN_ROUTE_KMEANS_ITERS", "2"))
+
 # embedding near-dup (within-label cosine: max .475, p99 .295 on the
 # synthetic corpus — .28 keeps a small true-positive set)
 COSINE_DUP_THRESHOLD = 0.28

@@ -59,7 +59,9 @@ def rows_from_docs(spark, sf_dir: str):
 
 
 def main() -> int:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    sf_dirs = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "/root/testdata/sf0.01"
+    ]
     spark = get_spark("batch_curve", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
@@ -80,6 +82,7 @@ def main() -> int:
             )
             for b in BATCHES
         }
+        ann_mode = "--ann" in sys.argv[1:]
         with eng.serving():
             eng.recall_batch(qdf_by_b[32], "agent_0", k=10).count()  # warm
             for b in BATCHES:
@@ -89,6 +92,32 @@ def main() -> int:
                     eng.recall_batch(qdf_by_b[b], "agent_0", k=10).count()
                     best = min(best, time.monotonic() - t0)
                 res[f"batch{b}"] = round(best, 3)
+            if ann_mode:
+                # dense-lane-only curve, exact vs routed (VERDICT r9
+                # #3 gate): the routed slope is the sub-O(corpus)
+                # claim — each extra query scores nprobe cells, not
+                # the corpus
+                for lbl in ("exact", "ivf"):
+                    eng.recall_batch(
+                        qdf_by_b[32], "agent_0", strategy="semantic",
+                        k=10, ann=lbl,
+                    ).count()  # warm (index artifacts on first ivf)
+                    for b in BATCHES:
+                        best = float("inf")
+                        for _ in range(2):
+                            t0 = time.monotonic()
+                            eng.recall_batch(
+                                qdf_by_b[b], "agent_0",
+                                strategy="semantic", k=10, ann=lbl,
+                            ).count()
+                            best = min(best, time.monotonic() - t0)
+                        res[f"{lbl}_batch{b}"] = round(best, 3)
+                    res[f"{lbl}_per_query_marginal_ms"] = round(
+                        1000.0
+                        * (res[f"{lbl}_batch512"] - res[f"{lbl}_batch32"])
+                        / (512 - 32),
+                        2,
+                    )
         res["per_query_marginal_ms"] = round(
             1000.0 * (res["batch512"] - res["batch32"]) / (512 - 32), 2
         )

@@ -74,11 +74,85 @@ def evaluate(spark, sf_dir: str, n_queries: int = 50) -> dict:
     return {"n_queries": n_queries, "sf_dir": sf_dir, "strategies": out}
 
 
+def evaluate_routed(spark, sf_dir: str, n_queries: int = 50) -> dict:
+    """recall@k AND wall time of the ENGINE's routed dense lane
+    (recall_batch ann='ivf'/'auto') vs its exact kernel on the same
+    store — the VERDICT r9 #3 gate. Built over the documents table
+    (hash-bag embeddings, the engine's own write path) so the routed
+    path is measured exactly where serving runs it.
+    """
+    import datetime as dt
+    import time
+
+    from mnemo_spark.engine import MnemoSparkEngine
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = docs.select(
+        F.format_string("m%09d", F.col("doc_id")).alias("id"),
+        # many agents → the chain fold parallelizes across groups
+        F.format_string("a%03d", F.col("doc_id") % 128).alias("agent_id"),
+        F.col("text").alias("content"),
+        F.lit("semantic").alias("memory_type"),
+        F.lit("public").alias("scope"),
+        F.lit(0.5).cast("float").alias("importance"),
+        F.array().cast("array<string>").alias("tags"),
+        F.lit(t0).alias("created_at"),
+    )
+    eng = MnemoSparkEngine(spark, embedding_dim=P.HASHBAG_DIM).remember_batch(rows)
+    eng.memories = eng.memories.localCheckpoint(eager=True)
+    n_store = eng.memories.count()
+
+    qs = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .limit(n_queries)
+        .select(
+            F.format_string("q%09d", F.col("doc_id")).alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.lower("text"), r"\s+"), 8, 8), " "
+            ).alias("query"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run(ann):
+        t = time.time()
+        got = (
+            eng.recall_batch(qs, "a000", strategy="semantic", k=10, ann=ann)
+            .select("query_id", "id")
+            .collect()
+        )
+        return {(r.query_id, r.id) for r in got}, time.time() - t
+
+    exact, t_exact = run("exact")
+    routed, t_routed = run("ivf")
+    # second pass: route memo + serving caches warm on both sides
+    exact2, t_exact2 = run("exact")
+    routed2, t_routed2 = run("ivf")
+    return {
+        "sf_dir": sf_dir,
+        "store_rows": n_store,
+        "n_queries": n_queries,
+        "ann_route_cells": P.ANN_ROUTE_CELLS,
+        "ann_route_nprobe": P.ANN_ROUTE_NPROBE,
+        "recall@10_routed_vs_exact": round(
+            len(routed & exact) / max(1, len(exact)), 4
+        ),
+        "sec_exact": round(min(t_exact, t_exact2), 3),
+        "sec_routed": round(min(t_routed, t_routed2), 3),
+    }
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    routed = "--routed" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    n_queries = int(args[1]) if len(args) > 1 else 50
     spark = get_spark("eval_ann")
-    print(json.dumps(evaluate(spark, sf_dir, n_queries)))
+    if routed:
+        print(json.dumps(evaluate_routed(spark, sf_dir, n_queries)))
+    else:
+        print(json.dumps(evaluate(spark, sf_dir, n_queries)))
 
 
 if __name__ == "__main__":
