@@ -194,7 +194,7 @@ class MnemoSparkEngine:
         # inputs, which would silently EXCLUDE the row from `bad` — the
         # reference rejects invalid rows, so NULL required fields must
         # fail loud too
-        bad = rows.filter(
+        bad_pred = (
             F.col("agent_id").isNull()
             | ~F.col("agent_id").rlike(AGENT_ID_RE)
             | F.col("memory_type").isNull()
@@ -205,9 +205,44 @@ class MnemoSparkEngine:
             | (F.col("importance") < 0)
             | (F.col("importance") > 1)
         )
-        first_bad = bad.limit(1).collect()
-        if first_bad:
-            raise ValueError(f"invalid memory row: {first_bad[0].asDict()}")
+        # ONE validation+routing job: the same agg that surfaces the
+        # first invalid row also measures the largest incoming chain
+        # and the created_at range, which assign_chain_auto consumes
+        # below (VERDICT r9 #6) — keeping the write path at a single
+        # decision action instead of validation + stats jobs.
+        vstats = (
+            rows.groupBy("agent_id")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(bad_pred.cast("long")).alias("_nbad"),
+                F.min(F.when(bad_pred, F.struct(*rows.columns))).alias("_bad"),
+                F.min("created_at").alias("_mn"),
+                F.max("created_at").alias("_mx"),
+                F.max(F.col("created_at").isNull().cast("int")).alias("_null"),
+            )
+            .agg(
+                F.max("_n").alias("maxn"),
+                F.sum("_nbad").alias("nbad"),
+                F.min("_bad").alias("bad"),
+                F.min("_mn").alias("gmin"),
+                F.max("_mx").alias("gmax"),
+                F.max("_null").alias("has_null"),
+            )
+            .collect()
+        )
+        vrow = vstats[0] if vstats else None
+        if vrow is not None and (vrow["nbad"] or 0) > 0:
+            raise ValueError(f"invalid memory row: {vrow['bad'].asDict()}")
+        chain_stats = (
+            (
+                vrow["maxn"],
+                vrow["gmin"],
+                vrow["gmax"],
+                bool(vrow["has_null"]),
+            )
+            if vrow is not None and vrow["maxn"] is not None
+            else (0, None, None, True)
+        )
 
         with_defaults = (
             rows.withColumn(
@@ -348,6 +383,7 @@ class MnemoSparkEngine:
             "content_hash",
             prev_head=heads.select("agent_id", "chain_head", "head_seq"),
             seq_col="chain_seq",
+            stats=chain_stats,
         )
         new_memories = chained.select(*[f.name for f in MEMORY_SCHEMA.fields])
         events = self._append_events(

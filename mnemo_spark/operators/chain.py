@@ -138,6 +138,7 @@ def assign_chain_auto(
     epoch_col: str | None = None,
     crossover_rows: int | None = None,
     n_epochs: int = 16,
+    stats: "tuple | None" = None,
 ) -> DataFrame:
     """ONE code path for chain assignment (VERDICT r9 #6): pick the
     single per-chain fold below the measured epoch-fold crossover and
@@ -152,8 +153,12 @@ def assign_chain_auto(
     (MNEMO_CHAIN_EPOCH_CROSSOVER env-overridable for cluster-measured
     values).
 
-    One extra agg job decides: per-chain row counts (max), plus the
-    global min/max of the leading order column. Above the crossover,
+    One agg job decides: per-chain row counts (max), plus the global
+    min/max of the leading order column — or zero jobs when the
+    caller passes `stats=(max_chain_rows, lead_min, lead_max,
+    lead_has_null)` folded into an action it already runs (the
+    engine's write path merges this into its validation agg, keeping
+    remember_batch at one decision job). Above the crossover,
     `epoch_col` (a caller's natural bucket) is used when given;
     otherwise an epoch is DERIVED as equal-width buckets of the
     leading order column between its global min/max — monotone
@@ -182,25 +187,32 @@ def assign_chain_auto(
     lead_t = df.schema[lead].dataType
     derivable = isinstance(lead_t, (NumericType, TimestampType, DateType))
 
-    stats = (
-        df.groupBy(*part_cols)
-        .agg(
-            F.count("*").alias("_n"),
-            F.min(lead).alias("_mn"),
-            F.max(lead).alias("_mx"),
-            F.max(F.col(lead).isNull().cast("int")).alias("_null"),
+    if stats is not None:
+        maxn, gmin, gmax, has_null = stats
+    else:
+        agg = (
+            df.groupBy(*part_cols)
+            .agg(
+                F.count("*").alias("_n"),
+                F.min(lead).alias("_mn"),
+                F.max(lead).alias("_mx"),
+                F.max(F.col(lead).isNull().cast("int")).alias("_null"),
+            )
+            .agg(
+                F.max("_n").alias("maxn"),
+                F.min("_mn").alias("gmin"),
+                F.max("_mx").alias("gmax"),
+                F.max("_null").alias("has_null"),
+            )
+            .collect()
         )
-        .agg(
-            F.max("_n").alias("maxn"),
-            F.min("_mn").alias("gmin"),
-            F.max("_mx").alias("gmax"),
-            F.max("_null").alias("has_null"),
-        )
-        .collect()
-    )
-    row = stats[0] if stats else None
-    big = row is not None and row["maxn"] is not None and row["maxn"] > crossover_rows
-    if not big or (epoch_col is None and (not derivable or row["has_null"])):
+        row = agg[0] if agg else None
+        maxn = row["maxn"] if row is not None else None
+        gmin = row["gmin"] if row is not None else None
+        gmax = row["gmax"] if row is not None else None
+        has_null = bool(row["has_null"]) if row is not None else True
+    big = maxn is not None and maxn > crossover_rows
+    if not big or (epoch_col is None and (not derivable or has_null)):
         return assign_chain(
             df, part_cols, order_cols, hash_col, prev_head, seq_col
         )
@@ -208,16 +220,22 @@ def assign_chain_auto(
         return assign_chain_epochs(
             df, part_cols, order_cols, hash_col, epoch_col, prev_head, seq_col
         )
-    gmin, gmax = row["gmin"], row["gmax"]
     v = F.col(lead).cast("double")
     lo, hi = (
         F.lit(gmin).cast(lead_t).cast("double"),
         F.lit(gmax).cast(lead_t).cast("double"),
     )
     width = (hi - lo) / F.lit(float(n_epochs))
-    bucket = F.when(width > 0, F.least(
-        F.lit(n_epochs - 1).cast("long"),
-        F.floor((v - lo) / width),
+    # clamped BOTH ends: callers may pass stats measured before a
+    # transform that shifts the order column (the engine's backdated-
+    # write guard bumps created_at); clamping keeps the bucket
+    # monotone and in-range for any value
+    bucket = F.when(width > 0, F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n_epochs - 1).cast("long"),
+            F.floor((v - lo) / width),
+        ),
     )).otherwise(F.lit(0).cast("long"))
     out = assign_chain_epochs(
         df.withColumn("_auto_epoch", bucket),
