@@ -720,6 +720,9 @@ class MnemoSparkEngine:
         the domain filter prunes partitions instead of post-filtering
         a diluted candidate list.
 
+        ann: dense-lane execution mode ('auto'|'exact'|'ivf'), same
+        contract and default as recall_batch — see its docstring.
+
         reasoning_trust (v0.5.17 forged-reasoning defense,
         retrieval.rs:216-430 ReasoningTrustPolicy): opt-in
         {"action": "quarantine"|"down_weight",
