@@ -1401,6 +1401,10 @@ class MnemoSparkEngine:
 
         from mnemo_spark import params as P
 
+        if ann not in ("auto", "exact", "ivf"):
+            raise ValueError(
+                f"unknown ann mode {ann!r}: expected 'auto', 'exact' or 'ivf'"
+            )
         if ann == "exact":
             return None
         memo = getattr(self, "_ann_memo", None)
