@@ -144,7 +144,13 @@ def batch_bm25(
 
     toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
     lens = cached_persist(toks.select("_id", F.size("_tok").alias("_dl")), "bm25_lens", compact=True)
-    stats = lens.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    # (N, avgdl) is a corpus-only scalar pair — cache the 1-row frame
+    # so a warm batch pays a 1-row scan, not a lens aggregation job
+    stats = cached_persist(
+        lens.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")),
+        "bm25_stats",
+        compact=True,
+    )
 
     qterms = queries.select(
         F.col(qid_col).alias("_qid"), F.explode(qterms_col).alias("_term")
@@ -169,6 +175,17 @@ def batch_bm25(
             "bm25_postings",
         )
         tf = postings.join(F.broadcast(terms), "_term", "left_semi")
+        # per-term document frequency is also corpus-only (df of a
+        # term-filtered postings slice == df over the full table, the
+        # filter is BY term): cache the vocabulary-sized df table once
+        # per corpus, so a warm batch's df side is a semi-join over a
+        # tiny cached frame instead of a fresh postings scan+groupBy
+        df_full = cached_persist(
+            postings.groupBy("_term").agg(F.countDistinct("_id").alias("_df")),
+            "bm25_df",
+            compact=True,
+        )
+        df_ = df_full.join(F.broadcast(terms), "_term", "left_semi")
     else:
         # one-shot call: semi-join to query terms BEFORE the groupBy
         # so the shuffle is proportional to matching tokens, not the
@@ -180,7 +197,7 @@ def batch_bm25(
             .agg(F.count("*").alias("_tf"))
             .join(lens, "_id")
         )
-    df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
+        df_ = tf.groupBy("_term").agg(F.countDistinct("_id").alias("_df"))
 
     return (
         tf.join(F.broadcast(qterms), "_term")
