@@ -155,7 +155,8 @@ BENCH_QUERIES = [
 # deliberately closed-form twins of walk/parse work (lineage, OTLP)
 # are timed too — tools/bench_compare.py is where twin comparability
 # matters, and it discloses those rows as shape-mismatched.
-BENCH_QUERIES += sorted(q for q in QUERIES if q not in set(BENCH_QUERIES))
+_KNOWN = set(BENCH_QUERIES)
+BENCH_QUERIES += sorted(q for q in QUERIES if q not in _KNOWN)
 
 
 def main() -> None:

@@ -53,6 +53,22 @@ from pyspark.sql import DataFrame
 _LOCK = threading.RLock()
 _CACHE: dict[tuple, DataFrame] = {}
 _SERVING = 0  # nesting depth of active serving() contexts
+_BROADCASTS: list = []  # sc.broadcast handles created by kernels
+
+
+def track_broadcast(bc) -> None:
+    """Register a sparkContext.broadcast created inside a query kernel
+    (the dense-lane query matrix, the IVF probe map) so serving-
+    session exit reclaims its EXECUTOR copies. Python's GC eventually
+    releases broadcasts, but a long-lived server whose plan caches
+    retain frames pins their closures indefinitely — this bounds that.
+    clear() calls bc.unpersist() (NOT destroy): executor blocks are
+    dropped, and any still-live plan that re-executes simply re-fetches
+    from the driver — degrade-to-refetch, never a poisoned plan."""
+    if not serving_enabled():
+        return  # short-lived process: broadcasts die with it
+    with _LOCK:
+        _BROADCASTS.append(bc)
 
 
 def serving_enabled() -> bool:
@@ -118,14 +134,33 @@ def cached_persist(
     except Exception:  # noqa: BLE001 - cache is best-effort
         return df
     key = (app_id, plan_hash, *key_parts)
+    # the lock guards ONLY dict access (ADVICE-r9 follow-up): the
+    # JVM-heavy work — Catalyst stats in _size_coalesced, the persist
+    # + budget eviction in _pin — runs outside it, so a cache HIT (or
+    # an unrelated engine's serving() enter/exit) never blocks behind
+    # another thread's multi-second build. Two threads racing the same
+    # miss both build; the loser's pin is released and the winner's
+    # entry served — idempotent, at worst one duplicated build.
     with _LOCK:
-        if key not in _CACHE:
-            from mnemo_spark.params import SERVING_CACHE_BUDGET_BYTES
+        hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    from mnemo_spark.params import SERVING_CACHE_BUDGET_BYTES
 
-            if compact:
-                df = _size_coalesced(df)
-            _CACHE[key] = _pin(df, app_id, SERVING_CACHE_BUDGET_BYTES)
-        return _CACHE[key]
+    if compact:
+        df = _size_coalesced(df)
+    pinned = _pin(df, app_id, SERVING_CACHE_BUDGET_BYTES)
+    with _LOCK:
+        existing = _CACHE.get(key)
+        if existing is None:
+            _CACHE[key] = pinned
+    if existing is not None:
+        try:
+            pinned.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+        return existing
+    return pinned
 
 
 def _size_coalesced(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
@@ -157,7 +192,8 @@ def _pin(df: DataFrame, app_id: str, budget_bytes: int) -> DataFrame:
     least-recently-pinned tracked entries are unpersisted (degrade to
     recompute) until the new entry fits. Reference analog: the LRU
     record cache's max_entries bound (cache.rs:1-196) — bounded reuse,
-    never unbounded accumulation. Caller holds _LOCK."""
+    never unbounded accumulation. Takes _LOCK only around each dict
+    pop; the blocking unpersists run unlocked."""
     from pyspark import StorageLevel
 
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -165,21 +201,23 @@ def _pin(df: DataFrame, app_id: str, budget_bytes: int) -> DataFrame:
         return pinned
     try:
         used = _cached_bytes(df.sparkSession)
-        if used > budget_bytes:
+        while used > budget_bytes:
             # evict oldest-pinned tracked entries (dict preserves
             # insertion order) until back under budget; the entry
             # being added stays — it is the hot one by definition
-            for k in list(_CACHE):
-                if used <= budget_bytes:
-                    break
-                if k[0] != app_id:
-                    continue
-                victim = _CACHE.pop(k)
-                try:
-                    victim.unpersist(True)
-                except Exception:  # noqa: BLE001
-                    pass
-                used = _cached_bytes(df.sparkSession)
+            victim = None
+            with _LOCK:
+                for k in list(_CACHE):
+                    if k[0] == app_id:
+                        victim = _CACHE.pop(k)
+                        break
+            if victim is None:
+                break
+            try:
+                victim.unpersist(True)
+            except Exception:  # noqa: BLE001
+                pass
+            used = _cached_bytes(df.sparkSession)
             global _WARNED_OVER_BUDGET
             if used > budget_bytes and not _WARNED_OVER_BUDGET:
                 _WARNED_OVER_BUDGET = True
@@ -220,7 +258,7 @@ def clear(force: bool = False) -> None:
     engine's open session (ADVICE r9). Safe to call with a stopped
     session (unpersist failures are swallowed — the JVM-side blocks
     die with the session anyway)."""
-    global _CACHE
+    global _CACHE, _BROADCASTS
     with _LOCK:
         if _SERVING > 0 and not force:
             warnings.warn(
@@ -230,9 +268,15 @@ def clear(force: bool = False) -> None:
             )
             return
         frames, _CACHE = list(_CACHE.values()), {}
+        bcs, _BROADCASTS = list(_BROADCASTS), []
     for frame in frames:
         try:
             frame.unpersist()
+        except Exception:  # noqa: BLE001 - session may be gone
+            pass
+    for bc in bcs:
+        try:
+            bc.unpersist()
         except Exception:  # noqa: BLE001 - session may be gone
             pass
     from mnemo_spark.io import clear_table_cache

@@ -941,9 +941,14 @@ class MnemoSparkEngine:
         # are trees). One bounded collect pins it; each hop join then
         # broadcasts the frontier statically instead of exchanging
         # the edge table.
+        # fallback=True: the seed bound scales with the CALLER's batch
+        # size (n_queries × k×3) — a batch large enough to exceed the
+        # driver bound degrades to the lazy distributed plan instead
+        # of refusing the request
         seeds = localize_small(
             seeds.select("_qid", "id", "score"),
             why="graph-recall seeds, n_queries x k*3",
+            fallback=True,
         )
         lane = expand_grouped(
             edges,
@@ -1407,14 +1412,18 @@ class MnemoSparkEngine:
             )
         if ann == "exact":
             return None
+        # the memo keys on the memories OBJECT (held strongly — an
+        # id() key would silently match a recycled address after the
+        # old frame is garbage-collected, serving a stale cell index
+        # for a different corpus)
         memo = getattr(self, "_ann_memo", None)
-        if memo is not None and memo[0] == id(self.memories) and (
+        if memo is not None and memo[0] is self.memories and (
             memo[2] is None and ann == "ivf" and memo[1] > 0
         ):
             # memo was built under 'auto' below the threshold (no
             # codebook); a forced 'ivf' needs the artifacts — rebuild
             memo = None
-        if memo is None or memo[0] != id(self.memories):
+        if memo is None or memo[0] is not self.memories:
             n = self.memories.count()
             C, cell_frame = None, None
             if n >= P.ANN_ROUTE_MIN_CORPUS or ann == "ivf":
@@ -1457,7 +1466,7 @@ class MnemoSparkEngine:
                         key_plan=vecs,
                         compact=True,
                     )
-            memo = (id(self.memories), n, C, cell_frame)
+            memo = (self.memories, n, C, cell_frame)
             self._ann_memo = memo
         _, n, C, cell_frame = memo
         if ann == "auto" and n < P.ANN_ROUTE_MIN_CORPUS:
@@ -1469,15 +1478,10 @@ class MnemoSparkEngine:
                     "ann='ivf' requires a store with non-null embeddings"
                 )
             return None
+        from mnemo_spark.functions.similarity import cosine_matrix
+
         nprobe = max(P.ANN_ROUTE_NPROBE, len(C) // 8)
-        cn = np.sqrt((C * C).sum(axis=1))
-        qn = np.sqrt((Q * Q).sum(axis=1))
-        denom = np.outer(qn, cn)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.where(
-                denom > 0.0, (Q @ C.T) / np.where(denom == 0.0, 1.0, denom), -np.inf
-            )
-        order = np.argsort(-sims, axis=1, kind="stable")
+        order = np.argsort(-cosine_matrix(Q, C), axis=1, kind="stable")
         cell_queries: dict[int, list[int]] = {}
         for qi in range(Q.shape[0]):
             for ci in order[qi, :nprobe]:
@@ -1505,6 +1509,13 @@ class MnemoSparkEngine:
         the task closure (ADVICE r9). NULL query vectors (a zero-token
         query) fall back to the expression form so the
         NULL-propagation contract stays exact."""
+        # validate HERE, not only in _ann_route: the expression
+        # fallback below never reaches _ann_route, and a typo'd mode
+        # must refuse rather than silently serve exact
+        if ann not in ("auto", "exact", "ivf"):
+            raise ValueError(
+                f"unknown ann mode {ann!r}: expected 'auto', 'exact' or 'ivf'"
+            )
         rows = qvecs.collect()
         ids = [r["_qid"] for r in rows]
         vecs = [r["_qv"] for r in rows]

@@ -64,6 +64,22 @@ def squared_l2(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, m) guarded cosine of two row-vector matrices — THE shared
+    convention for every cell-assignment / probe site (index-time
+    assignment and query-time probing must agree bit-for-bit, so there
+    is exactly one copy of this block): a zero-norm row on either side
+    scores -inf (it can never be an argmax winner / probe candidate),
+    and zero denominators are guarded before the divide."""
+    an = np.sqrt(np.einsum("ij,ij->i", A, A))
+    bn = np.sqrt(np.einsum("ij,ij->i", B, B))
+    denom = np.outer(an, bn)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(
+            denom > 0.0, (A @ B.T) / np.where(denom == 0.0, 1.0, denom), -np.inf
+        )
+
+
 def stack_batch(col: pd.Series, null_mask: np.ndarray) -> np.ndarray:
     """(n, dim) float64 matrix from an Arrow list column; NULL rows
     become zero vectors (callers mask them out of the result)."""

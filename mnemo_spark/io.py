@@ -117,7 +117,10 @@ def broadcast_if_small(df: DataFrame, cap_bytes: int = 256 << 20) -> DataFrame:
 
 
 def localize_small(
-    df: DataFrame, max_rows: int = 1_000_000, why: str = ""
+    df: DataFrame,
+    max_rows: int = 1_000_000,
+    why: str = "",
+    fallback: bool = False,
 ) -> DataFrame:
     """Materialize a PROVABLY-BOUNDED frame driver-side and hand it
     back as a local relation (r10, VERDICT r9 #1). A Spark plan is a
@@ -132,7 +135,10 @@ def localize_small(
 
     The caller must hold a structural bound on the row count (e.g.
     n_queries × k×3 by a row_number filter); `max_rows` is the driver-
-    memory guard — exceeding it raises instead of silently OOMing.
+    memory guard — exceeding it raises instead of silently OOMing,
+    unless `fallback=True`, where the original lazy frame is returned
+    (for callers whose bound scales with request size and for whom
+    localization is an optimization, not a requirement).
     NOTE: this triggers one Spark job at plan-build time, the same
     documented behavior as the dense kernel's query-vector collect."""
     # coalesce(1) before the limited collect: CollectLimit scans
@@ -143,6 +149,11 @@ def localize_small(
     # exchanges keep their parallelism.
     rows = df.coalesce(1).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
+        if fallback:
+            # caller's bound is a fast-path heuristic, not a contract:
+            # hand back the original lazy frame (the pre-localization
+            # plan — slower, but correct at any size)
+            return df
         raise ValueError(
             f"localize_small: frame exceeds the {max_rows}-row driver "
             f"bound{' (' + why + ')' if why else ''} — the structural "

@@ -165,14 +165,14 @@ def assign_chain_auto(
     non-decreasing along order_cols by construction, so the epoch
     contract holds and the output is byte-identical to the single
     fold (tests/test_chain_epochs.py proves identity for any valid
-    epoch choice). A NULL leading order value (or a non-numeric/
-    temporal leading column when no epoch_col is given) falls back to
-    the single fold — never a guessed bucket.
+    epoch choice). A NULL leading order value (or, when no epoch_col
+    is given, a leading column that is not numeric or timestamp —
+    DATE included, it cannot cast to double) falls back to the single
+    fold — never a guessed bucket.
     """
     import os
 
     from pyspark.sql.types import (
-        DateType,
         NumericType,
         TimestampType,
     )
@@ -185,7 +185,10 @@ def assign_chain_auto(
     order_cols = list(order_cols)
     lead = order_cols[0]
     lead_t = df.schema[lead].dataType
-    derivable = isinstance(lead_t, (NumericType, TimestampType, DateType))
+    # DateType deliberately excluded: Spark cannot cast DATE → DOUBLE,
+    # so a date-ordered chain takes the single-fold fallback (callers
+    # with a natural date bucket pass it as epoch_col instead)
+    derivable = isinstance(lead_t, (NumericType, TimestampType))
 
     if stats is not None:
         maxn, gmin, gmax, has_null = stats

@@ -36,7 +36,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mnemo_spark.functions.similarity import cosine, cosine_arrow, stack_batch
+from mnemo_spark.functions.similarity import (
+    cosine,
+    cosine_arrow,
+    cosine_matrix,
+    stack_batch,
+)
 
 ROUND_DP = 6
 
@@ -267,9 +272,14 @@ def batch_dot_scores(
     """
     if qid_type is None:
         # infer from the ids themselves: engine callers pass explicit
-        # types; bare callers almost always use string or int qids
+        # types; bare callers almost always use string or int qids.
+        # np.integer counts as int; bool does NOT (it subclasses int)
         qid_type = (
-            LongType() if qids and isinstance(qids[0], int) else StringType()
+            LongType()
+            if qids
+            and isinstance(qids[0], (int, np.integer))
+            and not isinstance(qids[0], bool)
+            else StringType()
         )
     out_schema = StructType(
         [
@@ -305,12 +315,12 @@ def batch_dot_scores(
             cell_queries,
         )
     )
+    from mnemo_spark.cache import track_broadcast
+
+    track_broadcast(bc)  # serving sessions reclaim executor copies on exit
 
     def score(batches):
         qid_arr, Qm, Cm, cq = bc.value
-        cn = (
-            np.sqrt((Cm * Cm).sum(axis=1)) if Cm is not None else None
-        )
         qdim = Qm.shape[1] if Qm.ndim == 2 else len(Qm)
         for pdf in batches:
             if len(pdf) == 0:
@@ -353,15 +363,7 @@ def batch_dot_scores(
                 if cell_col is not None:
                     cell = pdf[cell_col].to_numpy()
                 else:
-                    vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-                    denom = np.outer(vn, cn)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        sims_vc = np.where(
-                            denom > 0.0,
-                            (V @ Cm.T) / np.where(denom == 0.0, 1.0, denom),
-                            -np.inf,
-                        )
-                    cell = sims_vc.argmax(axis=1)
+                    cell = cosine_matrix(V, Cm).argmax(axis=1)
                 for ci, qidx in cq.items():
                     mask = cell == ci
                     if not mask.any():
@@ -454,7 +456,6 @@ def refine_centroids(
 
         def partial_sums(batches):
             Cm = bc.value
-            cn = np.sqrt((Cm * Cm).sum(axis=1))
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -463,15 +464,7 @@ def refine_centroids(
                     continue
                 V = stack_batch(pdf[corpus_vec], nulls)
                 V = V[~nulls]
-                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-                denom = np.outer(vn, cn)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = np.where(
-                        denom > 0.0,
-                        (V @ Cm.T) / np.where(denom == 0.0, 1.0, denom),
-                        -np.inf,
-                    )
-                cell = sims.argmax(axis=1)
+                cell = cosine_matrix(V, Cm).argmax(axis=1)
                 cells, inv = np.unique(cell, return_inverse=True)
                 sums = np.zeros((len(cells), V.shape[1]))
                 np.add.at(sums, inv, V)
@@ -783,14 +776,7 @@ def ivf_topk(
         # argsort of -sims ties→lowest centroid index = lowest cent_id
         # (centroid rows are sorted by id), matching the SQL
         # row_number() ORDER BY _cs DESC, cent_id contract
-        denom_qc = np.outer(qn, cn)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims_qc = np.where(
-                denom_qc > 0.0,
-                (Q @ C.T) / np.where(denom_qc == 0.0, 1.0, denom_qc),
-                -np.inf,
-            )
-        order = np.argsort(-sims_qc, axis=1, kind="stable")
+        order = np.argsort(-cosine_matrix(Q, C), axis=1, kind="stable")
         cell_queries: dict[int, list[int]] = {}
         for qi in range(len(qids)):
             for ci in order[qi, :nprobe]:
@@ -812,14 +798,7 @@ def ivf_topk(
                 V = stack_batch(pdf[corpus_vec], nulls)
                 ids = pdf[corpus_id].to_numpy()
                 vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-                denom = np.outer(vn, cn)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims_vc = np.where(
-                        denom > 0.0,
-                        (V @ C.T) / np.where(denom == 0.0, 1.0, denom),
-                        -np.inf,
-                    )
-                cell = sims_vc.argmax(axis=1)  # first max = lowest cent_id
+                cell = cosine_matrix(V, C).argmax(axis=1)  # first max = lowest cent_id
                 for ci, qidx in cell_queries.items():
                     mask = cell == ci
                     if not mask.any():
@@ -927,14 +906,7 @@ def ivf_probe_partitioned(
     qids, Q = _collect_vec_side(queries, query_id, query_vec)
     if C is None or Q is None:
         raise ValueError("probe requires non-NULL centroid and query vectors")
-    cn = np.sqrt((C * C).sum(axis=1))
-    qn = np.sqrt((Q * Q).sum(axis=1))
-    denom = np.outer(qn, cn)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sims = np.where(
-            denom > 0.0, (Q @ C.T) / np.where(denom == 0.0, 1.0, denom), -np.inf
-        )
-    order = np.argsort(-sims, axis=1, kind="stable")
+    order = np.argsort(-cosine_matrix(Q, C), axis=1, kind="stable")
     probed = sorted({cids[int(ci)] for qi in range(len(qids)) for ci in order[qi, :nprobe]})
     pruned = spark.read.parquet(path).filter(F.col("cent_id").isin(probed))
     return ivf_topk(
@@ -968,7 +940,6 @@ def assign_cells(
     cids, C = _collect_vec_side(centroids, cent_id, cent_vec)
     if C is None:
         raise ValueError("centroid side is empty or carries NULL vectors")
-    cn = np.sqrt((C * C).sum(axis=1))
     cid_arr = np.asarray(cids)
 
     from pyspark.sql.types import StructType
@@ -985,15 +956,7 @@ def assign_cells(
                 continue
             nulls = pdf[corpus_vec].isna().to_numpy()
             V = stack_batch(pdf[corpus_vec], nulls)
-            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-            denom = np.outer(vn, cn)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(
-                    denom > 0.0,
-                    (V @ C.T) / np.where(denom == 0.0, 1.0, denom),
-                    -np.inf,
-                )
-            cell = cid_arr[sims.argmax(axis=1)]  # first max = lowest cent_id
+            cell = cid_arr[cosine_matrix(V, C).argmax(axis=1)]  # first max = lowest cent_id
             out = pdf[[corpus_id, corpus_vec]].copy()
             out["cent_id"] = cell
             out.loc[nulls, "cent_id"] = None

@@ -137,8 +137,11 @@ _OVERFETCH = P.RECALL_LANE_OVERFETCH * P.RECALL_LIMIT
 # ANALYZING it (cached_persist's semanticHash key) costs ~0.3 s of
 # driver CPU per call. The persisted blocks are tracked/drained by the
 # serving cache as before; this only memoizes the DataFrame handle per
-# (session, sf_dir) so repeated calls skip plan re-analysis. A stale
-# handle after cache.clear() still computes correctly (just unpinned).
+# (session, sf_dir) so repeated calls skip plan re-analysis. The memo
+# also records whether the handle was PINNED when built: a handle from
+# a serving-disabled first call (or one whose pin was dropped by
+# cache.clear()) is rebuilt on the next serving-enabled call instead
+# of silently reverting every later batch to a full corpus pass.
 _PERDOC_HANDLES: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -147,8 +150,13 @@ def _batch_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (recall_batch_docs + recall_batch_graph_docs): per-doc token
     stats, per-term tf, one dot column per query — one corpus pass,
     cached compactly under the serving cache."""
+    from mnemo_spark.cache import serving_enabled
+
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PERDOC_HANDLES.get(key)
+    if df is not None and serving_enabled() and not df.storageLevel.useMemory:
+        # pin lost (built cold, or clear() ran): re-enter cached_persist
+        df = None
     if df is None:
         from mnemo_spark.cache import cached_persist
         from mnemo_spark.operators.recall_core import (
