@@ -258,3 +258,39 @@ def test_localize_small_bound_violation_raises(spark):
 
     with pytest.raises(ValueError, match="10-row driver bound"):
         localize_small(spark.range(100), max_rows=10)
+
+
+def test_localize_small_fallback_returns_lazy_frame(spark):
+    """fallback=True: an over-bound frame degrades to the original
+    lazy plan (same rows, NOT localized) instead of raising — the
+    engine's graph batch uses this so huge query batches still serve."""
+    from mnemo_spark.io import localize_small
+
+    df = spark.range(100)
+    out = localize_small(df, max_rows=10, fallback=True)
+    assert out is df  # the original plan, untouched
+    assert out.count() == 100
+
+
+def test_track_broadcast_reclaimed_on_clear(spark):
+    """Kernel broadcasts registered during a serving session are
+    unpersisted (executor copies dropped) when the session drains —
+    and a post-clear use still works via driver re-fetch."""
+    from mnemo_spark import cache
+
+    with cache.serving():
+        bc = spark.sparkContext.broadcast([1, 2, 3])
+        cache.track_broadcast(bc)
+        assert cache._BROADCASTS
+    # context exit drained the tracked list
+    assert not cache._BROADCASTS
+    # unpersisted, not destroyed: value still readable (driver copy)
+    assert bc.value == [1, 2, 3]
+
+
+def test_track_broadcast_noop_outside_serving(spark):
+    from mnemo_spark import cache
+
+    bc = spark.sparkContext.broadcast([4])
+    cache.track_broadcast(bc)
+    assert bc not in cache._BROADCASTS
