@@ -54,6 +54,16 @@ _LOCK = threading.RLock()
 _CACHE: dict[tuple, DataFrame] = {}
 _SERVING = 0  # nesting depth of active serving() contexts
 _BROADCASTS: list = []  # sc.broadcast handles created by kernels
+# cap on tracked broadcast handles held at once (ADVICE r10 medium):
+# the strong refs here exist so serving-exit can reclaim EXECUTOR
+# copies, but an unbounded list also BLOCKS Python GC / the
+# ContextCleaner from reclaiming per-query broadcasts mid-session —
+# the opposite of the bound the tracking promises. Beyond the cap the
+# OLDEST handle is unpersisted (blocking=False) and dropped: a
+# long-lived serving session holds at most N recent query matrices,
+# and any still-running plan that touches an evicted one re-fetches
+# from the driver (unpersist, not destroy — degrade-to-refetch).
+_BROADCAST_LIMIT = int(os.environ.get("MNEMO_BROADCAST_TRACK_LIMIT", "64"))
 
 
 def track_broadcast(bc) -> None:
@@ -64,11 +74,24 @@ def track_broadcast(bc) -> None:
     retain frames pins their closures indefinitely — this bounds that.
     clear() calls bc.unpersist() (NOT destroy): executor blocks are
     dropped, and any still-live plan that re-executes simply re-fetches
-    from the driver — degrade-to-refetch, never a poisoned plan."""
+    from the driver — degrade-to-refetch, never a poisoned plan.
+
+    The tracking list itself is BOUNDED at _BROADCAST_LIMIT entries
+    (ADVICE r10): past the cap the oldest handle is unpersisted and
+    dropped immediately, so a month-long serving session cannot
+    accumulate one pinned broadcast per query served."""
     if not serving_enabled():
         return  # short-lived process: broadcasts die with it
+    evicted = []
     with _LOCK:
         _BROADCASTS.append(bc)
+        while len(_BROADCASTS) > _BROADCAST_LIMIT:
+            evicted.append(_BROADCASTS.pop(0))
+    for old in evicted:  # blocking JVM work runs outside the lock
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 - session may be gone
+            pass
 
 
 def serving_enabled() -> bool:
@@ -155,10 +178,27 @@ def cached_persist(
         if existing is None:
             _CACHE[key] = pinned
     if existing is not None:
+        # duplicate-build race: this thread lost. Spark's CacheManager
+        # uncaches by logical-plan EQUALITY, so when the loser's frame
+        # is semantically identical to the winner's, unpersisting it
+        # would drop the winner's just-pinned blocks too — and since
+        # hits return the stored handle without re-checking
+        # storageLevel, that key would silently serve full recompute
+        # for the rest of the session (ADVICE r10). Only unpersist
+        # when the plans genuinely differ (a key_plan caller whose ML
+        # lineage canonicalizes differently per build).
         try:
-            pinned.unpersist()
-        except Exception:  # noqa: BLE001
-            pass
+            same_plan = (
+                pinned._jdf.queryExecution().analyzed().semanticHash()
+                == existing._jdf.queryExecution().analyzed().semanticHash()
+            )
+        except Exception:  # noqa: BLE001 - when in doubt, keep blocks
+            same_plan = True
+        if not same_plan:
+            try:
+                pinned.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
         return existing
     return pinned
 
@@ -218,17 +258,20 @@ def _pin(df: DataFrame, app_id: str, budget_bytes: int) -> DataFrame:
             except Exception:  # noqa: BLE001
                 pass
             used = _cached_bytes(df.sparkSession)
-            global _WARNED_OVER_BUDGET
-            if used > budget_bytes and not _WARNED_OVER_BUDGET:
-                _WARNED_OVER_BUDGET = True
-                warnings.warn(
-                    f"session cached bytes exceed the serving budget "
-                    f"even after evicting tracked entries ({used} > "
-                    f"{budget_bytes}); untracked pins (table cache) "
-                    "dominate — raise MNEMO_CACHE_BUDGET_BYTES or "
-                    "scope serving() more narrowly",
-                    stacklevel=3,
-                )
+        # warn AFTER the loop so the victims-exhausted break can't
+        # silently skip it (ADVICE r10): whether eviction ran dry or
+        # got partway, still-over-budget means untracked pins dominate
+        global _WARNED_OVER_BUDGET
+        if used > budget_bytes and not _WARNED_OVER_BUDGET:
+            _WARNED_OVER_BUDGET = True
+            warnings.warn(
+                f"session cached bytes exceed the serving budget "
+                f"even after evicting tracked entries ({used} > "
+                f"{budget_bytes}); untracked pins (table cache) "
+                "dominate — raise MNEMO_CACHE_BUDGET_BYTES or "
+                "scope serving() more narrowly",
+                stacklevel=3,
+            )
     except Exception:  # noqa: BLE001 - budget enforcement is best-effort
         pass
     return pinned

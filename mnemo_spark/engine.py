@@ -168,6 +168,12 @@ class MnemoSparkEngine:
         self.events = (
             events if events is not None else spark.createDataFrame([], AUDIT_SCHEMA)
         )
+        # guards the per-store ANN index memo (ADVICE r10): without it
+        # two concurrent first routed queries each pay the full
+        # codebook build (count, md5 sort, Lloyd passes, cell persist)
+        import threading
+
+        self._ann_lock = threading.Lock()
 
     # -- write path (remember.rs:67-270) --------------------------------
 
@@ -1416,58 +1422,27 @@ class MnemoSparkEngine:
         # id() key would silently match a recycled address after the
         # old frame is garbage-collected, serving a stale cell index
         # for a different corpus)
+        def _memo_usable(m) -> bool:
+            if m is None or m[0] is not self.memories:
+                return False
+            if m[2] is None and ann == "ivf" and m[1] > 0:
+                # memo was built under 'auto' below the threshold (no
+                # codebook); a forced 'ivf' needs the artifacts — rebuild
+                return False
+            return True
+
         memo = getattr(self, "_ann_memo", None)
-        if memo is not None and memo[0] is self.memories and (
-            memo[2] is None and ann == "ivf" and memo[1] > 0
-        ):
-            # memo was built under 'auto' below the threshold (no
-            # codebook); a forced 'ivf' needs the artifacts — rebuild
-            memo = None
-        if memo is None or memo[0] is not self.memories:
-            n = self.memories.count()
-            C, cell_frame = None, None
-            if n >= P.ANN_ROUTE_MIN_CORPUS or ann == "ivf":
-                from mnemo_spark.operators.vector import (
-                    assign_cells,
-                    refine_centroids,
-                )
-
-                n_cells = max(P.ANN_ROUTE_CELLS, min(4096, int(n**0.5)))
-                vecs = self.memories.filter(
-                    F.col("embedding").isNotNull()
-                ).select("id", "embedding")
-                rows = (
-                    vecs.orderBy(F.md5(F.col("id")), F.col("id"))
-                    .limit(n_cells)
-                    .select("embedding")
-                    .collect()
-                )
-                if rows:
-                    C0 = np.asarray(
-                        [[float(x) for x in r["embedding"]] for r in rows],
-                        dtype=np.float64,
-                    )
-                    C = refine_centroids(
-                        vecs, C0, iters=P.ANN_ROUTE_KMEANS_ITERS
-                    )
-                    cents = self.spark.createDataFrame(
-                        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
-                        "cent_id int, cent_vec array<double>",
-                    )
-                    from mnemo_spark.cache import cached_persist
-
-                    cell_frame = cached_persist(
-                        assign_cells(
-                            vecs, cents, corpus_id="id", corpus_vec="embedding"
-                        ).select("id", F.col("cent_id").alias("_cell")),
-                        "ann_route_cells",
-                        len(C),
-                        P.ANN_ROUTE_KMEANS_ITERS,
-                        key_plan=vecs,
-                        compact=True,
-                    )
-            memo = (self.memories, n, C, cell_frame)
-            self._ann_memo = memo
+        if not _memo_usable(memo):
+            # double-checked per-engine lock (ADVICE r10): only one
+            # thread pays the index build per store version — a
+            # concurrent first routed query waits and reuses it instead
+            # of duplicating the count + md5 sort + Lloyd refinement.
+            # The hit path above never takes the lock.
+            with self._ann_lock:
+                memo = getattr(self, "_ann_memo", None)
+                if not _memo_usable(memo):
+                    memo = self._ann_build(ann)
+                    self._ann_memo = memo
         _, n, C, cell_frame = memo
         if ann == "auto" and n < P.ANN_ROUTE_MIN_CORPUS:
             return None
@@ -1487,6 +1462,57 @@ class MnemoSparkEngine:
             for ci in order[qi, :nprobe]:
                 cell_queries.setdefault(int(ci), []).append(qi)
         return (C, cell_queries, cell_frame)
+
+    def _ann_build(self, ann: str):
+        """Build the per-store ANN index memo (store handle, row count,
+        codebook, persisted cell frame) — caller holds self._ann_lock."""
+        import numpy as np
+
+        from mnemo_spark import params as P
+
+        n = self.memories.count()
+        C, cell_frame = None, None
+        if n >= P.ANN_ROUTE_MIN_CORPUS or ann == "ivf":
+            from mnemo_spark.operators.vector import (
+                assign_cells,
+                refine_centroids,
+            )
+
+            n_cells = max(P.ANN_ROUTE_CELLS, min(4096, int(n**0.5)))
+            vecs = self.memories.filter(
+                F.col("embedding").isNotNull()
+            ).select("id", "embedding")
+            rows = (
+                vecs.orderBy(F.md5(F.col("id")), F.col("id"))
+                .limit(n_cells)
+                .select("embedding")
+                .collect()
+            )
+            if rows:
+                C0 = np.asarray(
+                    [[float(x) for x in r["embedding"]] for r in rows],
+                    dtype=np.float64,
+                )
+                C = refine_centroids(
+                    vecs, C0, iters=P.ANN_ROUTE_KMEANS_ITERS
+                )
+                cents = self.spark.createDataFrame(
+                    [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+                    "cent_id int, cent_vec array<double>",
+                )
+                from mnemo_spark.cache import cached_persist
+
+                cell_frame = cached_persist(
+                    assign_cells(
+                        vecs, cents, corpus_id="id", corpus_vec="embedding"
+                    ).select("id", F.col("cent_id").alias("_cell")),
+                    "ann_route_cells",
+                    len(C),
+                    P.ANN_ROUTE_KMEANS_ITERS,
+                    key_plan=vecs,
+                    compact=True,
+                )
+        return (self.memories, n, C, cell_frame)
 
     def _dot_lane(
         self,

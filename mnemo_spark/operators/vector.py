@@ -281,6 +281,25 @@ def batch_dot_scores(
             and not isinstance(qids[0], bool)
             else StringType()
         )
+        # validate the WHOLE list against the inferred type (ADVICE
+        # r10): inference looks only at qids[0], so a mixed list
+        # ([1, 'a']) or float qids would otherwise fail deep inside
+        # Arrow conversion on an executor instead of loudly here
+        def _fits(q) -> bool:
+            if isinstance(qid_type, LongType):
+                return isinstance(q, (int, np.integer)) and not isinstance(
+                    q, bool
+                )
+            return isinstance(q, str)
+
+        bad = [q for q in qids if not _fits(q)]
+        if bad:
+            raise ValueError(
+                f"batch_dot_scores: qids are not type-consistent with the "
+                f"inferred {qid_type.simpleString()} qid type (first "
+                f"offender: {bad[0]!r}) — pass qid_type explicitly for "
+                f"mixed/float/other qid types"
+            )
     out_schema = StructType(
         [
             StructField(query_id, qid_type, True),

@@ -1,0 +1,191 @@
+"""Round-11 hardening gates — the r10 ADVICE defects.
+
+- track_broadcast holds at most _BROADCAST_LIMIT handles: past the
+  cap the oldest is unpersisted and dropped, so a long serving
+  session can no longer accumulate one pinned broadcast per query
+  (ADVICE r10 medium).
+- cached_persist's duplicate-build loser no longer unpersists the
+  winner's blocks when the two plans are semantically equal (ADVICE
+  r10 low — CacheManager uncaches by plan equality).
+- the serving-budget eviction loop warns when it runs out of victims
+  while still over budget (ADVICE r10 low).
+- the engine's ANN index memo builds exactly once under concurrent
+  first routed queries (ADVICE r10 low — per-engine double-checked
+  lock).
+- batch_dot_scores validates the WHOLE qid list against the inferred
+  qid type and raises at the call site (ADVICE r10 low).
+"""
+
+from __future__ import annotations
+
+import threading
+import warnings
+
+import pytest
+
+from mnemo_spark import cache
+
+
+class _FakeBroadcast:
+    def __init__(self):
+        self.unpersisted = False
+
+    def unpersist(self):
+        self.unpersisted = True
+
+
+def test_track_broadcast_bounded(monkeypatch):
+    monkeypatch.setattr(cache, "_BROADCAST_LIMIT", 3)
+    monkeypatch.setattr(cache, "_BROADCASTS", [])
+    bcs = [_FakeBroadcast() for _ in range(5)]
+    with cache.serving():
+        for bc in bcs:
+            cache.track_broadcast(bc)
+        # only the 3 newest are retained; the 2 oldest were reclaimed
+        # immediately, NOT held until serving exit
+        assert cache._BROADCASTS == bcs[2:]
+        assert [b.unpersisted for b in bcs] == [True, True, False, False, False]
+    # serving exit reclaims the remainder
+    assert all(b.unpersisted for b in bcs)
+
+
+def _mem_cached_bytes(spark) -> int:
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return sum(i.memSize() + i.diskSize() for i in infos)
+
+
+def test_duplicate_build_race_keeps_winner_blocks(spark, monkeypatch):
+    """Force the cached_persist duplicate-build race with a barrier:
+    both threads miss, both pin; the loser must NOT drop the winner's
+    just-persisted blocks (plans are semantically equal)."""
+    monkeypatch.setattr(cache, "_CACHE", {})
+    barrier = threading.Barrier(2, timeout=30)
+    real_pin = cache._pin
+
+    def racing_pin(df, app_id, budget):
+        pinned = real_pin(df, app_id, budget)
+        barrier.wait()  # both threads finish building before either inserts
+        return pinned
+
+    monkeypatch.setattr(cache, "_pin", racing_pin)
+    results = []
+
+    def run():
+        df = spark.range(100).selectExpr("id", "id * 2 AS v")
+        got = cache.cached_persist(df, "r11_race")
+        got.count()  # materialize
+        results.append(got)
+
+    with cache.serving():
+        ts = [threading.Thread(target=run) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(results) == 2
+        # both callers got the SAME stored handle
+        assert results[0] is results[1] or (
+            results[0]._jdf.queryExecution().analyzed().semanticHash()
+            == results[1]._jdf.queryExecution().analyzed().semanticHash()
+        )
+        winner = cache._CACHE[next(iter(cache._CACHE))]
+        # the winner's entry is still pinned (the loser's unpersist was
+        # skipped) — storage level retains memory AND a recount finds
+        # materialized blocks
+        assert winner.storageLevel.useMemory
+        winner.count()
+        assert _mem_cached_bytes(spark) > 0
+
+
+def test_budget_warning_fires_when_victims_exhausted(spark, monkeypatch):
+    """Over budget with no tracked victims left → the warning still
+    fires (the r10 rewrite's break could skip it)."""
+    monkeypatch.setattr(cache, "_WARNED_OVER_BUDGET", False)
+    monkeypatch.setattr(cache, "_CACHE", {})  # nothing tracked to evict
+    # pin an UNTRACKED frame so session cached bytes are > 1
+    anchor = spark.range(10_000).selectExpr("id", "id * 3 AS v").persist()
+    anchor.count()
+    try:
+        df = spark.range(10).selectExpr("id")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            pinned = cache._pin(
+                df, spark.sparkContext.applicationId, budget_bytes=1
+            )
+            pinned.count()
+            pinned2 = cache._pin(
+                df.selectExpr("id AS j"),
+                spark.sparkContext.applicationId,
+                budget_bytes=1,
+            )
+        msgs = [str(x.message) for x in w]
+        assert any("exceed the serving budget" in m for m in msgs), msgs
+        pinned.unpersist()
+        pinned2.unpersist()
+    finally:
+        anchor.unpersist()
+
+
+def test_ann_memo_builds_once_under_concurrency(spark, monkeypatch):
+    import datetime as dt
+    import time
+
+    import numpy as np
+
+    from mnemo_spark.engine import MnemoSparkEngine
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = spark.createDataFrame(
+        [
+            (f"m{i}", "a1", f"spark window query {i} alpha beta", "semantic",
+             "private", 0.5, [], t0)
+            for i in range(40)
+        ],
+        "id string, agent_id string, content string, memory_type string, "
+        "scope string, importance float, tags array<string>, "
+        "created_at timestamp",
+    )
+    eng = MnemoSparkEngine(spark, embedding_dim=16).remember_batch(rows)
+    calls = []
+    real_build = eng._ann_build
+
+    def slow_build(ann):
+        calls.append(ann)
+        time.sleep(0.3)  # widen the race window
+        return real_build(ann)
+
+    monkeypatch.setattr(eng, "_ann_build", slow_build)
+    Q = np.ones((1, 16), dtype=np.float64)
+    outs = []
+
+    def run():
+        outs.append(eng._ann_route(Q, "ivf"))
+
+    ts = [threading.Thread(target=run) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(calls) == 1, f"index built {len(calls)} times"
+    assert len(outs) == 3 and all(o is not None for o in outs)
+
+
+def test_qid_list_type_consistency_raises(spark):
+    import numpy as np
+
+    from mnemo_spark.operators.vector import batch_dot_scores
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "id long, embedding array<double>",
+    )
+    Q = np.ones((2, 2), dtype=np.float64)
+    with pytest.raises(ValueError, match="type-consistent"):
+        batch_dot_scores(corpus, [1, "a"], Q)
+    with pytest.raises(ValueError, match="type-consistent"):
+        batch_dot_scores(corpus, ["a", 2], Q)
+    with pytest.raises(ValueError, match="type-consistent"):
+        batch_dot_scores(corpus, [1.5, 2.5], Q)  # float qids: be explicit
+    # a consistent list still works end-to-end
+    got = batch_dot_scores(corpus, [0, 1], Q)
+    assert got.count() == 10
