@@ -118,6 +118,158 @@ def bm25_topk(
     )
 
 
+# bounds for the collected wide single-pass batch form: plans stay a
+# few dozen conditional-count columns wide, and the query batch is
+# only collected when it is provably small. Past either bound the
+# distributed join form below takes over (open-ended query streams).
+WIDE_MAX_QUERIES = 256
+WIDE_MAX_TERMS = 64
+
+
+def batch_bm25_wide(
+    docs: DataFrame,
+    query_rows: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Small-batch BM25 as ONE corpus pass (VERDICT r10 #3 — the
+    recall_core collapse applied to the batch lexical lane; the join
+    form below paid ~6-8 exchanges and was the heaviest honest-twin
+    bench entry at 5-6x its DuckDB twin).
+
+    query_rows: collected [(query_id, [terms...]), ...] — the same
+    definitionally-small-query-side move the dense lane's kernel makes
+    (engine._dot_lane). The whole batch's term universe becomes
+    conditional counts in a single explode → groupBy(doc) aggregation
+    (map-side combined, one shuffle); corpus scalars (N, avgdl,
+    per-term df) are one 1-row aggregate collected at plan-build time
+    and inlined as idf literals; every query's score is then a pure
+    projection over the per-doc frame, emitted together via one
+    explode of per-query structs. Two shuffles total, independent of
+    batch size. → (query_id, doc_id, bm25), rows only for docs
+    containing ≥1 of the query's terms (the join-form/oracle
+    contract).
+
+    In a serving session the per-doc tf frame persists per (corpus,
+    term-universe) — the index-segment artifact, shared by later
+    batches over the same corpus.
+    """
+    import math
+
+    from mnemo_spark.cache import cached_persist
+
+    terms = sorted({t for _, qts in query_rows for t in qts})
+    tok = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_tok")
+    )
+    perdoc_tok = (
+        tok.select("_id", F.explode("_tok").alias("_t"))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("_dl"),
+            *[
+                F.count(F.when(F.col("_t") == t, True)).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    )
+    # token-less docs keep a (dl=0) row: they never score, but they
+    # count in N and avgdl exactly as the join form's lens frame does
+    perdoc = cached_persist(
+        docs.select(F.col(id_col).alias("_id"))
+        .join(perdoc_tok, "_id", "left")
+        .na.fill(0),
+        "bm25_wide_perdoc",
+        tuple(terms),
+        compact=True,
+    )
+    stats = perdoc.agg(
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, True)).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n, avgdl = float(stats["_n"]), float(stats["_avgdl"])
+    idf = {
+        t: math.log(1.0 + (n - float(stats[f"_df{i}"]) + 0.5) / (float(stats[f"_df{i}"]) + 0.5))
+        for i, t in enumerate(terms)
+    }
+    ti = {t: i for i, t in enumerate(terms)}
+
+    def _score(qterms) -> "F.Column":
+        contribs = [
+            F.lit(idf[t])
+            * (F.col(f"_tf{ti[t]}") * (k1 + 1))
+            / (
+                F.col(f"_tf{ti[t]}")
+                + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))
+            )
+            for t in qterms
+        ]
+        total = contribs[0]
+        for c in contribs[1:]:
+            total = total + c
+        return F.round(total, ROUND_DP)
+
+    def _hits(qterms) -> "F.Column":
+        return sum(
+            (F.col(f"_tf{ti[t]}") for t in qterms), F.lit(0)
+        )
+
+    scored_rows = [
+        (qid, sorted(set(qts))) for qid, qts in query_rows if qts
+    ]  # term-less queries can never emit a row (the join form drops
+    # them in its qterms explode)
+    if not scored_rows:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        qid_t = (
+            LongType()
+            if query_rows and isinstance(query_rows[0][0], int)
+            else StringType()
+        )
+        return docs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(qid_col, qid_t),
+                    StructField(id_col, docs.schema[id_col].dataType),
+                    StructField("bm25", DoubleType()),
+                ]
+            ),
+        )
+    per_query = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("_qid"),
+                _score(qts).alias("_bm25"),
+                _hits(qts).alias("_nhit"),
+            )
+            for qid, qts in scored_rows
+        ]
+    )
+    return (
+        perdoc.select("_id", F.explode(per_query).alias("_q"))
+        .filter(F.col("_q._nhit") > 0)
+        .select(
+            F.col("_q._qid").alias(qid_col),
+            F.col("_id").alias(id_col),
+            F.col("_q._bm25").alias("bm25"),
+        )
+    )
+
+
 def batch_bm25(
     docs: DataFrame,
     queries: DataFrame,
@@ -136,11 +288,29 @@ def batch_bm25(
     query reuses them — per-query marginal cost is one equi-join on
     term. → (query_id, doc_id, bm25).
 
+    Auto-select (VERDICT r10 #3): when the query batch is provably
+    small (≤ WIDE_MAX_QUERIES queries, ≤ WIDE_MAX_TERMS distinct
+    terms) the batch collapses into the single-pass wide form
+    (batch_bm25_wide — two shuffles total, the recall_core move);
+    open-ended batches keep the distributed term-join form below.
+    Both produce identical 6dp-rounded rows (tests/test_operators.py
+    equivalence).
+
     Scale: tokenization + stats are O(corpus) once; the hits join
     shuffles on term with query-term selectivity, so 10⁴ queries cost
     barely more than one.
     """
     from mnemo_spark.cache import cached_persist, serving_enabled
+
+    head = queries.select(
+        F.col(qid_col).alias("_qid"), F.col(qterms_col).alias("_terms")
+    ).limit(WIDE_MAX_QUERIES + 1).collect()
+    if len(head) <= WIDE_MAX_QUERIES:
+        rows = [(r["_qid"], list(r["_terms"] or [])) for r in head]
+        if len({t for _, qts in rows for t in qts}) <= WIDE_MAX_TERMS:
+            return batch_bm25_wide(
+                docs, rows, id_col, text_col, qid_col, k1, b
+            )
 
     toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
     lens = cached_persist(toks.select("_id", F.size("_tok").alias("_dl")), "bm25_lens", compact=True)

@@ -189,3 +189,56 @@ def test_qid_list_type_consistency_raises(spark):
     # a consistent list still works end-to-end
     got = batch_dot_scores(corpus, [0, 1], Q)
     assert got.count() == 10
+
+
+def test_batch_bm25_wide_equals_join_form(spark):
+    """The collapsed single-pass wide form (VERDICT r10 #3) must emit
+    byte-identical rounded rows to the distributed term-join form on
+    the same batch, including multi-term queries, repeated terms,
+    unknown terms and empty-term queries."""
+    import pandas as pd
+
+    from mnemo_spark.operators import bm25 as B
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),
+            (2, "window query plan"),
+            (3, "join join join spark"),
+            (4, ""),  # token-less doc: counts in N/avgdl, never scores
+            (5, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [
+            ("q1", ["spark", "join"]),
+            ("q2", ["window", "window", "query"]),  # dup terms count once
+            ("q3", ["absent"]),  # no hits -> no rows
+            ("q4", []),
+        ],
+        "query_id string, terms array<string>",
+    )
+    wide = B.batch_bm25(docs, queries)  # auto-selects the wide form
+    rows = [(r["query_id"], list(r["terms"])) for r in queries.collect()]
+    assert len(rows) <= B.WIDE_MAX_QUERIES
+
+    # force the join form by monkeypatching the cap
+    old = B.WIDE_MAX_QUERIES
+    try:
+        B.WIDE_MAX_QUERIES = 0
+        join_form = B.batch_bm25(docs, queries)
+    finally:
+        B.WIDE_MAX_QUERIES = old
+
+    def pdf(df) -> pd.DataFrame:
+        return (
+            df.toPandas()
+            .sort_values(["query_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(pdf(wide), pdf(join_form))
+    got = pdf(wide)
+    assert set(got["query_id"]) == {"q1", "q2"}
+    assert 4 not in set(got["doc_id"])
