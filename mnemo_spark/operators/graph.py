@@ -30,6 +30,7 @@ def expand(
     dedup_per_hop: bool = True,
     broadcast_frontier: bool = False,
     broadcast_edges: bool = False,
+    out_degree_1: bool = False,
 ) -> DataFrame:
     """BFS from seed ids along edges, ≤ `hops`, score = decay^hop.
 
@@ -51,6 +52,20 @@ def expand(
     broadcast join, so with dedup_per_hop=False the whole walk chains
     in ONE job with no per-hop shuffle at all. Mutually exclusive
     with broadcast_frontier; only for edge sets that fit a broadcast.
+
+    out_degree_1=True (r11, VERDICT r10 #4) switches a DEEP walk over
+    a parent-pointer graph (each node ≤1 outgoing edge: checkpoint
+    parents, event predecessors, SCD chains) to binary lifting — the
+    classic parallel list-ranking move: the reach relation
+    (src, dst, hop ≤ 2^k) doubles by composing with itself, so an
+    8-hop walk is 3 self-joins instead of 8 sequential frontier
+    stages, and the self-join's two sides share one exchange
+    (ReusedExchange). Per-node reach is ≤ hops rows (out-degree 1),
+    so the relation is ≤ hops·|V| — the same bound the naive walk's
+    union holds. Results are byte-identical to the naive walk
+    (min-hop semantics are preserved by taking min over compositions;
+    tests/test_r11_fixes.py equivalence). Ignores dedup_per_hop /
+    broadcast_* (the lifting plan has its own shape).
     """
     if broadcast_edges and broadcast_frontier:
         raise ValueError("broadcast_edges and broadcast_frontier are exclusive")
@@ -59,6 +74,8 @@ def expand(
         e = e.unionByName(
             edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
         ).distinct()
+    if out_degree_1:
+        return _expand_lifted(e, seeds, hops, decay, seed_col)
     if hops > 1 and not broadcast_edges:
         # the edge list is referenced once per hop; persist it so a
         # derived edge frame (e.g. a window over events) computes once
@@ -94,6 +111,64 @@ def expand(
     all_nodes = layers[0]
     for l in layers[1:]:
         all_nodes = all_nodes.unionByName(l)
+    return (
+        all_nodes.groupBy("_id")
+        .agg(F.min("hop").alias("hop"))
+        .withColumn("score", F.round(F.pow(F.lit(decay), F.col("hop")), ROUND_DP))
+        .select(F.col("_id").alias(seed_col), "hop", "score")
+    )
+
+
+def _expand_lifted(
+    e: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    decay: float,
+    seed_col: str,
+) -> DataFrame:
+    """Binary-lifting body of expand(out_degree_1=True): build the
+    (src, dst, min-hop ≤ hops) reach relation by repeated
+    self-composition, then one seed join + the min-hop fold. The
+    min-hop groupBy after every doubling bounds the relation at
+    hops·|V| rows even through cycles (a ring walks onto itself)."""
+    from mnemo_spark import cache
+
+    reach = e.select("_s", "_d", F.lit(1).alias("hop"))
+    span = 1
+    while span < hops:
+        # each doubled relation is referenced 3x (union side + both
+        # join sides) under DIFFERENT partitionings, so exchange reuse
+        # cannot dedupe it — pin each level or the build re-executes
+        # the whole prefix per reference (3^levels blowup). One-shot
+        # pins share CacheManager entries across equal-plan calls —
+        # the same boundedness argument as expand()'s edge persist.
+        if cache.serving_enabled():
+            reach = cache.cached_persist(
+                reach, "expand_lifted", span, hops, compact=True
+            )
+        else:
+            reach = reach.persist()
+        a, b = reach.alias("a"), reach.alias("b")
+        comp = (
+            a.join(b, F.col("a._d") == F.col("b._s"))
+            .select(
+                F.col("a._s").alias("_s"),
+                F.col("b._d").alias("_d"),
+                (F.col("a.hop") + F.col("b.hop")).alias("hop"),
+            )
+            .filter(F.col("hop") <= hops)
+        )
+        reach = (
+            reach.unionByName(comp)
+            .groupBy("_s", "_d")
+            .agg(F.min("hop").alias("hop"))
+        )
+        span *= 2
+    frontier = seeds.select(F.col(seed_col).alias("_id")).distinct()
+    hits = frontier.join(reach, frontier["_id"] == reach["_s"]).select(
+        F.col("_d").alias("_id"), "hop"
+    )
+    all_nodes = frontier.withColumn("hop", F.lit(0)).unionByName(hits)
     return (
         all_nodes.groupBy("_id")
         .agg(F.min("hop").alias("hop"))

@@ -120,13 +120,29 @@ IVF_NPROBE = 2
 # conventions: more cells → finer partition, more probes → higher
 # recall at higher cost.
 ANN_ROUTE_MIN_CORPUS = int(os.environ.get("MNEMO_ANN_ROUTE_MIN_CORPUS", "200000"))
-# cell count floor — actual n_cells = max(this, min(4096, √store)),
+# cell count floor — actual n_cells = max(this, min(max_cells, √store)),
 # the FAISS nlist≈√n convention (per-query probe cost O(nprobe·√n))
 ANN_ROUTE_CELLS = int(os.environ.get("MNEMO_ANN_ROUTE_CELLS", "64"))
-# probe floor — actual nprobe = max(this, n_cells/8)
-ANN_ROUTE_NPROBE = int(os.environ.get("MNEMO_ANN_ROUTE_NPROBE", "16"))
-# Lloyd refinement passes over the seed codebook at index time
-ANN_ROUTE_KMEANS_ITERS = int(os.environ.get("MNEMO_ANN_ROUTE_KMEANS_ITERS", "2"))
+# cell count ceiling: √n tracks the corpus up to max_cells² rows
+# (default 65536 → 4.3B vectors); beyond that a single flat codebook
+# stops being the right structure — use a two-level split (IMI /
+# partition-per-shard codebooks), not a bigger nlist
+ANN_ROUTE_MAX_CELLS = int(os.environ.get("MNEMO_ANN_ROUTE_MAX_CELLS", "65536"))
+# probes per query — CONSTANT (FAISS convention; VERDICT r10 #2): the
+# r10 form scaled nprobe as n_cells/8, which silently turned the
+# routed lane into a fixed 1/8-of-corpus scan — a constant-factor cut,
+# not the O(nprobe·√n) the design claims. With nprobe held constant
+# the probed fraction FALLS as the corpus grows (nprobe/√n) and
+# per-query work is genuinely sub-linear. Gate: tools/eval_ann.py
+# --routed measures routed recall@10 ≥ 0.95 vs exact at 50k AND 500k
+# docs (docs/benchmarks/ann_route_r11.json). Default 32: measured
+# recall@10 0.964 at 50k docs (nprobe 16 gave 0.896 — under the gate).
+ANN_ROUTE_NPROBE = int(os.environ.get("MNEMO_ANN_ROUTE_NPROBE", "32"))
+# Lloyd refinement passes over the seed codebook at index time — paid
+# once per store version. 4 (r11, was 2): constant-nprobe recall at
+# 500k docs was 0.894 with 2 iters and 0.976 with 4 — centroid quality
+# is what holds the FAISS-convention fixed probe count at scale.
+ANN_ROUTE_KMEANS_ITERS = int(os.environ.get("MNEMO_ANN_ROUTE_KMEANS_ITERS", "4"))
 
 # embedding near-dup (within-label cosine: max .475, p99 .295 on the
 # synthetic corpus — .28 keeps a small true-positive set)

@@ -242,3 +242,38 @@ def test_batch_bm25_wide_equals_join_form(spark):
     got = pdf(wide)
     assert set(got["query_id"]) == {"q1", "q2"}
     assert 4 not in set(got["doc_id"])
+
+
+def test_expand_lifted_equals_naive_walk(spark):
+    """expand(out_degree_1=True) binary lifting must be byte-identical
+    to the naive per-hop walk on parent-pointer chains, including a
+    cycle (ring) and hops that are not a power of two."""
+    import pandas as pd
+
+    from mnemo_spark.operators.graph import expand
+
+    # two chains (one longer than hops), one 3-ring, one isolated seed
+    edges = [(f"c{i+1}", f"c{i}") for i in range(12)]
+    edges += [(f"d{i+1}", f"d{i}") for i in range(3)]
+    edges += [("r0", "r1"), ("r1", "r2"), ("r2", "r0")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("c12",), ("d3",), ("r0",), ("lone",)], "id string"
+    )
+
+    def pdf(df) -> pd.DataFrame:
+        return (
+            df.toPandas().sort_values(["id"]).reset_index(drop=True)
+        )
+
+    for hops in (1, 2, 3, 5, 8):
+        naive = expand(e, seeds, hops=hops, decay=0.5, dedup_per_hop=False)
+        lifted = expand(e, seeds, hops=hops, decay=0.5, out_degree_1=True)
+        pd.testing.assert_frame_equal(
+            pdf(lifted), pdf(naive), obj=f"hops={hops}"
+        )
+    # sanity on the shape: 8 hops from c12 reaches c4..c12 (9 rows)
+    got = pdf(expand(e, seeds, hops=8, decay=0.5, out_degree_1=True))
+    c_rows = got[got["id"].str.startswith("c")]
+    assert len(c_rows) == 9
+    assert got[got["id"] == "lone"]["hop"].iloc[0] == 0

@@ -74,12 +74,22 @@ def evaluate(spark, sf_dir: str, n_queries: int = 50) -> dict:
     return {"n_queries": n_queries, "sf_dir": sf_dir, "strategies": out}
 
 
-def evaluate_routed(spark, sf_dir: str, n_queries: int = 50) -> dict:
+def evaluate_routed(
+    spark, sf_dir: str, n_queries: int = 50, n_copies: int = 1
+) -> dict:
     """recall@k AND wall time of the ENGINE's routed dense lane
     (recall_batch ann='ivf'/'auto') vs its exact kernel on the same
     store — the VERDICT r9 #3 gate. Built over the documents table
     (hash-bag embeddings, the engine's own write path) so the routed
     path is measured exactly where serving runs it.
+
+    n_copies > 1 replicates the docs in-plan (offset ids, per-replica
+    sentinel token — the same near-dup perturbation
+    tools/make_scaled_sf.py applies) so the probe-fraction slope can
+    be measured at 10x the corpus without a disk build (VERDICT r10
+    #2: probed fraction must FALL as the corpus grows). Reports
+    n_cells / nprobe / probed_fraction from the engine's own index
+    memo.
     """
     import datetime as dt
     import time
@@ -87,6 +97,20 @@ def evaluate_routed(spark, sf_dir: str, n_queries: int = 50) -> dict:
     from mnemo_spark.engine import MnemoSparkEngine
 
     docs = load_table(spark, sf_dir, "documents")
+    if n_copies > 1:
+        stride = docs.agg(F.max("doc_id")).first()[0] + 1
+        rep = spark.range(n_copies).select(F.col("id").alias("_rep"))
+        docs = docs.crossJoin(rep).select(
+            (F.col("doc_id") + F.col("_rep") * stride).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" rp"), F.col("_rep").cast("string")
+            ).alias("text"),
+            *[
+                c
+                for c in docs.columns
+                if c not in ("doc_id", "text")
+            ],
+        )
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = docs.select(
         F.format_string("m%09d", F.col("doc_id")).alias("id"),
@@ -129,12 +153,19 @@ def evaluate_routed(spark, sf_dir: str, n_queries: int = 50) -> dict:
     # second pass: route memo + serving caches warm on both sides
     exact2, t_exact2 = run("exact")
     routed2, t_routed2 = run("ivf")
+    memo = getattr(eng, "_ann_memo", None)
+    n_cells = len(memo[2]) if memo is not None and memo[2] is not None else 0
+    nprobe = min(n_cells, P.ANN_ROUTE_NPROBE) if n_cells else 0
     return {
         "sf_dir": sf_dir,
+        "n_copies": n_copies,
         "store_rows": n_store,
         "n_queries": n_queries,
-        "ann_route_cells": P.ANN_ROUTE_CELLS,
-        "ann_route_nprobe": P.ANN_ROUTE_NPROBE,
+        "n_cells": n_cells,
+        "nprobe": nprobe,
+        # the scale claim (VERDICT r10 #2): constant nprobe over
+        # nlist≈√n cells → this column FALLS as the corpus grows
+        "probed_fraction": round(nprobe / n_cells, 4) if n_cells else None,
         "recall@10_routed_vs_exact": round(
             len(routed & exact) / max(1, len(exact)), 4
         ),
@@ -146,11 +177,15 @@ def evaluate_routed(spark, sf_dir: str, n_queries: int = 50) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     routed = "--routed" in sys.argv[1:]
+    n_copies = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--copies="):
+            n_copies = int(a.split("=", 1)[1])
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     n_queries = int(args[1]) if len(args) > 1 else 50
     spark = get_spark("eval_ann")
     if routed:
-        print(json.dumps(evaluate_routed(spark, sf_dir, n_queries)))
+        print(json.dumps(evaluate_routed(spark, sf_dir, n_queries, n_copies)))
     else:
         print(json.dumps(evaluate(spark, sf_dir, n_queries)))
 
