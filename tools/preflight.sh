@@ -21,8 +21,8 @@ if [ -n "$(git status --porcelain)" ]; then
   rc=1
 fi
 
-echo "== 2/5 pytest (full suite) =="
-python -m pytest tests/ -q --tb=line 2>&1 | tail -3 || rc=1
+echo "== 2/5 pytest (full suite, sharded — tools/partest.py, 8 workers x local[4]) =="
+python tools/partest.py 2>&1 | tail -4 || rc=1
 [ "${PIPESTATUS[0]}" -eq 0 ] || rc=1
 
 echo "== 3/5 oracle sweep ($SF) =="
