@@ -118,12 +118,16 @@ def bm25_topk(
     )
 
 
-# bounds for the collected wide single-pass batch form: plans stay a
-# few dozen conditional-count columns wide, and the query batch is
-# only collected when it is provably small. Past either bound the
-# distributed join form below takes over (open-ended query streams).
-WIDE_MAX_QUERIES = 256
-WIDE_MAX_TERMS = 64
+# bounds for the collected wide single-pass batch form, set AT the
+# measured crossover (r11, sf0.1 docs, warm min-of-3): the wide form
+# wins small batches (3 queries: 0.27 s vs 0.93 s in the bench
+# regime) but its per-query struct/conditional-count expressions grow
+# the plan super-linearly — by 8 queries the join form is ~1.7x
+# faster (2.4 vs 1.4 s) and by 32 it is ~5x (7.0 vs 1.4 s). Past
+# either bound the distributed term-join form below takes over
+# (open-ended query streams, the engine's 32-query hybrid batches).
+WIDE_MAX_QUERIES = 4
+WIDE_MAX_TERMS = 12
 
 
 def batch_bm25_wide(
