@@ -225,10 +225,16 @@ def batch_bm25_wide(
             (F.col(f"_tf{ti[t]}") for t in qterms), F.lit(0)
         )
 
+    # merge duplicate query ids (the join form's qterms DISTINCT
+    # unions their term sets — two rows for q1 must not emit two
+    # scores) and drop term-less queries (the join form loses them in
+    # its qterms explode)
+    merged: dict = {}
+    for qid, qts in query_rows:
+        merged.setdefault(qid, set()).update(qts or [])
     scored_rows = [
-        (qid, sorted(set(qts))) for qid, qts in query_rows if qts
-    ]  # term-less queries can never emit a row (the join form drops
-    # them in its qterms explode)
+        (qid, sorted(qts)) for qid, qts in merged.items() if qts
+    ]
     if not scored_rows:
         from pyspark.sql.types import (
             DoubleType,

@@ -216,17 +216,16 @@ def test_batch_bm25_wide_equals_join_form(spark):
             ("q2", ["window", "window", "query"]),  # dup terms count once
             ("q3", ["absent"]),  # no hits -> no rows
             ("q4", []),
+            ("q5", ["spark"]),  # duplicate qid: term sets must UNION
+            ("q5", ["query"]),
         ],
         "query_id string, terms array<string>",
     )
-    wide = B.batch_bm25(docs, queries)  # auto-selects the wide form
-    rows = [(r["query_id"], list(r["terms"])) for r in queries.collect()]
-    assert len(rows) <= B.WIDE_MAX_QUERIES
-
-    # force the join form by monkeypatching the cap
     old = B.WIDE_MAX_QUERIES
     try:
-        B.WIDE_MAX_QUERIES = 0
+        B.WIDE_MAX_QUERIES = 8  # the 6-row batch must take the wide form
+        wide = B.batch_bm25(docs, queries)
+        B.WIDE_MAX_QUERIES = 0  # and the join form for the same batch
         join_form = B.batch_bm25(docs, queries)
     finally:
         B.WIDE_MAX_QUERIES = old
@@ -240,7 +239,7 @@ def test_batch_bm25_wide_equals_join_form(spark):
 
     pd.testing.assert_frame_equal(pdf(wide), pdf(join_form))
     got = pdf(wide)
-    assert set(got["query_id"]) == {"q1", "q2"}
+    assert set(got["query_id"]) == {"q1", "q2", "q5"}
     assert 4 not in set(got["doc_id"])
 
 
