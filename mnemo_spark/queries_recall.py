@@ -709,7 +709,13 @@ def recall_routed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = docs.select(
         F.format_string("m%09d", F.col("doc_id")).alias("id"),
-        F.lit("a0").alias("agent_id"),
+        # multi-agent ids, NOT a constant: a literal agent_id constant-
+        # folds the write path's chain-head/guard equi-joins into
+        # BroadcastNestedLoopJoins (no left attribute to hash on) —
+        # caught by tools/plan_audit.py in r11's self-review; with a
+        # real agent column they plan as the intended broadcast hash
+        # joins and the chain fold parallelizes across agents
+        F.format_string("a%03d", F.col("doc_id") % 8).alias("agent_id"),
         F.col("text").alias("content"),
         F.lit("semantic").alias("memory_type"),
         F.lit("public").alias("scope"),
