@@ -94,6 +94,23 @@ def track_broadcast(bc) -> None:
             pass
 
 
+_ONESHOT_PINS: list = []  # non-serving persist handles clear() reclaims
+
+
+def track_pin(df: DataFrame) -> DataFrame:
+    """Persist df OUTSIDE a serving session but keep the handle where
+    `clear()` can reclaim it (ADVICE r11: graph expand's one-shot
+    level pins accumulated for the life of the session with no release
+    path). Spark's CacheManager dedupes plan-equal persists, so
+    repeated calls over the same frame share one entry; distinct
+    frames accumulate only until the next clear(). Callers that can
+    bound a pin's lifetime themselves (materialize-then-release)
+    should unpersist directly and skip the registry."""
+    with _LOCK:
+        _ONESHOT_PINS.append(df)
+    return df.persist()
+
+
 def serving_enabled() -> bool:
     """True when shared intermediates should be persisted + tracked:
     inside a `serving()` context, or process-wide under
@@ -203,6 +220,36 @@ def cached_persist(
     return pinned
 
 
+_VALUES: dict[tuple, object] = {}
+
+
+def cached_value(build, *key_parts, key_plan: DataFrame):
+    """Driver-side twin of cached_persist for corpus-only NON-frame
+    artifacts — an ANN codebook ndarray, a store row count (VERDICT
+    r11 #2: recall_routed_docs paid the codebook collect + Lloyd
+    refinement per execution because only FRAMES had a serving-cache
+    surface). Memoized per (appId, key_plan semantic hash, key) while
+    a serving session is active; rebuilt per call otherwise. The same
+    doctrine as cached_persist: these are statistics OF the corpus,
+    so a semantically-equal corpus plan may share them. Cleared by
+    clear(). `build` must be pure given the plan (no engine state) —
+    two racing builders both run and the first store wins."""
+    if not serving_enabled():
+        return build()
+    try:
+        app_id = key_plan.sparkSession.sparkContext.applicationId
+        plan_hash = key_plan._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        return build()
+    key = (app_id, plan_hash, *key_parts)
+    with _LOCK:
+        if key in _VALUES:
+            return _VALUES[key]
+    val = build()
+    with _LOCK:
+        return _VALUES.setdefault(key, val)
+
+
 def _size_coalesced(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
     """Narrow-coalesce df to ceil(sizeInBytes estimate / target_bytes)
     partitions when that is FEWER than its current partitioning.
@@ -301,7 +348,7 @@ def clear(force: bool = False) -> None:
     engine's open session (ADVICE r9). Safe to call with a stopped
     session (unpersist failures are swallowed — the JVM-side blocks
     die with the session anyway)."""
-    global _CACHE, _BROADCASTS
+    global _CACHE, _BROADCASTS, _ONESHOT_PINS, _VALUES
     with _LOCK:
         if _SERVING > 0 and not force:
             warnings.warn(
@@ -311,6 +358,9 @@ def clear(force: bool = False) -> None:
             )
             return
         frames, _CACHE = list(_CACHE.values()), {}
+        frames += _ONESHOT_PINS
+        _ONESHOT_PINS = []
+        _VALUES = {}
         bcs, _BROADCASTS = list(_BROADCASTS), []
     for frame in frames:
         try:

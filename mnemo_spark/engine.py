@@ -1481,12 +1481,24 @@ class MnemoSparkEngine:
 
     def _ann_build(self, ann: str):
         """Build the per-store ANN index memo (store handle, row count,
-        codebook, persisted cell frame) — caller holds self._ann_lock."""
+        codebook, persisted cell frame) — caller holds self._ann_lock.
+
+        The driver-side artifacts (row count, Lloyd-refined codebook)
+        route through cache.cached_value keyed on the store's plan
+        (VERDICT r11 #2): they are corpus-only statistics under the
+        serving-cache doctrine, so a fresh engine over a semantically
+        equal store plan (recall_routed_docs builds one per bench
+        execution) reuses them instead of re-paying the count + seed
+        collect + ANN_ROUTE_KMEANS_ITERS Lloyd passes. The cell frame
+        was already plan-keyed via cached_persist."""
         import numpy as np
 
         from mnemo_spark import params as P
+        from mnemo_spark.cache import cached_value
 
-        n = self.memories.count()
+        n = cached_value(
+            self.memories.count, "ann_store_count", key_plan=self.memories
+        )
         C, cell_frame = None, None
         if n >= P.ANN_ROUTE_MIN_CORPUS or ann == "ivf":
             from mnemo_spark.operators.vector import (
@@ -1504,20 +1516,32 @@ class MnemoSparkEngine:
             vecs = self.memories.filter(
                 F.col("embedding").isNotNull()
             ).select("id", "embedding")
-            rows = (
-                vecs.orderBy(F.md5(F.col("id")), F.col("id"))
-                .limit(n_cells)
-                .select("embedding")
-                .collect()
-            )
-            if rows:
+
+            def _build_codebook():
+                rows = (
+                    vecs.orderBy(F.md5(F.col("id")), F.col("id"))
+                    .limit(n_cells)
+                    .select("embedding")
+                    .collect()
+                )
+                if not rows:
+                    return None
                 C0 = np.asarray(
                     [[float(x) for x in r["embedding"]] for r in rows],
                     dtype=np.float64,
                 )
-                C = refine_centroids(
+                return refine_centroids(
                     vecs, C0, iters=P.ANN_ROUTE_KMEANS_ITERS
                 )
+
+            C = cached_value(
+                _build_codebook,
+                "ann_codebook",
+                n_cells,
+                P.ANN_ROUTE_KMEANS_ITERS,
+                key_plan=vecs,
+            )
+            if C is not None:
                 cents = self.spark.createDataFrame(
                     [(i, [float(x) for x in C[i]]) for i in range(len(C))],
                     "cent_id int, cent_vec array<double>",

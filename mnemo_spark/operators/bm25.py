@@ -165,6 +165,31 @@ def batch_bm25_wide(
 
     from mnemo_spark.cache import cached_persist
 
+    def _empty_result() -> DataFrame:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        qid_t = (
+            LongType()
+            if query_rows and isinstance(query_rows[0][0], int)
+            else StringType()
+        )
+        return docs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(qid_col, qid_t),
+                    StructField(id_col, docs.schema[id_col].dataType),
+                    StructField("bm25", DoubleType()),
+                ]
+            ),
+        )
+
     terms = sorted({t for _, qts in query_rows for t in qts})
     tok = docs.select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_tok")
@@ -198,6 +223,13 @@ def batch_bm25_wide(
             for i in range(len(terms))
         ],
     ).first()
+    if stats["_n"] == 0 or stats["_avgdl"] is None:
+        # empty corpus: avg(_dl) is NULL and the idf/score math is
+        # undefined — return the same empty frame the join form's
+        # explode would (ADVICE r11 medium: float(None) raised here,
+        # reachable via recall_batch lexical/hybrid lanes on an empty
+        # memory store with a ≤4-query batch)
+        return _empty_result()
     n, avgdl = float(stats["_n"]), float(stats["_avgdl"])
     idf = {
         t: math.log(1.0 + (n - float(stats[f"_df{i}"]) + 0.5) / (float(stats[f"_df{i}"]) + 0.5))
@@ -236,29 +268,7 @@ def batch_bm25_wide(
         (qid, sorted(qts)) for qid, qts in merged.items() if qts
     ]
     if not scored_rows:
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
-
-        qid_t = (
-            LongType()
-            if query_rows and isinstance(query_rows[0][0], int)
-            else StringType()
-        )
-        return docs.sparkSession.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField(qid_col, qid_t),
-                    StructField(id_col, docs.schema[id_col].dataType),
-                    StructField("bm25", DoubleType()),
-                ]
-            ),
-        )
+        return _empty_result()
     per_query = F.array(
         *[
             F.struct(

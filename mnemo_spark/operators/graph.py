@@ -90,7 +90,7 @@ def expand(
         if cache.serving_enabled():
             e = cache.cached_persist(e, "expand_edges", compact=True)
         else:
-            e = e.persist()
+            e = cache.track_pin(e)  # reclaimable by cache.clear()
 
     frontier = seeds.select(F.col(seed_col).alias("_id")).distinct().withColumn(
         "hop", F.lit(0)
@@ -133,21 +133,36 @@ def _expand_lifted(
     hops·|V| rows even through cycles (a ring walks onto itself)."""
     from mnemo_spark import cache
 
+    frontier0 = seeds.select(F.col(seed_col).alias("_id")).distinct()
+    if hops < 1:
+        # seeds only (ADVICE r11: the reach relation's hop=1 rows were
+        # never filtered against hops, so hops=0 returned 1-hop
+        # neighbors — diverging from the naive walk's seeds-only)
+        return frontier0.select(
+            F.col("_id").alias(seed_col),
+            F.lit(0).alias("hop"),
+            F.lit(1.0).alias("score"),
+        )
     reach = e.select("_s", "_d", F.lit(1).alias("hop"))
     span = 1
+    level_pins: list[DataFrame] = []
     while span < hops:
         # each doubled relation is referenced 3x (union side + both
         # join sides) under DIFFERENT partitionings, so exchange reuse
         # cannot dedupe it — pin each level or the build re-executes
         # the whole prefix per reference (3^levels blowup). One-shot
-        # pins share CacheManager entries across equal-plan calls —
-        # the same boundedness argument as expand()'s edge persist.
+        # pins are materialize-then-release: the FINAL relation is
+        # eagerly computed below, after which the intermediate levels
+        # unpersist immediately (ADVICE r11: a bare per-level persist
+        # accumulated log2(hops) pinned frames per call for the life
+        # of the session).
         if cache.serving_enabled():
             reach = cache.cached_persist(
                 reach, "expand_lifted", span, hops, compact=True
             )
         else:
             reach = reach.persist()
+            level_pins.append(reach)
         a, b = reach.alias("a"), reach.alias("b")
         comp = (
             a.join(b, F.col("a._d") == F.col("b._s"))
@@ -164,7 +179,16 @@ def _expand_lifted(
             .agg(F.min("hop").alias("hop"))
         )
         span *= 2
-    frontier = seeds.select(F.col(seed_col).alias("_id")).distinct()
+    if level_pins:
+        # pin + materialize the final relation so the level pins can
+        # release NOW (they exist only to stop the 3^levels recompute
+        # during this one materialization); the final pin itself is
+        # clear()-reclaimable
+        reach = cache.track_pin(reach)
+        reach.count()
+        for p in level_pins:
+            p.unpersist()
+    frontier = frontier0
     hits = frontier.join(reach, frontier["_id"] == reach["_s"]).select(
         F.col("_d").alias("_id"), "hop"
     )

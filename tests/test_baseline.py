@@ -210,6 +210,82 @@ def test_ewma_closed_form_matches_recursion(spark):
     assert got == [round(e, 6) for e in expected]
 
 
+def test_ewma_chunked_survives_10k_windows(spark):
+    """VERDICT r11 #1: the UNCHUNKED closed form carried x·q^(-rn) and
+    exceeded DBL_MAX at rn ≈ 708/(-ln q) (~1990 windows at α=0.3 —
+    one agent with ~7 days of 5-minute-window history), silently
+    NaN-ing ewma_drift. The epoch-chunked form must match a
+    driver-side recursion (the reference's anomaly.rs:73-83
+    accumulator) at 6 dp over ≥10,000 windows per agent, across α
+    regimes that exercise 1, ~10 and ~100 chunks."""
+    import math
+
+    n = 10_000
+    t0 = dt.datetime(2024, 1, 1)
+    # deterministic pseudo-random rates on the 6-dp grid, 2 agents
+    xs = {
+        a: [round(((i * 2654435761 + a * 97) % 9973) / 997.3, 6) for i in range(n)]
+        for a in (1, 2)
+    }
+    prof = spark.createDataFrame(
+        [
+            (f"a{a}", t0 + dt.timedelta(minutes=5 * i), x)
+            for a, series in xs.items()
+            for i, x in enumerate(series)
+        ],
+        "agent_id string, window_start timestamp, recall_rate_per_min double",
+    ).repartition(8)
+    for alpha in (0.3, 0.03, 0.97):  # K ≈ 981 / 11490 / 99 chunks of n
+        rows = baseline_deltas(prof, alpha=alpha).collect()
+        assert len(rows) == 2 * n
+        got = {}
+        for r in rows:
+            assert r["ewma_drift"] is not None
+            assert math.isfinite(r["ewma_drift"]), (alpha, r)
+            assert r["severity"] is not None
+            got.setdefault(r["agent_id"], []).append(
+                (r["window_start"], r["ewma_drift"])
+            )
+        for a, series in xs.items():
+            seq = [v for _, v in sorted(got[f"a{a}"])]
+            ew = series[0]
+            worst = abs(seq[0] - ew)
+            for i, x in enumerate(series[1:], start=1):
+                ew = ewma_drift(ew, x, alpha)
+                worst = max(worst, abs(seq[i] - ew))
+            # 6-dp rounding contributes ≤5e-7; the chunked closed
+            # form's FP drift over 10k windows is orders below that
+            assert worst <= 1.0e-6, (alpha, a, worst)
+
+
+def test_ewma_alpha_edge_cases(spark):
+    """ADVICE r11: α = 1.0 is legal per the reference clamp but q = 0
+    made pow(q, -rn) = inf and 0·inf = NaN. α ≥ 1 must yield
+    ewma = x, α ≤ 0 must yield ewma = first(x) — both NaN-free."""
+    t0 = dt.datetime(2024, 1, 1)
+    xs = [0.5, 2.0, 1.0, 4.0, 0.25]
+    prof = spark.createDataFrame(
+        [("a1", t0 + dt.timedelta(days=i), x) for i, x in enumerate(xs)],
+        "agent_id string, window_start timestamp, recall_rate_per_min double",
+    )
+    hi = [
+        r["ewma_drift"]
+        for r in baseline_deltas(prof, alpha=1.0).orderBy("window_start").collect()
+    ]
+    assert hi == xs
+    lo = [
+        r["ewma_drift"]
+        for r in baseline_deltas(prof, alpha=0.0).orderBy("window_start").collect()
+    ]
+    assert lo == [xs[0]] * len(xs)
+    # the reference clamps out-of-range alphas (anomaly.rs:80-83)
+    clamped = [
+        r["ewma_drift"]
+        for r in baseline_deltas(prof, alpha=7.5).orderBy("window_start").collect()
+    ]
+    assert clamped == xs
+
+
 def test_deltas_ladder_burst(spark):
     """A 10x burst window ladders High/Critical; steady windows stay
     Info (the crate's burst_flips_severity_to_high, relationally)."""

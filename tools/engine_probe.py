@@ -15,8 +15,15 @@ agents = doc sources), then times the serving verbs end to end:
                    one-agent load
   verify           full chain verification over the store
 
-Usage: python tools/engine_probe.py [sf_dir] → one JSON line
+Usage: python tools/engine_probe.py [sf_dir] [--n N] → one JSON line
 {verb: sec, ...} plus row counts on stderr.
+
+--n N (VERDICT r11 #5): replicate the docs-derived memory rows up to
+≥N before the write, so the verbs are probed at a store one or two
+orders beyond the sf dir's document count (the wide-BM25 crossover
+cap and the EWMA overflow were both only visible past the default
+5k). Replicas get distinct ids and per-copy time offsets; agents stay
+the doc sources, so per-agent chain/history depth scales with N too.
 """
 
 from __future__ import annotations
@@ -42,13 +49,36 @@ T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:]]
+    n_target = None
+    if "--n" in args:
+        i = args.index("--n")
+        n_target = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("engine_probe")
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
+    if n_target is not None and n_target > n_docs:
+        # replicate to ≥ n_target: distinct ids per copy, created_at
+        # offset per copy so per-agent history depth scales with N
+        copies = -(-n_target // n_docs)  # ceil
+        docs = docs.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_copy"),
+        )
+        n_docs = n_docs * copies
+    else:
+        docs = docs.withColumn("_copy", F.lit(0))
+
     rows = docs.select(
-        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("id"),
+        F.concat(
+            F.lit("m"),
+            F.col("_copy").cast("string"),
+            F.lit("_"),
+            F.col("doc_id").cast("string"),
+        ).alias("id"),
         F.col("source").alias("agent_id"),
         F.col("text").alias("content"),
         F.lit("semantic").alias("memory_type"),
@@ -57,7 +87,9 @@ def main() -> None:
         F.array(F.col("lang")).alias("tags"),
         (
             F.lit(T0).cast("timestamp")
-            + F.make_interval(mins=F.col("doc_id").cast("int"))
+            + F.make_interval(
+                mins=(F.col("doc_id") + F.col("_copy") * 7919).cast("int")
+            )
         ).alias("created_at"),
     )
 
@@ -156,6 +188,23 @@ def main() -> None:
     timed(
         "verify_integrity",
         lambda: eng.verify_integrity().filter(F.col("n_breaks") > 0).count(),
+    )
+
+    # behavioural-baseline family (VERDICT r11 #6): the profile is one
+    # tumbling-window groupBy over the audit log; the detector adds
+    # two agent-partition windows + the chunked-EWMA carry join. At
+    # --n 50k the per-agent 5-minute-window history runs past the old
+    # closed form's ~2k-window overflow bound, so this probe also
+    # exercises the r12 chunking fix in anger.
+    from mnemo_spark.baseline import baseline_deltas
+
+    prof = timed(
+        "baseline_profile_5min", lambda: eng.baseline(window_minutes=5.0)
+    )
+    timed("baseline_profile_materialize", lambda: prof.count())
+    timed(
+        "baseline_deltas_5min",
+        lambda: baseline_deltas(prof).count(),
     )
 
     # resident-session posture (r9 serving lifecycle): the same read

@@ -128,9 +128,37 @@ def main() -> int:
 
     wall = time.time() - t_start
     bad = {k: v for k, v in results.items() if v[0] != 0}
+    # auditable totals (VERDICT r11 #3): sum the per-file pass/fail
+    # counts out of each pytest summary line so the artifact's
+    # per-file listing, this total, and `pytest --collect-only -q`
+    # are three mutually checkable statements of the same number
+    import re
+
+    counts = {"passed": 0, "failed": 0, "error": 0, "skipped": 0}
+    unparsed = []
+    for name, (_, _, tail) in sorted(results.items()):
+        summary = next(
+            (
+                ln
+                for ln in reversed(tail.splitlines())
+                if re.search(r"\d+ (passed|failed|error)", ln)
+            ),
+            None,
+        )
+        if summary is None:
+            unparsed.append(name)
+            continue
+        for n, kind in re.findall(r"(\d+) (passed|failed|errors?|skipped)", summary):
+            counts[kind[:-1] if kind == "errors" else kind] += int(n)
     print(f"\npartest: {len(files)} files in {wall:.0f}s wall "
           f"({sum(v[1] for v in results.values()):.0f}s cpu-serial), "
           f"{len(bad)} failed")
+    total = sum(counts.values())
+    print(
+        f"partest totals: {total} tests = "
+        + ", ".join(f"{v} {k}" for k, v in counts.items() if v)
+        + (f" (UNPARSED: {unparsed})" if unparsed else "")
+    )
     for name, (rc, _, tail) in sorted(bad.items()):
         print(f"\n===== {name} (rc={rc}) =====\n{tail}")
     return 1 if bad else 0
