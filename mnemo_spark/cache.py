@@ -145,6 +145,7 @@ def cached_persist(
     *key_parts,
     key_plan: DataFrame | None = None,
     compact: bool = False,
+    max_parts: int | None = None,
 ) -> DataFrame:
     """key_plan: hash THIS frame's plan instead of df's own. Needed
     when df's lineage contains a Spark ML transform — every
@@ -164,7 +165,15 @@ def cached_persist(
     never an extra shuffle); at 100 TB the same rule yields thousands
     of partitions — this is the standard compact-the-index-segment
     move, not a parallelism giveaway. Do NOT use for frames feeding
-    Arrow/Python folds (see session.py's parallelismFirst note)."""
+    Arrow/Python folds (see session.py's parallelismFirst note).
+
+    max_parts (r12) additionally caps the compact layout when the
+    CALLER knows the frame is small but Catalyst's estimate is
+    inflated (a write-path plan whose FlatMapGroupsInPandas/join
+    lineage inherits the child scan's size): a ~5 MB store cached as
+    34 near-empty blocks paid ~34 Python-worker round-trips per
+    mapInPandas kernel pass over it — measured as the dominant warm
+    cost of recall_routed_docs (1.12 s → 0.63 s at 8 parts)."""
     if not serving_enabled():
         return df
     try:
@@ -188,7 +197,7 @@ def cached_persist(
     from mnemo_spark.params import SERVING_CACHE_BUDGET_BYTES
 
     if compact:
-        df = _size_coalesced(df)
+        df = _size_coalesced(df, max_parts=max_parts)
     pinned = _pin(df, app_id, SERVING_CACHE_BUDGET_BYTES)
     with _LOCK:
         existing = _CACHE.get(key)
@@ -250,13 +259,19 @@ def cached_value(build, *key_parts, key_plan: DataFrame):
         return _VALUES.setdefault(key, val)
 
 
-def _size_coalesced(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
+def _size_coalesced(
+    df: DataFrame,
+    target_bytes: int = 64 << 20,
+    max_parts: int | None = None,
+) -> DataFrame:
     """Narrow-coalesce df to ceil(sizeInBytes estimate / target_bytes)
     partitions when that is FEWER than its current partitioning.
     Catalyst's estimate for post-aggregation plans inherits the child
     scan size — an overestimate, so the error direction keeps MORE
     partitions than ideal (safe at scale, still a large win over
-    shuffle.partitions near-empty blocks locally)."""
+    shuffle.partitions near-empty blocks locally). max_parts is the
+    caller's own knowledge overriding the estimate — see
+    cached_persist."""
     import math
 
     try:
@@ -264,6 +279,8 @@ def _size_coalesced(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
         parts = max(1, math.ceil(est / target_bytes))
+        if max_parts is not None:
+            parts = min(parts, max_parts)
         if parts < df.rdd.getNumPartitions():
             return df.coalesce(parts)
     except Exception:  # noqa: BLE001 - layout tuning is best-effort

@@ -163,6 +163,13 @@ class MnemoSparkEngine:
             else spark.createDataFrame([], MEMORY_SCHEMA)
         )
         self.acls = acls if acls is not None else spark.createDataFrame([], ACL_SCHEMA)
+        # structural emptiness (r12): an engine constructed WITHOUT an
+        # ACL frame provably has no grants, so visible_to skips the
+        # grant branch at plan-build time. The empty default frame is
+        # RDD-backed, so Catalyst cannot prove it empty itself and
+        # would keep a semi-join + exchange + second store scan in
+        # EVERY recall plan. share()/_clone(acls=...) clears the flag.
+        self._acls_known_empty = acls is None
         self.dim = embedding_dim
         # T1: append-only hash-chained audit log, one row per verb
         self.events = (
@@ -420,6 +427,10 @@ class MnemoSparkEngine:
             events if events is not None else self.events,
             self.embedder,
         )
+        # the constructor always receives SOME acls frame here, so the
+        # known-empty flag must carry explicitly: inherited when the
+        # clone keeps our acls, cleared when a new frame arrives
+        out._acls_known_empty = self._acls_known_empty if acls is None else False
         out.experience_enabled = self.experience_enabled
         return out
 
@@ -616,24 +627,50 @@ class MnemoSparkEngine:
 
     def visible_to(self, principal: str, now=None) -> DataFrame:
         """Owner ∪ public/global scope ∪ live ACL grant — the
-        left-semi ACL join unioned with the ownership filter."""
+        left-semi ACL join unioned with the ownership filter.
+
+        The two union branches are DISJOINT by construction (the grant
+        branch filters to rows that fail the own-or-public predicate),
+        so no dropDuplicates is needed: ids are store-unique (the
+        upsert contract), a semi join emits each left row at most
+        once, and the branches cannot overlap. The previous
+        union + dropDuplicates(id) shuffled the ENTIRE visible corpus
+        — wide rows, content + embedding — on every recall (r12,
+        found profiling recall_routed_docs: the distinct was 0.8 s of
+        the 1.3 s warm execution at sf0.1, and at 100 TB it is a
+        full-corpus exchange per query). Now only the private-non-own
+        slice moves for the ACL semi join, and only when a broadcast
+        of the grants frame doesn't absorb it."""
         now = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
         live = self.memories.filter(
             F.col("deleted_at").isNull()
             & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
             & F.col("quarantined").isNull()
         )
-        own_or_public = live.filter(
-            (F.col("agent_id") == principal) | F.col("scope").isin("public", "global")
+        # coalesce: a NULL agent_id/scope row must land in the grant
+        # branch (NULL fails BOTH a filter(p) and a filter(~p), which
+        # would make it invisible even when granted)
+        own_or_public_pred = F.coalesce(
+            (F.col("agent_id") == principal)
+            | F.col("scope").isin("public", "global"),
+            F.lit(False),
         )
+        own_or_public = live.filter(own_or_public_pred)
+        if self._acls_known_empty:
+            # no grant has ever been issued on this engine lineage — a
+            # structural fact (the default ACL frame is RDD-backed, so
+            # Catalyst cannot prove it empty itself): skip the grant
+            # branch's semi join + second store scan at plan-build time
+            return own_or_public
         grants = self.acls.filter(
             (F.col("principal_id") == principal)
             & (F.col("expires_at").isNull() | (F.col("expires_at") > now))
         )
-        granted = live.join(
-            grants, live.id == grants.memory_id, "left_semi"
+        rest = live.filter(~own_or_public_pred)
+        granted = rest.join(
+            grants, rest.id == grants.memory_id, "left_semi"
         )
-        return own_or_public.unionByName(granted).dropDuplicates(["id"])
+        return own_or_public.unionByName(granted)
 
     def share(self, memory_ids: list[str], principal: str, permission: str = "read",
               expires_at=None) -> "MnemoSparkEngine":
@@ -3359,7 +3396,7 @@ class VersionedEngine(MnemoSparkEngine):
         )
 
     def _with(self, memories=None, acls=None, checkpoints=None) -> "VersionedEngine":
-        return VersionedEngine(
+        out = VersionedEngine(
             self.spark,
             memories if memories is not None else self.memories,
             acls if acls is not None else self.acls,
@@ -3368,6 +3405,8 @@ class VersionedEngine(MnemoSparkEngine):
             self.events,
             self.embedder,
         )
+        out._acls_known_empty = self._acls_known_empty if acls is None else False
+        return out
 
     def _clone(self, memories=None, acls=None, events=None) -> "VersionedEngine":
         # inherited verbs (remember_batch/forget/share/run_ttl_sweep)
@@ -3382,6 +3421,7 @@ class VersionedEngine(MnemoSparkEngine):
             events if events is not None else self.events,
             self.embedder,
         )
+        out._acls_known_empty = self._acls_known_empty if acls is None else False
         out.experience_enabled = self.experience_enabled
         return out
 

@@ -243,10 +243,17 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mnemo_spark.cache import cached_persist
 
     d = _t(spark, sf_dir, "documents")
+    # the cached postings lay out hash-partitioned by doc_id (r12,
+    # VERDICT r11 #4: tfidf crept to 4.3x its twin): the per-doc rank
+    # window below requires clustering on doc_id, so a doc_id-laid
+    # cache serves it with ZERO warm exchanges — the groupBy still
+    # map-side-combines on (doc_id, term) first, and the extra
+    # repartition is index-build cost paid once per corpus
     tf = cached_persist(
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf")),
+        .agg(F.count("*").alias("tf"))
+        .repartition("doc_id"),
         "tfidf_tf",
     )
     dfreq = cached_persist(

@@ -743,8 +743,14 @@ def recall_routed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # made this the heaviest honest-twin bench entry at 5.1x)
     from mnemo_spark.cache import cached_persist
 
+    # max_parts=8: the write-path plan's Catalyst size estimate is
+    # inflated (FlatMapGroupsInPandas lineage), so the ~5 MB store
+    # cached as 34 near-empty blocks and every routed kernel pass paid
+    # ~34 Python-worker round-trips (r12: 1.12 s → 0.63 s warm). 8
+    # parts = the fixture's agent count; the sf1x corpus is ~50 MB,
+    # still comfortably 8 x 64 MiB-bounded.
     eng.memories = cached_persist(
-        eng.memories, "recall_routed_store", compact=True
+        eng.memories, "recall_routed_store", compact=True, max_parts=8
     )
     queries = spark.createDataFrame(
         _ROUTED_QUERIES, "query_id string, query string"

@@ -744,21 +744,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first: the correlated scalar subquery becomes a window min
     over the regional cost frame partitioned by part (no re-scan,
-    one shuffle), then an equality filter. The selective part filter
-    (p_size/p_type) broadcast-joins BELOW the window: the window is
-    partitioned by l_partkey, so dropping whole parts before the min
-    cannot change any surviving part's min, and the windowed frame
-    shrinks by the part selectivity — at 100 TB that is the
-    difference between windowing all of partsupp and windowing ~1 %
+    one shuffle), then an equality filter. BOTH dimension filters —
+    the selective part filter (p_size/p_type) AND the EU supplier
+    semi-join — broadcast-join BELOW the (l_partkey, l_suppkey)
+    aggregation, not just below the window (r12, VERDICT r11 #4: the
+    pair-agg over the full lineitem was 0.57 s of the query's
+    0.76 s): each filter is a function of a grouping key, so
+    restricting the rows first cannot change any surviving group's
+    min, and the only wide shuffle in the plan (the pair aggregation)
+    shrinks by the joint part x region selectivity — at 100 TB that
+    is the difference between aggregating all of partsupp and ~1 %
     of it. `supply_cost` is min(price/qty) — min of identical IEEE
     divisions, so the cross-engine equality filter is exact, no FP
     drift. Ranking is orderBy+limit → TakeOrderedAndProject
     (parallel partial top-k).
     """
     l = _t(spark, sf_dir, "lineitem")
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
-    )
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
@@ -770,9 +771,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
     )
-    regional = (
-        cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
-        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+    lines = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).join(
+        F.broadcast(eu), l.l_suppkey == eu.s_suppkey
+    )
+    # the dimension columns ride the groupBy keys (functionally
+    # dependent on l_partkey / l_suppkey) — no re-join after the agg
+    regional = lines.groupBy(
+        "l_partkey",
+        "l_suppkey",
+        "s_name",
+        "s_acctbal",
+        "n_name",
+        "p_partkey",
+        "p_name",
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
     )
     w = Window.partitionBy("l_partkey")
     best = regional.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
