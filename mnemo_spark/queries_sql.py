@@ -229,7 +229,8 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_quantiles_lineitem",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+             AS exact_p50_cents,
            TRUE AS valid
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -244,17 +245,29 @@ def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     at (n-1)p) plus `valid`: the sketch value bracketed by the exact
     p±2% neighbors (rank error ≤ 1/accuracy at accuracy 10000). The
     oracle expects `valid` uniformly TRUE, so a sketch outside its
-    rank-error bound is a hash mismatch, not a silent pass."""
+    rank-error bound is a hash mismatch, not a silent pass.
+
+    The median is emitted in integer CENTS (r12): prices are 2-dp
+    money, so medians over DOLLARS are routinely exact half-cents —
+    the decimal-grid rounding boundary where the two engines' 1-ulp
+    interpolation differences legitimately round(…, 2) to different
+    cents (caught by a full sf0.001 sweep: 52724.245 split
+    .24 vs .25). Interpolating INTEGER cents yields exactly n or
+    n + 0.5 — both exactly representable, byte-identical in both
+    engines, no final rounding step at all."""
     e = _t(spark, sf_dir, "lineitem")
-    agg = e.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_raw"),
-        F.expr("percentile(l_extendedprice, 0.48)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.52)").alias("hi"),
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    agg = e.select("l_returnflag", cents.alias("_cents")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.percentile_approx("_cents", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(_cents, 0.5)").alias("exact_p50_cents"),
+        F.expr("percentile(_cents, 0.48)").alias("lo"),
+        F.expr("percentile(_cents, 0.52)").alias("hi"),
     )
     return agg.select(
         "l_returnflag",
-        F.round("exact_p50_raw", 2).alias("exact_p50"),
+        "exact_p50_cents",
         (
             (F.col("approx_p50") >= F.col("lo"))
             & (F.col("approx_p50") <= F.col("hi"))
