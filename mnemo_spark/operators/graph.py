@@ -66,6 +66,15 @@ def expand(
     (min-hop semantics are preserved by taking min over compositions;
     tests/test_r11_fixes.py equivalence). Ignores dedup_per_hop /
     broadcast_* (the lifting plan has its own shape).
+
+    NOTE (ADVICE r12): with out_degree_1=True and hops ≥ 2 OUTSIDE a
+    serving session, the call is NOT lazy — the doubled reach relation
+    is eagerly materialized (one count() job) at call time so the
+    per-level pins can release immediately (materialize-then-release;
+    a lazy variant would either leak log2(hops) pins or replay the
+    3^levels prefix on every action). The final pin persists
+    MEMORY_AND_DISK, so later eviction degrades to disk reads instead
+    of that unpinned recompute.
     """
     if broadcast_edges and broadcast_frontier:
         raise ValueError("broadcast_edges and broadcast_frontier are exclusive")
@@ -183,8 +192,12 @@ def _expand_lifted(
         # pin + materialize the final relation so the level pins can
         # release NOW (they exist only to stop the 3^levels recompute
         # during this one materialization); the final pin itself is
-        # clear()-reclaimable
-        reach = cache.track_pin(reach)
+        # clear()-reclaimable, and MEMORY_AND_DISK so block eviction
+        # degrades to disk reads instead of the unpinned 3^levels
+        # replay (ADVICE r12)
+        from pyspark import StorageLevel
+
+        reach = cache.track_pin(reach, StorageLevel.MEMORY_AND_DISK)
         reach.count()
         for p in level_pins:
             p.unpersist()

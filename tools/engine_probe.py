@@ -73,12 +73,23 @@ def main() -> None:
         docs = docs.withColumn("_copy", F.lit(0))
 
     rows = docs.select(
-        F.concat(
-            F.lit("m"),
-            F.col("_copy").cast("string"),
-            F.lit("_"),
-            F.col("doc_id").cast("string"),
-        ).alias("id"),
+        # legacy id format m<doc_id> for copy 0 (ADVICE r12: the
+        # unconditional m<copy>_<doc_id> silently changed the default
+        # no---n probe's memory ids vs all prior rounds' artifacts);
+        # replicas get the m<copy>_<doc_id> suffix form
+        F.when(
+            F.col("_copy") == 0,
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("m"),
+                F.col("_copy").cast("string"),
+                F.lit("_"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("id"),
         F.col("source").alias("agent_id"),
         F.col("text").alias("content"),
         F.lit("semantic").alias("memory_type"),

@@ -134,21 +134,32 @@ def main() -> int:
     # are three mutually checkable statements of the same number
     import re
 
-    counts = {"passed": 0, "failed": 0, "error": 0, "skipped": 0}
+    counts = {
+        "passed": 0,
+        "failed": 0,
+        "error": 0,
+        "skipped": 0,
+        "xfailed": 0,
+        "xpassed": 0,
+    }
     unparsed = []
+    # ADVICE r12: match xfailed/xpassed (bucketed explicitly) and
+    # recognize a skipped-only summary line, so the totals line can
+    # never silently undercount vs the --collect-only cross-check
+    kinds_re = r"(x?passed|x?failed|errors?|skipped)"
     for name, (_, _, tail) in sorted(results.items()):
         summary = next(
             (
                 ln
                 for ln in reversed(tail.splitlines())
-                if re.search(r"\d+ (passed|failed|error)", ln)
+                if re.search(rf"\d+ {kinds_re}", ln)
             ),
             None,
         )
         if summary is None:
             unparsed.append(name)
             continue
-        for n, kind in re.findall(r"(\d+) (passed|failed|errors?|skipped)", summary):
+        for n, kind in re.findall(rf"(\d+) {kinds_re}", summary):
             counts[kind[:-1] if kind == "errors" else kind] += int(n)
     print(f"\npartest: {len(files)} files in {wall:.0f}s wall "
           f"({sum(v[1] for v in results.values()):.0f}s cpu-serial), "
