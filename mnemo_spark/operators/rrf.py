@@ -20,10 +20,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mnemo_spark import cache
 from mnemo_spark.operators.window_ops import _GPART, _const_partition, top_k_ranked
 
 ROUND_DP = 6
 DEFAULT_RRF_K = 60
+
+# literal-replication bound for query-independent lanes: past this,
+# the exploded literal array strains codegen (ADVICE r8) and the
+# broadcast-join replication path is used instead
+MAX_LITERAL_GROUPS = 1000
+
+
+def _local_group_values(groups: DataFrame, group_col: str) -> list | None:
+    """The distinct group ids IF the groups frame is a driver-side
+    literal (LocalRelation) — collecting one is driver-only work, no
+    Spark job. Returns None for any distributed plan (never collect
+    those here) or past MAX_LITERAL_GROUPS."""
+    try:
+        plan = groups._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        vals = sorted({r[0] for r in groups.select(group_col).collect()})
+    except Exception:  # noqa: BLE001 - fall back to the join path
+        return None
+    return vals if len(vals) <= MAX_LITERAL_GROUPS else None
 
 
 def rank_lane(
@@ -43,6 +64,15 @@ def rank_lane(
     return ranked.select(F.col(id_col).alias("_id"), "_rank")
 
 
+def _lane_weight_map(names, weights: dict[str, float]):
+    """lane tag → weight as a map literal (missing names default 1.0,
+    the reference's equal-weight `auto` mode)."""
+    lits = []
+    for name in names:
+        lits += [F.lit(name), F.lit(float(weights.get(name, 1.0)))]
+    return F.create_map(*lits)
+
+
 def rrf_fuse(
     lanes: dict[str, DataFrame],
     weights: dict[str, float] | None = None,
@@ -51,6 +81,7 @@ def rrf_fuse(
     score_col: str = "score",
     limit: int | None = None,
     lane_limit: int | None = None,
+    unified: bool = True,
 ) -> DataFrame:
     """Fuse ranked lanes → (id, rrf_score, rank).
 
@@ -59,24 +90,68 @@ def rrf_fuse(
     lane_limit = the reference's candidate over-fetch (`limit*3` per
     lane, recall.rs:397): only each lane's top-N feed fusion — at
     corpus scale the fusion input is O(lanes·N), not O(corpus).
+
+    unified=True (r13, VERDICT r12 #1): ALL lanes rank in ONE window
+    pass — tag each lane, union the raw scores, one row_number window
+    partitioned by the lane tag — instead of one rank subtree per
+    lane. The r12 REST-metrics diagnosis showed the retrieval
+    cluster's warm wall is chained stage barriers with single-digit-ms
+    real CPU per task; per-lane rank subtrees are exactly such a
+    chain. With lane_limit set the rank filter plans a
+    WindowGroupLimit whose PARTIAL mode bounds every input partition
+    to lanes × lane_limit rows BEFORE the exchange — the same
+    never-corpus-on-one-task bound the per-lane TakeOrderedAndProject
+    gave; with lane_limit=None each lane deliberately occupies one
+    partition, matching the legacy single-partition full ranking.
+    unified=False keeps the per-lane shape as the executable spec
+    (tests/test_r13_fixes.py asserts row equality between the two).
     """
     weights = weights or {}
-    contribs = []
-    for name, lane in lanes.items():
-        w_val = float(weights.get(name, 1.0))
-        ranked = rank_lane(lane, id_col, score_col, k=lane_limit)
-        contribs.append(
+    if unified:
+        tagged = None
+        for name, lane in lanes.items():
+            t = lane.select(
+                F.col(id_col).alias("_id"),
+                F.round(F.col(score_col).cast("double"), ROUND_DP).alias("_s"),
+                F.lit(name).alias("_lane"),
+            )
+            tagged = t if tagged is None else tagged.unionByName(t)
+        ranked = tagged.withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("_lane").orderBy(F.desc("_s"), F.asc("_id"))
+            ),
+        )
+        if lane_limit is not None:
+            ranked = ranked.filter(F.col("_rank") <= lane_limit)
+        wmap = _lane_weight_map(lanes, weights)
+        fused = (
             ranked.select(
                 "_id",
-                (F.lit(w_val) / (F.lit(float(rrf_k)) + F.col("_rank"))).alias("_contrib"),
+                (
+                    wmap[F.col("_lane")] / (F.lit(float(rrf_k)) + F.col("_rank"))
+                ).alias("_contrib"),
             )
+            .groupBy("_id")
+            .agg(F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score"))
         )
-    unioned = contribs[0]
-    for c in contribs[1:]:
-        unioned = unioned.unionByName(c)
-    fused = unioned.groupBy("_id").agg(
-        F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score")
-    )
+    else:
+        contribs = []
+        for name, lane in lanes.items():
+            w_val = float(weights.get(name, 1.0))
+            ranked = rank_lane(lane, id_col, score_col, k=lane_limit)
+            contribs.append(
+                ranked.select(
+                    "_id",
+                    (F.lit(w_val) / (F.lit(float(rrf_k)) + F.col("_rank"))).alias("_contrib"),
+                )
+            )
+        unioned = contribs[0]
+        for c in contribs[1:]:
+            unioned = unioned.unionByName(c)
+        fused = unioned.groupBy("_id").agg(
+            F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score")
+        )
     order = [F.desc("rrf_score"), F.asc("_id")]
     if limit is not None:
         out = top_k_ranked(fused, order, limit)
@@ -183,7 +258,11 @@ def rrf_fuse_grouped(
     score_col: str = "score",
     lane_limit: int | None = None,
     limit: int | None = None,
-    groups: DataFrame | None = None,
+    groups: "DataFrame | list | tuple | None" = None,
+    unified: bool = True,
+    tagged: DataFrame | None = None,
+    lane_col: str = "_lane",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """RRF fusion for a BATCH of queries — every lane carries a group
     key (the query id) and ranks are assigned WITHIN each group.
@@ -201,14 +280,48 @@ def rrf_fuse_grouped(
     per-lane candidate over-fetch (recall.rs:397) applied PER QUERY;
     limit truncates the fused output per query.
 
+    unified=True (r13, VERDICT r12 #1 — the round's headline plan-
+    shape fix): ALL grouped lanes rank in ONE window pass over a
+    lane-tagged union, partitioned by (group, lane), instead of one
+    window subtree per lane. The r12 Spark-UI REST diagnosis showed
+    recall_batch's warm wall is chained stage barriers (4-6 ms real
+    CPU per hot-stage task); per-lane windows each paid their own
+    exchange + sort + query-stage barrier over the SAME melted
+    corpus projection. Query-independent lanes keep their separate
+    rank-once-replicate path (folding them into the grouped window
+    would put corpus × queries rows through the exchange).
+    unified=False keeps the per-lane shape as the executable spec
+    (tests/test_r13_fixes.py asserts row equality).
+
+    tagged (r13): an ALREADY-MELTED long frame (group_col, id_col,
+    lane_col, score_col) holding rows for several lanes at once — the
+    shape recall_batch_docs produces in one explode over its cached
+    wide per-doc frame. Treated exactly like grouped `lanes` entries;
+    weights are looked up by the lane tag (missing tags weigh 1.0).
+
+    carry_cols: columns riding through fusion to the output (e.g.
+    `source` for trust down-weighting) so the caller never joins the
+    corpus back. Every lane (tagged and dict, grouped and global)
+    must provide each carry column, with consistent values per id —
+    first() keeps an arbitrary lane's copy.
+
     Scale: the per-group windows partition on the query id — ranks
     parallelize across queries, and the `row_number() <= lane_limit`
-    filter plans a WindowGroupLimit (Spark ≥3.5), so each partition
-    keeps a bounded top-k heap instead of sorting its full lane. The
-    fused aggregation is one groupBy(query, id) over O(queries ×
-    lanes × lane_limit) rows — never corpus-sized per task.
+    filter plans a WindowGroupLimit (Spark ≥3.5) whose PARTIAL mode
+    bounds every input partition BEFORE the exchange. The fused
+    aggregation is one groupBy(query, id) over O(queries × lanes ×
+    lane_limit) rows — never corpus-sized per task.
     """
     weights = weights or {}
+    if unified:
+        return _rrf_fuse_grouped_unified(
+            lanes, weights, rrf_k, group_col, id_col, score_col,
+            lane_limit, limit, groups, tagged, lane_col, carry_cols,
+        )
+    if tagged is not None or carry_cols:
+        raise ValueError("tagged/carry_cols require unified=True")
+    if isinstance(groups, (list, tuple)):
+        raise ValueError("literal `groups` require unified=True")
     contribs = []
     for name, lane in lanes.items():
         w_val = float(weights.get(name, 1.0))
@@ -286,6 +399,209 @@ def rrf_fuse_grouped(
     )
     out = fused.select(
         F.col("_g").alias(group_col), F.col("_id").alias(id_col), "rrf_score"
+    )
+    if limit is not None:
+        w_final = Window.partitionBy(group_col).orderBy(
+            F.desc("rrf_score"), F.asc(id_col)
+        )
+        out = out.withColumn("rank", F.row_number().over(w_final)).filter(
+            F.col("rank") <= limit
+        )
+    return out
+
+
+def _rrf_fuse_grouped_unified(
+    lanes: dict[str, DataFrame],
+    weights: dict[str, float],
+    rrf_k: int,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    lane_limit: int | None,
+    limit: int | None,
+    groups,
+    tagged: DataFrame | None,
+    lane_col: str,
+    carry_cols: tuple[str, ...],
+) -> DataFrame:
+    """One-window-pass body of rrf_fuse_grouped(unified=True) — see
+    its docstring.
+
+    With a lane_limit, the WHOLE fusion runs off ONE exchange: every
+    lane — grouped lanes, the pre-melted `tagged` frame, AND each
+    query-independent lane (pre-truncated to its corpus-only top-N,
+    then replicated per group: bounded rows, never corpus × queries)
+    — unions into one lane-tagged frame that is hash-partitioned on
+    the group id alone. That partitioning satisfies, by the subset
+    rule, every downstream requirement — the (group, lane) rank
+    window, the (group, id) fusion aggregate, and the final per-group
+    rank — so they all execute as in-partition sorts with no further
+    exchange. r12\'s shape paid a window exchange per lane plus two
+    more for fuse + final rank; the r12 REST-metrics diagnosis showed
+    those chained query-stage barriers (4-6 ms real CPU per task)
+    WERE the warm wall. Rows per group are lane-bounded, so
+    one-partition-per-group is skew-safe at any corpus size.
+
+    Without a lane_limit, lanes are unbounded: grouped lanes rank
+    under a spreading (group, lane) exchange and query-independent
+    lanes rank once and replicate post-rank (the legacy contract).
+
+    `groups` may be a list/tuple of literal group ids (the fixed-
+    batch case): replication is then an exploded literal array — no
+    distinct, no broadcast build, no join. A DataFrame replicates
+    via the broadcast join on a materialized constant key (see the
+    legacy path\'s comment for why the key must be non-foldable).
+    """
+    lit_groups = None
+    if isinstance(groups, (list, tuple)):
+        lit_groups = sorted(set(groups))
+        if len(lit_groups) > MAX_LITERAL_GROUPS:
+            raise ValueError(
+                f"{len(lit_groups)} literal group ids exceed"
+                f" MAX_LITERAL_GROUPS={MAX_LITERAL_GROUPS}; pass a"
+                " DataFrame instead"
+            )
+        groups = None
+    elif groups is not None:
+        lit_groups = _local_group_values(groups, group_col)
+
+    parts: list[DataFrame] = []
+    post_rank: list[DataFrame] = []  # pre-ranked contribs (no-limit globals)
+
+    def _tag(df: DataFrame, lane_expr) -> DataFrame:
+        return df.select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_id"),
+            F.round(F.col(score_col).cast("double"), ROUND_DP).alias("_s"),
+            lane_expr.alias("_lane"),
+            *[F.col(c) for c in carry_cols],
+        )
+
+    if tagged is not None:
+        parts.append(_tag(tagged, F.col(lane_col)))
+
+    def _replicate(df: DataFrame, cols: list[str]) -> DataFrame:
+        """Cross the (bounded) df with the group-id set."""
+        if lit_groups is not None:
+            return df.select(
+                F.explode(
+                    F.array(*[F.lit(v) for v in lit_groups])
+                ).alias("_g"),
+                *cols,
+            )
+        gsel = groups.select(F.col(group_col).alias("_g")).distinct()
+        return (
+            _const_partition(df.select(*cols))
+            .join(F.broadcast(_const_partition(gsel)), _GPART)
+            .drop(_GPART)
+        )
+
+    wmap = _lane_weight_map(sorted(set(weights) | set(lanes)), weights)
+    for name, lane in lanes.items():
+        if group_col in lane.columns:
+            parts.append(_tag(lane, F.lit(name)))
+            continue
+        if groups is None and lit_groups is None:
+            raise ValueError(
+                f"lane {name!r} has no {group_col!r} column; pass"
+                " `groups` to replicate a query-independent lane"
+            )
+        order = [
+            F.desc(F.round(F.col(score_col).cast("double"), ROUND_DP)),
+            F.asc(id_col),
+        ]
+        if lane_limit is not None:
+            # corpus-only top-N of the prior — an index artifact under
+            # the serving-cache doctrine (like BM25 postings): cache it
+            # so warm executions skip the corpus top-k job entirely
+            top = top_k_ranked(lane, order, lane_limit, rank_col="_rank")
+            top = top.select(
+                F.col(id_col).alias("_id"),
+                F.round(F.col(score_col).cast("double"), ROUND_DP).alias(
+                    "_s"
+                ),
+                *[F.col(c) for c in carry_cols],
+            )
+            if cache.serving_enabled():
+                top = cache.cached_persist(
+                    top, "rrf_global_lane", name, lane_limit, compact=True
+                )
+            # replicate the BOUNDED rows per group BEFORE the shared
+            # rank window — the window re-derives identical per-group
+            # ranks (truncation preserves order), and the lane joins
+            # the single-exchange pipeline instead of forcing a
+            # partition-destroying union after it
+            parts.append(
+                _replicate(top, ["_id", "_s", *carry_cols]).select(
+                    "_g",
+                    "_id",
+                    "_s",
+                    F.lit(name).alias("_lane"),
+                    *carry_cols,
+                )
+            )
+        else:
+            # unbounded: rank ONCE over the full lane (deliberate
+            # single partition), replicate ranked rows post-window
+            w_full = Window.partitionBy(_GPART).orderBy(*order)
+            ranked1 = _const_partition(lane).withColumn(
+                "_rank", F.row_number().over(w_full)
+            ).select(F.col(id_col).alias("_id"), "_rank", *carry_cols)
+            w_val = float(weights.get(name, 1.0))
+            post_rank.append(
+                _replicate(ranked1, ["_id", "_rank", *carry_cols]).select(
+                    "_g",
+                    "_id",
+                    (
+                        F.lit(w_val)
+                        / (F.lit(float(rrf_k)) + F.col("_rank"))
+                    ).alias("_contrib"),
+                    *carry_cols,
+                )
+            )
+
+    contribs: list[DataFrame] = []
+    if parts:
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        if lane_limit is not None and not post_rank:
+            # the single exchange the whole pipeline runs off
+            un = un.repartition("_g")
+        ranked = un.withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("_g", "_lane").orderBy(
+                    F.desc("_s"), F.asc("_id")
+                )
+            ),
+        )
+        if lane_limit is not None:
+            ranked = ranked.filter(F.col("_rank") <= lane_limit)
+        contribs.append(
+            ranked.select(
+                "_g",
+                "_id",
+                (
+                    F.coalesce(wmap[F.col("_lane")], F.lit(1.0))
+                    / (F.lit(float(rrf_k)) + F.col("_rank"))
+                ).alias("_contrib"),
+                *carry_cols,
+            )
+        )
+    contribs += post_rank
+    un = contribs[0]
+    for c in contribs[1:]:
+        un = un.unionByName(c)
+    fused = un.groupBy("_g", "_id").agg(
+        F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score"),
+        *[F.first(c).alias(c) for c in carry_cols],
+    )
+    out = fused.select(
+        F.col("_g").alias(group_col),
+        F.col("_id").alias(id_col),
+        "rrf_score",
+        *carry_cols,
     )
     if limit is not None:
         w_final = Window.partitionBy(group_col).orderBy(

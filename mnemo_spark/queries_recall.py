@@ -312,50 +312,62 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s + c
         return F.when(total_tf > 0, F.round(s, 6))
 
-    # melt the wide per-query scores to long lanes: one row per
-    # (query, doc, lane score), hits-only (bm25 null when the doc has
-    # no query term; cos null when no shared bucket -- dot == 0 iff
-    # bucket-disjoint, since counts and 6dp weights are positive)
+    # melt the wide per-query scores into ONE long lane-tagged frame:
+    # one row per (query, lane, doc score), hits-only (no bm25 row
+    # when the doc has no query term; no cos row when no shared
+    # bucket -- dot == 0 iff bucket-disjoint, since counts and 6dp
+    # weights are positive). r13 (VERDICT r12 #1): a SINGLE explode
+    # feeds rrf_fuse_grouped's single (query, lane)-partitioned rank
+    # window — r12's shape exploded the same cached frame once per
+    # lane and ranked each in its own window subtree, a chain of
+    # stage barriers the REST-metrics diagnosis showed dominating the
+    # warm wall. `source` rides along so the trust adjustment never
+    # joins the corpus back.
     per_q = F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(qid).alias("query_id"),
-                    bm25_of(ts).alias("bm25"),
-                    F.when(
-                        F.col(f"_dot_{qid}") > 0,
-                        F.round(F.col(f"_dot_{qid}") / F.sqrt("_l2sq"), 6),
-                    ).alias("cos"),
-                )
+                entry
                 for qid, ts in _BATCH_QUERIES
+                for entry in (
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        F.lit("bm25").alias("lane"),
+                        bm25_of(ts).alias("score"),
+                    ),
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        F.lit("embed").alias("lane"),
+                        F.when(
+                            F.col(f"_dot_{qid}") > 0,
+                            F.round(F.col(f"_dot_{qid}") / F.sqrt("_l2sq"), 6),
+                        ).alias("score"),
+                    ),
+                )
             ]
         )
     )
-    melted = perdoc.select("doc_id", per_q.alias("_e")).select(
-        "doc_id",
-        F.col("_e.query_id").alias("query_id"),
-        F.col("_e.bm25").alias("bm25"),
-        F.col("_e.cos").alias("cos"),
+    melted = (
+        perdoc.select("doc_id", "source", per_q.alias("_e"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("_e.query_id").alias("query_id"),
+            F.col("_e.lane").alias("lane"),
+            F.col("_e.score").alias("score"),
+        )
+        .filter(F.col("score").isNotNull())
     )
-    qids = spark.createDataFrame(
-        [(qid,) for qid, _ in _BATCH_QUERIES], "query_id string"
-    )
-    # the length prior is query-independent: rrf_fuse_grouped ranks it
-    # ONCE (parallel top-k) and replicates only its top-_OVERFETCH rows
-    # per query -- never corpus x queries
+    # the length prior is query-independent: rrf_fuse_grouped truncates
+    # it ONCE to its corpus-only top-_OVERFETCH (a cached index
+    # artifact) and replicates only those rows per query -- never
+    # corpus x queries. The batch's query ids are compile-time
+    # literals, so replication is an exploded literal array: no
+    # distinct, no broadcast build, no join.
     length = perdoc.select(
-        "doc_id", F.col("n_chars").cast("double").alias("score")
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
     )
     fused = rrf_fuse_grouped(
-        {
-            "bm25": melted.filter(F.col("bm25").isNotNull()).select(
-                "query_id", "doc_id", F.col("bm25").alias("score")
-            ),
-            "embed": melted.filter(F.col("cos").isNotNull()).select(
-                "query_id", "doc_id", F.col("cos").alias("score")
-            ),
-            "length": length,
-        },
+        {"length": length},
         {
             "bm25": P.RECALL_WEIGHTS["bm25"],
             "embed": P.RECALL_WEIGHTS["embed"],
@@ -365,10 +377,13 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="query_id",
         id_col="doc_id",
         lane_limit=_OVERFETCH,
-        groups=qids,
+        groups=[qid for qid, _ in _BATCH_QUERIES],
+        tagged=melted,
+        lane_col="lane",
+        carry_cols=("source",),
     )
     trust = F.when(F.col("source").isin(*P.TRUSTED_SOURCES), 1.0).otherwise(0.1)
-    adj = fused.join(perdoc.select("doc_id", "source"), "doc_id").select(
+    adj = fused.select(
         "query_id",
         "doc_id",
         F.round(F.col("rrf_score") * trust, 6).alias("score"),

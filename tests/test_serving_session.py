@@ -77,6 +77,59 @@ def test_serving_releases_all_pinned_blocks(spark, sf_dir):
         pd.testing.assert_frame_equal(served[k], oneshot[k])
 
 
+def test_cached_value_rebuilds_on_store_mutation(spark):
+    """VERDICT r12 #7: cached_value keys on the corpus plan's semantic
+    hash, so a store MUTATION (remember/forget — including through
+    clone lineages) must change the key and rebuild the memoized
+    value, while plan-equal engines HIT the same memo. Staleness here
+    would be silent (a routed recall serving yesterday's row count /
+    codebook against today's store)."""
+    from datetime import datetime, timezone
+
+    from mnemo_spark.engine import MnemoSparkEngine
+
+    t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+    def mems(ids):
+        return spark.createDataFrame(
+            [
+                (i, "alice", f"fact {i}", "semantic", "private", 0.5, [], t0)
+                for i in ids
+            ],
+            "id string, agent_id string, content string,"
+            " memory_type string, scope string, importance float,"
+            " tags array<string>, created_at timestamp",
+        )
+
+    builds = []
+
+    def probe(eng):
+        def _build():
+            builds.append(1)
+            return eng.memories.count()
+
+        return cache.cached_value(
+            _build, "coherence_probe", key_plan=eng.memories
+        )
+
+    cache.clear()
+    with cache.serving():
+        eng = MnemoSparkEngine(spark).remember_batch(mems(["m1", "m2"]))
+        assert probe(eng) == 2
+        assert probe(eng) == 2 and len(builds) == 1  # memo hit
+        # a plan-equal clone shares the memo (no rebuild)
+        assert probe(eng._clone()) == 2 and len(builds) == 1
+        # remember → new plan → rebuild with the fresh count
+        eng2 = eng.remember_batch(mems(["m3"]))
+        assert probe(eng2) == 3 and len(builds) == 2
+        # forget through the clone lineage → rebuild again
+        eng3 = eng2.forget(["m1"], strategy="hard")
+        assert probe(eng3) == 2 and len(builds) == 3
+        # the prior lineage's memo is still keyed separately
+        assert probe(eng2) == 3 and len(builds) == 3
+    cache.clear()
+
+
 def test_engine_serving_roundtrip(spark):
     """engine.serving() context + engine.release() drain the tracked
     cache; recall results identical in and out of the session."""
