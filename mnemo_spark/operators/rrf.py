@@ -427,20 +427,24 @@ def _rrf_fuse_grouped_unified(
     """One-window-pass body of rrf_fuse_grouped(unified=True) — see
     its docstring.
 
-    With a lane_limit, the WHOLE fusion runs off ONE exchange: every
-    lane — grouped lanes, the pre-melted `tagged` frame, AND each
-    query-independent lane (pre-truncated to its corpus-only top-N,
-    then replicated per group: bounded rows, never corpus × queries)
-    — unions into one lane-tagged frame that is hash-partitioned on
-    the group id alone. That partitioning satisfies, by the subset
-    rule, every downstream requirement — the (group, lane) rank
-    window, the (group, id) fusion aggregate, and the final per-group
-    rank — so they all execute as in-partition sorts with no further
-    exchange. r12\'s shape paid a window exchange per lane plus two
-    more for fuse + final rank; the r12 REST-metrics diagnosis showed
-    those chained query-stage barriers (4-6 ms real CPU per task)
-    WERE the warm wall. Rows per group are lane-bounded, so
-    one-partition-per-group is skew-safe at any corpus size.
+    With a lane_limit the fusion pays TWO bounded exchanges total:
+    every lane — grouped lanes, the pre-melted `tagged` frame, AND
+    each query-independent lane (pre-truncated to its corpus-only
+    top-N, then replicated per group: bounded rows, never corpus ×
+    queries) — unions into one lane-tagged frame ranked by a single
+    (group, lane)-partitioned window. That exchange is planted by
+    EnsureRequirements so the rank filter keeps its WindowGroupLimit
+    PARTIAL mode — every input partition truncates to lane_limit per
+    (group, lane) BEFORE the shuffle; an explicit repartition here
+    would plan Final-only and let unbounded hit rows concentrate (the
+    r13 first cut did exactly that). The rank-filtered CANDIDATE set
+    then repartitions once on the group id alone, which satisfies (by
+    the subset rule) both the (group, id) fusion aggregate and the
+    final per-group rank — in-partition sorts, no further exchange.
+    r12\'s shape paid a window exchange per lane plus two more for
+    fuse + final rank; the r12 REST-metrics diagnosis showed those
+    chained query-stage barriers (4-6 ms real CPU per task) WERE the
+    warm wall.
 
     Without a lane_limit, lanes are unbounded: grouped lanes rank
     under a spreading (group, lane) exchange and query-independent
@@ -565,9 +569,6 @@ def _rrf_fuse_grouped_unified(
         un = parts[0]
         for p in parts[1:]:
             un = un.unionByName(p)
-        if lane_limit is not None and not post_rank:
-            # the single exchange the whole pipeline runs off
-            un = un.repartition("_g")
         ranked = un.withColumn(
             "_rank",
             F.row_number().over(
@@ -593,6 +594,16 @@ def _rrf_fuse_grouped_unified(
     un = contribs[0]
     for c in contribs[1:]:
         un = un.unionByName(c)
+    if lane_limit is not None:
+        # contribs are CANDIDATE-sized here (every lane rank-filtered
+        # to lane_limit per group — the (group, lane) rank exchange
+        # above keeps its map-side WindowGroupLimit PARTIAL bound, so
+        # nothing unbounded ever concentrated). One tiny repartition
+        # on the group id alone lets both the fusion aggregate and the
+        # final per-group rank run exchange-free (subset rule); with
+        # unbounded lanes the aggregate keeps its spreading
+        # (group, id) exchange instead.
+        un = un.repartition("_g")
     fused = un.groupBy("_g", "_id").agg(
         F.round(F.sum("_contrib"), ROUND_DP).alias("rrf_score"),
         *[F.first(c).alias(c) for c in carry_cols],
