@@ -43,7 +43,7 @@ def bm25_score(
     b: float = 0.75,
 ) -> DataFrame:
     """Score every doc containing ≥1 query term. → (id, bm25)."""
-    from mnemo_spark.cache import cached_persist
+    from mnemo_spark.cache import cached_persist, cached_value, serving_enabled
 
     toks = docs.select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_tok")
@@ -75,6 +75,7 @@ def bm25_score(
         .agg(F.count("*").alias("_tf"))
         .join(lens, "_id"),
         "bm25_tf",
+        compact=True,
     )
     # corpus-level term stats are a handful of rows — cache them as ONE
     # partition so the broadcast-build stage launches 1 task, not 32
@@ -83,6 +84,52 @@ def bm25_score(
         "bm25_df",
     )
 
+    if serving_enabled():
+        # corpus-scalar inlining (r13, guide §1/§2 barrier paydown): the
+        # per-term idf and avgdl are a handful of doubles derived from
+        # the tiny cached df/stats artifacts, yet joining them as frames
+        # costs two broadcast-build jobs (= two scheduler barriers) on
+        # EVERY scoring call. Collect them ONCE per (corpus, terms) —
+        # computed by the SAME JVM F.log expression, so the doubles are
+        # bit-identical to the broadcast-join path — memoized under the
+        # serving-value doctrine (cache.cached_value, keyed on the tf
+        # artifact's plan), and inline them as literals: a warm scoring
+        # call is then postings-scan → one groupBy — no broadcast joins.
+        def _collect_idf():
+            return [
+                (r["_term"], r["_idf"], r["_avgdl"])
+                for r in df_.crossJoin(stats)
+                .select(
+                    "_term",
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                    ).alias("_idf"),
+                    "_avgdl",
+                )
+                .collect()
+            ]
+
+        vals = cached_value(_collect_idf, "bm25_idf", key_plan=tf)
+        if vals and vals[0][2] is not None:
+            avgdl = float(vals[0][2])
+            idf_map = F.create_map(
+                *[x for t, i, _a in vals for x in (F.lit(t), F.lit(float(i)))]
+            )
+            scored = (
+                tf.withColumn("_idf", idf_map[F.col("_term")])
+                .withColumn(
+                    "_contrib",
+                    F.col("_idf")
+                    * (F.col("_tf") * (k1 + 1))
+                    / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))),
+                )
+                .groupBy("_id")
+                .agg(F.round(F.sum("_contrib"), ROUND_DP).alias("bm25"))
+            )
+            return scored.select(F.col("_id").alias(id_col), "bm25")
+        # empty corpus/terms (avgdl NULL): fall through to the join
+        # path, which yields the same empty result frame
     scored = (
         tf.join(F.broadcast(df_), "_term")
         .crossJoin(F.broadcast(stats))

@@ -12,8 +12,15 @@ Three signals, one pass each:
   |len - μ_group| / σ_group.
 
 Scale: profiles are one groupBy over the corpus, broadcast back; the
-signals are projections — the whole gate is two shuffles regardless
-of corpus size.
+signals are projections — the whole gate is ONE corpus-scalar shuffle
+(the per-group profile aggregation, map-side combined to |groups|
+rows) regardless of corpus size. The repetition ratio is computed
+per-row with array_sort + aggregate (max run length in the sorted
+token array ≡ max token frequency), so the corpus token stream never
+shuffles and the per-doc stats never join back (r13 — the old shape
+paid explode → groupBy(doc, term) → groupBy(doc) → corpus equi-join:
+two token-volume shuffles plus a corpus-sized join, all to compute a
+quantity each row can derive from its own tokens).
 """
 
 from __future__ import annotations
@@ -42,6 +49,33 @@ def poisoning_flags(
     reference writes back as `quarantined` (replayable, not deleted).
     """
     toks = tokens(text_col)
+    # max token frequency per row, JVM-side: the longest equal run in
+    # the SORTED token array is exactly max-over-terms count(term) —
+    # no explode, no (doc, term) shuffle, no per-doc join-back. Docs
+    # with zero tokens are dropped, matching the old inner join against
+    # the exploded tf frame (explode of an empty array emits no row).
+    _run = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1)
+        .otherwise(F.lit(1).cast("long"))
+        .alias("run"),
+        F.greatest(
+            acc["maxrun"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ),
+        ).alias("maxrun"),
+    )
+    maxtf = F.aggregate(
+        F.array_sort("_toks"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxrun"),
+        ),
+        _run,
+        lambda acc: acc["maxrun"],
+    )
     base = docs.select(
         F.col(id_col),
         F.col(group_col),
@@ -49,21 +83,15 @@ def poisoning_flags(
         F.length(text_col).cast("double").alias("_len"),
         toks.alias("_toks"),
     )
-    # max token frequency via explode + two groupBys (map-side combined)
-    tf = (
-        base.select(id_col, F.explode("_toks").alias("_t"))
-        .groupBy(id_col, "_t")
-        .agg(F.count("*").alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("_maxtf"), F.sum("_c").alias("_ntok"))
-    )
     profile = base.groupBy(group_col).agg(
         F.avg("_len").alias("_mu"),
         F.greatest(F.stddev_pop("_len"), F.lit(1e-6)).alias("_sigma"),
     )
     joined = (
-        base.drop("_toks")
-        .join(tf, id_col)
+        base.withColumn("_maxtf", maxtf)
+        .withColumn("_ntok", F.size("_toks"))
+        .filter(F.col("_ntok") > 0)
+        .drop("_toks")
         .join(F.broadcast(profile), group_col)
         .withColumn(
             "repetition_ratio",

@@ -267,17 +267,35 @@ def mesh_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OP_CASE).alias("op"),
         "user_id",
     )
-    recall_rules = (
-        ops.filter(F.col("spiffe_id").isNotNull() & (F.col("user_id") % 3 != 0))
-        .select("spiffe_id", "tenant", "scope", F.lit("recall").alias("op"))
-        .distinct()
+    # both rule sets in ONE grouped pass over the ops stream (r13): the
+    # old shape paid a distinct (full aggregation + exchange) per rule
+    # kind over the same corpus-derived rows, plus a third corpus scan.
+    # One groupBy computes a per-(identity, namespace) flag per rule
+    # kind — map-side combined to manifest-sized rows — and the flags
+    # explode into exactly the rows the two distincts produced.
+    _empty = F.array().cast("array<string>")
+    flags = (
+        ops.filter(
+            F.col("spiffe_id").isNotNull()
+            & ((F.col("user_id") % 3 != 0) | (F.col("user_id") % 6 == 1))
+        )
+        .groupBy("spiffe_id", "tenant", "scope")
+        .agg(
+            F.max((F.col("user_id") % 3 != 0).cast("int")).alias("_r"),
+            F.max((F.col("user_id") % 6 == 1).cast("int")).alias("_w"),
+        )
     )
-    write_rules = (
-        ops.filter(F.col("spiffe_id").isNotNull() & (F.col("user_id") % 6 == 1))
-        .select("spiffe_id", "tenant", "scope", F.lit("write").alias("op"))
-        .distinct()
+    rules = flags.select(
+        "spiffe_id",
+        "tenant",
+        "scope",
+        F.explode(
+            F.concat(
+                F.when(F.col("_r") == 1, F.array(F.lit("recall"))).otherwise(_empty),
+                F.when(F.col("_w") == 1, F.array(F.lit("write"))).otherwise(_empty),
+            )
+        ).alias("op"),
     )
-    rules = recall_rules.unionByName(write_rules)
     decided = authorize_ops(ops.drop("user_id"), rules)
     return decided.groupBy("op", "decision").agg(F.count("*").alias("n"))
 

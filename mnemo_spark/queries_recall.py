@@ -22,7 +22,7 @@ materializes more than |corpus| rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mnemo_spark import params as P
@@ -600,37 +600,54 @@ def rrf_explain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to the fused score — the transparency surface of hybrid
     retrieval."""
     docs = _t(spark, sf_dir, "documents")
-    from mnemo_spark.operators.rrf import rank_lane
-
-    bm25_ranked = rank_lane(
-        bm25_score(docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B)
-        .withColumnRenamed("bm25", "score"),
+    # r13 (the unified-rrf move applied to the explain surface): both
+    # lanes rank in ONE lane-tagged window pass and the full-outer
+    # join of per-lane rank frames becomes a pivot aggregation on the
+    # doc id — the old shape paid one single-partition window subtree
+    # per lane plus a full-outer SortMergeJoin (2 extra exchanges + 2
+    # sorts) to line the contributions up. Rank semantics per lane are
+    # unchanged: 1-based by (round(score, 6) DESC, doc_id ASC), over
+    # the FULL lane (the explain surface's pinned contract — absent
+    # lane membership contributes exactly 0.0).
+    bm25_lane = bm25_score(
+        docs, P.BM25_QUERY_TERMS, k1=P.BM25_K1, b=P.BM25_B
+    ).select(
         "doc_id",
-        "score",
-    ).select(F.col("_id").alias("doc_id"), F.col("_rank").alias("rb"))
-    len_ranked = rank_lane(
-        docs.select("doc_id", F.col("n_chars").cast("double").alias("score")),
+        F.round(F.col("bm25"), 6).alias("_s"),
+        F.lit("bm25").alias("_lane"),
+    )
+    len_lane = docs.select(
         "doc_id",
-        "score",
-    ).select(F.col("_id").alias("doc_id"), F.col("_rank").alias("rl"))
+        F.round(F.col("n_chars").cast("double"), 6).alias("_s"),
+        F.lit("length").alias("_lane"),
+    )
+    ranked = bm25_lane.unionByName(len_lane).withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("_lane").orderBy(F.desc("_s"), F.asc("doc_id"))
+        ),
+    )
+    contrib = {
+        name: F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("_lane") == name,
+                        F.lit(P.RRF_WEIGHTS[name])
+                        / (F.lit(P.RRF_K) + F.col("_rank")),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        )
+        for name in ("bm25", "length")
+    }
     fused = (
-        bm25_ranked.join(len_ranked, "doc_id", "full")
-        .select(
-            "doc_id",
-            F.round(
-                F.coalesce(
-                    F.lit(P.RRF_WEIGHTS["bm25"]) / (F.lit(P.RRF_K) + F.col("rb")),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("bm25_contrib"),
-            F.round(
-                F.coalesce(
-                    F.lit(P.RRF_WEIGHTS["length"]) / (F.lit(P.RRF_K) + F.col("rl")),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("length_contrib"),
+        ranked.groupBy("doc_id")
+        .agg(
+            contrib["bm25"].alias("bm25_contrib"),
+            contrib["length"].alias("length_contrib"),
         )
         .withColumn(
             "rrf_score", F.round(F.col("bm25_contrib") + F.col("length_contrib"), 6)
