@@ -94,6 +94,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Core-count-partitioned cached twin of `load_table` for per-row-
+    EXPENSIVE consumers (r13, guide §2.5 'repartition immediately after
+    the read' / §1.2 step 1). A sub-128MB parquet table reads as ONE
+    scan split and the table cache pins that layout, so a JSON parse,
+    Arrow embed kernel or regex-tokenize stage downstream runs on one
+    core until its first exchange. This twin pays the round-robin
+    spread ONCE per serving session and caches the wide layout; warm
+    executions then run the expensive projection directly on the
+    spread blocks — no per-query payload shuffle (measured: a
+    query-level repartition re-shuffles the rows on every execution
+    and made the JSON-props scan 2.5x WORSE, while a blanket spread of
+    the main table cache taxed the other ~150 registry queries' scan
+    stages by +13 s total; the selective twin is the shape that wins
+    both). Outside a serving session it degrades to repartition-up on
+    the plain read (one exchange, still a win for the expensive paths).
+
+    Scale posture: the spread never EXCEEDS defaultParallelism and is
+    skipped entirely when the natural scan already has >= that many
+    splits — at 100 TB this twin is the identity."""
+    df = load_table(spark, sf_dir, name)
+    from mnemo_spark import cache
+
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= cores:
+            return df
+    except Exception:  # noqa: BLE001 - layout probe is best-effort
+        return df
+    if not cache.serving_enabled():
+        return df.repartition(cores)
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name, "spread")
+    if cache_key in _TABLE_CACHE:
+        return _TABLE_CACHE[cache_key]
+    spread = df.repartition(cores).persist()
+    _TABLE_CACHE[cache_key] = spread
+    return spread
+
+
 def broadcast_if_small(df: DataFrame, cap_bytes: int = 256 << 20) -> DataFrame:
     """`F.broadcast` gated on Catalyst's size estimate (ADVICE r9): a
     hard hint BYPASSES autoBroadcastJoinThreshold, so hinting an

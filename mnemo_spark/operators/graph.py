@@ -85,7 +85,7 @@ def expand(
         ).distinct()
     if out_degree_1:
         return _expand_lifted(e, seeds, hops, decay, seed_col)
-    if hops > 1 and not broadcast_edges:
+    if hops > 1:
         # the edge list is referenced once per hop; persist it so a
         # derived edge frame (e.g. a window over events) computes once
         # per plan instead of once per hop (CacheManager keys on the
@@ -93,7 +93,12 @@ def expand(
         # serving session (engine.serving() / bench harness) route
         # through the TRACKED cache so context exit releases it (the
         # bare persist is bounded by distinct edge plans but survives
-        # clear() — ADVICE r7 class)
+        # clear() — ADVICE r7 class). r13: broadcast_edges mode needs
+        # this MOST — the union-of-layers plan duplicates the hop-k
+        # prefix into every deeper layer, so an unpersisted edge
+        # derivation was re-aggregated by all C(hops+1,2) broadcast
+        # builds (delegation_closure: 6 full events-distinct passes
+        # per execution, measured 13 Spark jobs)
         from mnemo_spark import cache
 
         if cache.serving_enabled():
@@ -115,6 +120,25 @@ def expand(
         if dedup_per_hop:
             frontier = frontier.distinct()
         frontier = frontier.withColumn("hop", F.lit(h))
+        if h < hops:
+            # every non-final layer is referenced TWICE — as a union
+            # branch of the result and as the next hop's input — and
+            # those are separate DAG subtrees, so without a persist
+            # the hop-h prefix re-executes (hops−h+1) times: hops=3
+            # paid 6 hop joins instead of 3 (r13; the same duplicated-
+            # prefix bug class _expand_lifted pins against). Lazy pin:
+            # blocks materialize during the action's first evaluation
+            # and later branches read them; serving sessions route
+            # through the tracked cache so warm repeats skip the hop
+            # joins entirely and exit releases the blocks.
+            from mnemo_spark import cache
+
+            if cache.serving_enabled():
+                frontier = cache.cached_persist(
+                    frontier, "expand_layer", h, hops, compact=True
+                )
+            else:
+                frontier = cache.track_pin(frontier)
         layers.append(frontier)
 
     all_nodes = layers[0]
@@ -188,6 +212,15 @@ def _expand_lifted(
             .agg(F.min("hop").alias("hop"))
         )
         span *= 2
+    if cache.serving_enabled():
+        # cache the FINAL reach relation too (r13): it is a statistic
+        # of the corpus alone, and without this entry every warm call
+        # re-ran the last doubling's join + min-hop aggregation (the
+        # intermediate levels were cached but the loop's result was
+        # not — measured as 10 Spark jobs per warm lineage walk)
+        reach = cache.cached_persist(
+            reach, "expand_lifted_final", hops, compact=True
+        )
     if level_pins:
         # pin + materialize the final relation so the level pins can
         # release NOW (they exist only to stop the 3^levels recompute

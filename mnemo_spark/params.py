@@ -55,7 +55,6 @@ LSH_HYPERPLANES: list[list[float]] = _hyperplanes()
 SERVING_CACHE_BUDGET_BYTES = int(
     os.environ.get("MNEMO_CACHE_BUDGET_BYTES", str(32 << 30))
 )
-
 # temporal / lifecycle
 SESSION_GAP_MINUTES = 30.0
 DECAY_HALF_LIFE_HOURS = 168.0

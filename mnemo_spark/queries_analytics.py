@@ -99,7 +99,69 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB swap `percentile` for percentile_approx/t-digest and the
     shape is unchanged (reference anomaly/outlier.rs uses mean/var for
     the same gate; MAD is the heavy-tail-safe variant)."""
+    from mnemo_spark.cache import cached_value, serving_enabled
+
     e = _t(spark, sf_dir, "events")
+    if serving_enabled():
+        # corpus-scalar inlining (r13, guide §1.2/§2.4 — the bm25-idf
+        # pattern): the per-type medians and MADs are a handful of
+        # doubles, yet flowing them as frames costs two broadcast-build
+        # jobs plus three chained aggregation barriers on EVERY call
+        # (8 Spark jobs measured). Collect each — computed by the SAME
+        # JVM percentile expression, so bit-identical — memoized under
+        # the serving-value doctrine, and inline as literal maps: a
+        # warm call is ONE grouped aggregation over events.
+        def _lit_map(d):
+            return F.create_map(
+                *[x for k, v in d.items() for x in (F.lit(k), F.lit(float(v)))]
+            )
+
+        def _collect_med():
+            return {
+                r["event_type"]: r["med"]
+                for r in e.groupBy("event_type")
+                .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+                .collect()
+                if r["med"] is not None
+            }
+
+        meds = cached_value(_collect_med, "mad_med", key_plan=e)
+        if meds:
+            med_c = _lit_map(meds)[F.col("event_type")]
+
+            def _collect_mad():
+                return {
+                    r["event_type"]: r["mad"]
+                    for r in e.select(
+                        "event_type",
+                        F.abs(F.col("value") - med_c).alias("adev"),
+                    )
+                    .groupBy("event_type")
+                    .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+                    .collect()
+                    if r["mad"] is not None
+                }
+
+            mads = cached_value(_collect_mad, "mad_mad", key_plan=e)
+            mad_c = _lit_map(mads)[F.col("event_type")]
+            fence_c = 3 * 1.4826 * mad_c
+            return (
+                e.groupBy("event_type")
+                .agg(
+                    F.count_if(F.abs(F.col("value") - med_c) > fence_c)
+                    .cast("long")
+                    .alias("n_outliers"),
+                    F.round(F.max("value"), 6).alias("max_value"),
+                )
+                .select(
+                    "event_type",
+                    F.round(med_c, 6).alias("median_value"),
+                    F.round(mad_c, 6).alias("mad"),
+                    "n_outliers",
+                    "max_value",
+                )
+            )
+        # empty corpus: fall through to the join path (same empty frame)
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
@@ -614,15 +676,48 @@ def event_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair counts; the self-join key is user_id, so skew is bounded
     by the (constant) type vocabulary."""
     e = _t(spark, sf_dir, "events")
-    ut = e.select("user_id", "event_type").distinct()
-    n = ut.agg(F.count_distinct("user_id").alias("n_users"))
-    marg = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
-    a = ut.select("user_id", F.col("event_type").alias("type_a"))
-    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    # ONE exchange for the whole query (r13, guide §2.3 'aggregate
+    # before you shuffle'): the old shape paid a distinct over
+    # (user, type) and then self-joined that frame — a second shuffle
+    # plus 12 measured Spark jobs of chained broadcast builds. The
+    # per-user TYPE SET is bounded by the constant type vocabulary, so
+    # groupBy(user).collect_set ships ≤|types| values per user
+    # (map-side combined), and marginals, the user count and the
+    # canonical a<b pairs are all array expressions over that one
+    # aggregated frame — no self-join at any scale. Null users (none
+    # in this corpus, but faithfully): the old inner self-join dropped
+    # them from pairs while marg counted their rows and
+    # count_distinct excluded them — replicated below.
+    from mnemo_spark.cache import cached_persist
+
+    ut_sets = cached_persist(
+        e.groupBy("user_id").agg(
+            F.sort_array(F.collect_set("event_type")).alias("_types")
+        ),
+        "event_pair_ut_sets",
+        compact=True,
+    )
+    n = ut_sets.agg(F.count("user_id").alias("n_users"))
+    marg = ut_sets.select(F.explode("_types").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count("*").alias("n_t"))
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "_types",
+                lambda x: F.transform(
+                    "_types", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        ut_sets.filter(F.col("user_id").isNotNull())
+        .select(F.explode(pair_arr).alias("_p"))
+        .groupBy(
+            F.col("_p.a").alias("type_a"), F.col("_p.b").alias("type_b")
+        )
         .agg(F.count("*").alias("n_ab"))
     )
     ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))

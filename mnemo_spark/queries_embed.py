@@ -78,8 +78,13 @@ def embed_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded here to sparse long form and proven bit-identical to the
     relational hash-bag oracle."""
     from mnemo_spark.functions.embed_batch import HashBagEmbedder, embed_batch
+    from mnemo_spark.io import spread_table
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the mapInPandas embedder is one Python worker per input partition
+    # and the cached documents table is a single scan split — read via
+    # the core-count-partitioned cached twin so the Arrow kernel runs
+    # on every core (r13, guide §2.5/§4 — identity at scale)
+    docs = spread_table(spark, sf_dir, "documents").select("doc_id", "text")
     dense = embed_batch(docs, HashBagEmbedder(P.HASHBAG_DIM), "text", "_vec")
     return (
         dense.select("doc_id", F.posexplode("_vec").alias("bucket", "weight"))

@@ -475,7 +475,17 @@ def lineage_ancestry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ptr.filter(F.col("parent_id").isNotNull()).select(
         F.col("event_id").alias("src"), F.col("parent_id").alias("dst")
     )
-    heads = ptr.filter(F.col("rd") == 1).select("event_id")
+    from mnemo_spark.cache import cached_persist
+
+    # the head set is a corpus index artifact like the edge list
+    # (which expand() already serving-caches): without this, every
+    # warm walk re-ran the two event-stream windows just to re-derive
+    # the per-user chain heads (r13)
+    heads = cached_persist(
+        ptr.filter(F.col("rd") == 1).select("event_id"),
+        "lineage_heads",
+        compact=True,
+    )
     return expand(
         edges,
         heads,
@@ -819,7 +829,14 @@ def otlp_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the latency guard (end ≤ start → NULL)."""
     from mnemo_spark.streaming.otlp import otlp_spans_to_events
 
-    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    from mnemo_spark.io import spread_table
+
+    # the envelope build (30-expression concat) + from_json parse are
+    # among the most per-row-expensive JVM stages in the registry; read
+    # events via the core-count-partitioned cached twin so neither
+    # serializes on the main cache's single scan split (r13, guide
+    # §2.5 — identity at scale, where the scan has >= cores splits)
+    e = spread_table(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
     start_ns = F.unix_micros(F.col("ts")) * 1000
     end_ns = start_ns + (F.col("event_id") % 5) * 1_000_000
     span_name = (

@@ -378,7 +378,18 @@ _CONSENT_NOW = "2024-02-01 00:00:00"
 
 def _consent_tables(spark: SparkSession, sf_dir: str):
     e = _t(spark, sf_dir, "events")
+    # the subject universe is referenced SIX times (3 consent lanes ×
+    # 2 broadcast builds), each a separate DAG subtree — without a pin
+    # every consent_gate execution re-ran the events distinct 6 times
+    # (13 Spark jobs measured; r13, the expand-edges duplicated-prefix
+    # class). 200 rows: pin it.
+    from mnemo_spark import cache
+
     subs = e.select((F.col("user_id") % 200).alias("s")).distinct()
+    if cache.serving_enabled():
+        subs = cache.cached_persist(subs, "consent_subs", compact=True)
+    else:
+        subs = cache.track_pin(subs)
     writes = e.select(
         F.concat(F.lit("subj-"), (F.col("user_id") % 200).cast("string")).alias(
             "subject_id"

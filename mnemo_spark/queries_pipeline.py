@@ -170,7 +170,15 @@ def quality_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted Bernoulli thinning: keep each doc with
     probability = its composite quality score, via the deterministic
     md5-uniform (reproducible, shuffle-free, no RNG coordination)."""
-    scored = quality_scores(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+    from mnemo_spark.io import spread_table
+
+    # the composite-quality regex/token pass is per-row-expensive and
+    # the cached documents table is one scan split — read via the
+    # core-count-partitioned cached twin so the tokenize runs on every
+    # core (r13, guide §2.5; identity at scale)
+    scored = quality_scores(
+        spread_table(spark, sf_dir, "documents")
+    ).select("doc_id", "quality")
     return quality_bernoulli_sample(scored, salt="qsample").select(
         "doc_id", "quality", "u"
     )

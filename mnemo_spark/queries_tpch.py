@@ -557,7 +557,12 @@ def json_props_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON metadata access (SURVEY F11, retrieval.rs:184-205 — the
     reference's metadata[k] reads): extract a typed key from the JSON
     props column and aggregate by derived bucket."""
-    e = _t(spark, sf_dir, "events")
+    from mnemo_spark.io import spread_table
+
+    # per-row JSON path extraction over the single-split cached events
+    # table — read via the core-count-partitioned cached twin so the
+    # parse runs on every core (r13, guide §2.5; identity at scale)
+    e = spread_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.withColumn("k_bucket", (k / 10).cast("int"))
