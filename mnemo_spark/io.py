@@ -133,6 +133,26 @@ def spread_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spread
 
 
+def repartition_for_fold(df: DataFrame, *part_cols: str) -> DataFrame:
+    """Pin the exchange feeding a Python/Arrow group fold at the
+    session's configured shuffle parallelism (r13, guide §4/§2.5).
+    AQE sizes post-shuffle partitions by BYTES, and a narrow
+    (key, hash) projection looks tiny — the exchange feeding
+    assign_chain's applyInPandas was coalesced to 7 of 32 cores while
+    being the most CPU-expensive stage in the suite (the same failure
+    session.py's parallelismFirst note records from r9, resurfacing
+    through the advisory path). An explicit repartition(N, keys) is
+    exempt from AQE coalescing, and the following groupBy on the same
+    keys with the same partition count reuses the exchange — one pinned
+    shuffle, full parallelism. N = spark.sql.shuffle.partitions: the
+    caller's cluster-sized reduce parallelism, not a local constant."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 - conf probe is best-effort
+        return df
+    return df.repartition(n, *part_cols)
+
+
 def broadcast_if_small(df: DataFrame, cap_bytes: int = 256 << 20) -> DataFrame:
     """`F.broadcast` gated on Catalyst's size estimate (ADVICE r9): a
     hard hint BYPASSES autoBroadcastJoinThreshold, so hinting an

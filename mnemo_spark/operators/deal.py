@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mnemo_spark.io import repartition_for_fold
+
 GENESIS = "0" * 64
 HALF_LIFE_SECS = 90.0 * 24.0 * 3600.0  # reputation.rs:41
 
@@ -101,6 +103,10 @@ def sign_deals(
         pdf["hmac"] = macs
         return pdf
 
+    # pinned at full reduce parallelism — the per-row HMAC fold is
+    # CPU-bound while its input rows look tiny to AQE's byte-based
+    # coalescing (guide §2/§4; same rationale as assign_chain)
+    deals = repartition_for_fold(deals, *ledger_cols)
     return deals.groupBy(*ledger_cols).applyInPandas(fold, schema=schema)
 
 
@@ -167,6 +173,7 @@ def verify_deal_chain(
             }
         )
 
+    signed = repartition_for_fold(signed, *ledger_cols)
     return signed.groupBy(*ledger_cols).applyInPandas(walk, schema=schema)
 
 
