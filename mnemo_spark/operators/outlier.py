@@ -65,16 +65,38 @@ def zscore_outliers(
     reference flips `quarantined=true` on these at write time;
     query/poisoning.rs:10-40).
     """
+    # r13 (guide §2.3/§2.4): the old shape exploded the corpus TWICE
+    # (once for the baseline, once for the scoring rows) and shuffled
+    # |rows|·dim exploded partials through a final (group, id)
+    # aggregation. The per-vector reduction is within-row math: pivot
+    # the baseline to one (mu, var) profile array per group (a
+    # group-count-sized frame), broadcast it, and fold each row's own
+    # dimensions with a sequential array aggregate — one corpus scan,
+    # no explode on the scoring side, zero wide exchanges. The fold
+    # adds terms in ascending position order, the same order the
+    # partial aggregate consumed the exploded positions of one source
+    # row, so the float sum is bit-identical.
     base = embedding_baseline(df, group_col, id_col, vec_col, dim)
-    pos = _positional(df, group_col, id_col, vec_col, dim)
-    z = (
-        pos.join(F.broadcast(base), [group_col, "pos"])
-        .groupBy(group_col, id_col)
-        .agg(
-            F.round(
-                F.sqrt(F.avg((F.col("val") - F.col("mu")) ** 2 / F.col("var"))),
-                ROUND_DP,
-            ).alias("zscore")
-        )
+    prof = base.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mu", "var"))).alias("_bp")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    ssum = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                v,
+                F.col("_bp"),
+                lambda x, b: F.pow(x - b["mu"], F.lit(2.0)),
+            ),
+            F.col("_bp"),
+            lambda a, b: a / b["var"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z = df.join(F.broadcast(prof), [group_col]).select(
+        group_col,
+        id_col,
+        F.round(F.sqrt(ssum / F.lit(float(dim))), ROUND_DP).alias("zscore"),
     )
     return z.filter(F.col("zscore") > sigma)
