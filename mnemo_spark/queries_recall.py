@@ -468,10 +468,11 @@ def recall_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM fused)
     WHERE rank <= {P.RECALL_LIMIT}
     """,
-    # build runs eager jobs (seed localize + driver-coordinated hops):
-    # memoizing it would memoize RESULTS and a repeated-call bench
-    # would time a dict lookup — every call rebuilds honestly
-    plan_cache=False,
+    # r13: the build is now a pure lazy plan (the path-graph
+    # neighborhood replaced the driver-coordinated walk and the seed
+    # localize), so the default prepared-plan memoization is safe
+    # again — the cached object is a plan that re-executes per call,
+    # not a materialized result
 )
 def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched GRAPH-strategy recall (VERDICT r8 #2; reference
@@ -500,7 +501,6 @@ def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles and the fusion windows run over local relations."""
     from pyspark.sql import Window
 
-    from mnemo_spark.operators.graph import expand_grouped
     from mnemo_spark.operators.rrf import rrf_fuse_grouped
 
     docs = _t(spark, sf_dir, "documents")
@@ -533,32 +533,76 @@ def recall_batch_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 6)), F.asc("doc_id")
     )
-    seeds = (
+    seeds_lazy = (
         cos.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= _OVERFETCH)
         .select("query_id", "doc_id", F.col("cos").alias("score"))
     )
-    seeds = localize_small(seeds, why="batch graph seeds, nq x k*3")
+    # r13 (guide §5/§7.3 — driver-side work was the measured wall):
+    # warm calls spent ~1.1 s of a ~1.3 s total BUILDING this frame,
+    # because the driver-coordinated BFS (expand_grouped's
+    # local_frontier_bound path) ran 1 eager Spark job per hop plus
+    # the localize_small seed collect, serialized on the driver, per
+    # call. The generic walk is overkill for THIS graph: the derived
+    # relation graph is "consecutive docs per source" — a union of
+    # disjoint PATHS — so a bidirectional ≤2-hop BFS from a seed is
+    # exactly its lag/lead ±1, ±2 neighbors within the source
+    # partition, and min-hop first-visit dedup is a groupBy min over
+    # the seed × offset rows. One fully LAZY plan, zero driver
+    # round-trips — which is also what re-enables the prepared-plan
+    # cache (plan_cache default) that every other query already uses:
+    # with no eager build step there is nothing result-shaped to
+    # memoize, the cached object is a plan that re-executes per call.
+    # The seeds subtree is referenced by both lanes and recomputes
+    # twice per execution — two cheap passes over the cached per-doc
+    # frame, traded for the collect job and its driver sync. The
+    # neighbor relation is an index artifact (the same doctrine as
+    # the walk's cached edge frame) pinned per corpus in serving
+    # sessions. Equivalence with the generic walk is oracle-gated at
+    # sf0.001/0.01/0.1.
+    seeds = seeds_lazy
     ws = Window.partitionBy("source").orderBy("doc_id")
-    edges = (
-        docs.select("doc_id", F.lead("doc_id").over(ws).alias("dst"))
+    hop_t = "struct<dst:bigint,hop:int>"
+    nb = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.lag("doc_id", 2).over(ws).alias("_p2"),
+            F.lag("doc_id", 1).over(ws).alias("_p1"),
+            F.lead("doc_id", 1).over(ws).alias("_n1"),
+            F.lead("doc_id", 2).over(ws).alias("_n2"),
+        )
+        .select(
+            "src",
+            F.explode(
+                F.array(
+                    F.struct(F.col("_p2").alias("dst"), F.lit(2).alias("hop")),
+                    F.struct(F.col("_p1").alias("dst"), F.lit(1).alias("hop")),
+                    F.struct(F.col("_n1").alias("dst"), F.lit(1).alias("hop")),
+                    F.struct(F.col("_n2").alias("dst"), F.lit(2).alias("hop")),
+                ).cast(f"array<{hop_t}>")
+            ).alias("_nb"),
+        )
+        .select("src", F.col("_nb.dst").alias("dst"), F.col("_nb.hop").alias("hop"))
         .filter(F.col("dst").isNotNull())
-        .select(F.col("doc_id").alias("src"), "dst")
     )
-    lane = expand_grouped(
-        edges,
-        seeds,
-        hops=2,
-        decay=0.5,
-        group_col="query_id",
-        seed_col="doc_id",
-        bidirectional=True,
-        # lead-graph degree ≤2 (prev/next within a source) bounds every
-        # frontier at nq × k×3 × 2^hop — well under this guard, so the
-        # walk runs driver-coordinated: one broadcast join per hop, the
-        # edge table never shuffles (r10, VERDICT r9 #1)
-        local_frontier_bound=100_000,
-    ).select("query_id", "doc_id", "score")
+    from mnemo_spark import cache
+
+    if cache.serving_enabled():
+        nb = cache.cached_persist(nb, "lead_graph_neighbors", compact=True)
+    reached = seeds.select("query_id", "doc_id", F.lit(0).alias("hop")).unionByName(
+        F.broadcast(seeds.select("query_id", F.col("doc_id").alias("src")))
+        .join(nb, "src")
+        .select("query_id", F.col("dst").alias("doc_id"), "hop")
+    )
+    lane = (
+        reached.groupBy("query_id", "doc_id")
+        .agg(F.min("hop").alias("hop"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.pow(F.lit(0.5), F.col("hop")), 6).alias("score"),
+        )
+    )
     fused = rrf_fuse_grouped(
         {"vector": seeds, "graph": lane},
         {"vector": 1.0, "graph": 1.0},
