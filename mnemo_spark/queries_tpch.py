@@ -114,12 +114,24 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    # r13 (guide §2.3/§3.2): the disjunction only ever keeps the two
+    # named nations on EITHER side, so that restriction pushes into
+    # both dimension legs BEFORE the one wide shuffle — each side of
+    # the lineitem⋈orders exchange shrinks to the ~2/25-nation slice
+    # instead of filtering after the join. The final disjunctive
+    # filter still drops the same-nation pairs, so the result is
+    # unchanged (oracle-gated).
+    n1 = n1.filter(F.col("supp_nation").isin(_N1, _N2))
+    n2 = n2.filter(F.col("cust_nation").isin(_N1, _N2))
     j = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+                F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .filter(
             ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
             | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
@@ -174,15 +186,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    j = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # r13 (guide §2.3/§3): the selective dimension joins (PROMO parts,
+    # ASIA-region customers) sit on their own side of the one wide
+    # lineitem⋈orders exchange — applied BEFORE it, each side shuffles
+    # only the surviving slice instead of filtering after the join.
+    # All joins are inner, so the reorder is semantics-preserving
+    # (oracle-gated).
+    lp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
+    oc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+    )
+    j = lp.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         j.withColumn("o_year", F.year("o_orderdate"))
@@ -228,11 +248,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,4)")
+    # r13 (guide §2.3): the widget-part filter is the selective leg —
+    # joined below the lineitem⋈orders exchange so the fact side
+    # shuffles only the surviving slice (inner-join reorder,
+    # oracle-gated)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
@@ -413,8 +437,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the per-part aggregate is computed once."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_qty = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    # r13 (guide §2.3): only Brand#1 partkeys ever survive the join
+    # below, and the per-partkey average is computed from ALL lineitem
+    # rows of a partkey either way — semi-joining the brand's partkeys
+    # first shrinks the aggregation's exchange to the brand slice
+    # without changing any surviving group's value (oracle-gated)
+    avg_qty = (
+        l.join(
+            F.broadcast(p.select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
