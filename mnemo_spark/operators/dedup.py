@@ -208,6 +208,27 @@ def minhash_band_pairs(
     The ONLY shuffle is the equi-join on (band, band_key).
     """
     band = band_keys(docs, num_hashes, bands, shingle_k, id_col, text_col)
+    # both self-join sides reference the signature subtree under
+    # DIFFERENT aliases, so nothing reuses the exchange and the
+    # shingle→minhash pipeline ran twice per execution (r13, the
+    # ngram_capped_sh pattern, guide §2.4): pin the band table
+    # pre-partitioned on the join key in serving sessions — the
+    # in-memory form of the stored signature table the 100-TB path
+    # reads — so the join reads two co-partitioned sides of one
+    # materialization. One-shot callers keep the lazy double-scan.
+    from mnemo_spark.cache import cached_persist, serving_enabled
+
+    if serving_enabled():
+        n_part = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        band = cached_persist(
+            band.repartition(n_part, "band", "band_key"),
+            "minhash_band_keys",
+            num_hashes,
+            bands,
+            shingle_k,
+        )
     a = band.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band.select(F.col("_id").alias("id_b"), "band", "band_key")
     return (
@@ -435,6 +456,22 @@ def simhash_near_dup_pairs(
         "sim_int",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_b"),
     ).withColumn("_band", F.expr(f"shiftright(sim_int, _b * {width}) & {mask}"))
+    # same shape as minhash_band_pairs: the aliased self-join sides
+    # recompute the tokenize→simhash subtree twice — pin the banded
+    # signature table pre-partitioned on the join key in serving
+    # sessions (r13, guide §2.4)
+    from mnemo_spark.cache import cached_persist, serving_enabled
+
+    if serving_enabled():
+        n_part = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        banded = cached_persist(
+            banded.repartition(n_part, "_b", "_band"),
+            "simhash_banded",
+            max_hamming,
+            bands,
+        )
     a = banded.select(
         F.col("_id").alias("id_a"), F.col("sim_int").alias("_sa"), "_b", "_band"
     )
