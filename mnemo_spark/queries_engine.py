@@ -464,36 +464,33 @@ def lineage_ancestry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent pointers are ≤1-out, so the walk binary-lifts to 3
     self-joins instead of 8 sequential frontier stages — VERDICT r10
     #4; byte-equivalence to the naive walk is pytest-gated)."""
+    # r13 (guide §1.1 first-principles, the same path-shortcut applied
+    # to recall_batch_graph_docs this round): the parent-pointer graph
+    # is a union of disjoint PATHS (each event's sole parent is its
+    # predecessor in the per-user stream), so the ≤`hops` walk from
+    # each per-user head is EXACTLY the user's last hops+1 events,
+    # with hop = position-from-head. One descending window pass states
+    # that directly — the binary-lifted expand (3 self-joins + head
+    # derivation + two extra windows) solved the general ≤1-out graph,
+    # which this relation never is. The generic operator keeps its own
+    # gates (graph_expand_2hop, causality/delegation/bitemporal,
+    # test_graph_expand equivalence pytest). Byte-equality with the
+    # walk: hop = rd−1 matches min-hop-from-head, score = decay^hop,
+    # seeds (rd=1) at hop 0/score 1 — oracle-gated at three SFs.
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    ptr = e.select(
-        "event_id",
-        F.lag("event_id").over(w).alias("parent_id"),
-        F.row_number().over(wd).alias("rd"),
+    return (
+        e.select(
+            "event_id",
+            (F.row_number().over(wd) - 1).alias("hop"),
+        )
+        .filter(F.col("hop") <= _ANCESTRY_DEPTH)
+        .select(
+            "event_id",
+            "hop",
+            F.round(F.pow(F.lit(0.5), F.col("hop")), 6).alias("score"),
+        )
     )
-    edges = ptr.filter(F.col("parent_id").isNotNull()).select(
-        F.col("event_id").alias("src"), F.col("parent_id").alias("dst")
-    )
-    from mnemo_spark.cache import cached_persist
-
-    # the head set is a corpus index artifact like the edge list
-    # (which expand() already serving-caches): without this, every
-    # warm walk re-ran the two event-stream windows just to re-derive
-    # the per-user chain heads (r13)
-    heads = cached_persist(
-        ptr.filter(F.col("rd") == 1).select("event_id"),
-        "lineage_heads",
-        compact=True,
-    )
-    return expand(
-        edges,
-        heads,
-        hops=_ANCESTRY_DEPTH,
-        decay=0.5,
-        seed_col="event_id",
-        out_degree_1=True,
-    ).select("event_id", "hop", "score")
 
 
 # ---------------------------------------------------------------------------
