@@ -142,40 +142,58 @@ def consent_gate(
     """
     now_c = F.lit(now).cast("timestamp")
     active = F.col("expires_at").isNull() | (F.col("expires_at") > now_c)
-    per_subject = consents.groupBy(F.col(subject_col).alias("_subj")).agg(
-        F.max(active.cast("int")).alias("_has_active"),
+    # ONE broadcast keyed by subject instead of two (per-subject flag +
+    # per-(subject, scope) grant): the write stream is the 100-TB side,
+    # so every probe it saves is paid per write row, and one broadcast
+    # build replaces two over the same consent snapshot (r13, guide
+    # §2.4/§3.1 — two operations keyed the same way share one pass).
+    # Level 1: per (subject, scope) — did ANY consent row make this
+    # scope active, is one of those unrevoked, and which token hash
+    # authorizes it (min = deterministic). Level 2: roll scopes up to
+    # one row per subject carrying a scope→(live, token) map; a scope
+    # enters the map exactly when the old grant frame had its key (≥1
+    # active row). NULL scopes stay out of the map — the old equi-join
+    # never matched them either.
+    live_grant = active & ~F.col("revoked")
+    per_scope = consents.groupBy(
+        F.col(subject_col).alias("_subj"), F.col(scope_col).alias("_scope")
+    ).agg(
+        F.max(active.cast("int")).alias("_act"),
+        F.max(live_grant.cast("int")).alias("_live"),
+        F.min(F.when(live_grant, F.col("token_sha256"))).alias("_token"),
     )
-    # one row per (subject, scope): is there a live (active, unrevoked)
-    # grant, and which token hash authorizes it (min = deterministic)
-    grant = (
-        consents.filter(active)
-        .groupBy(
-            F.col(subject_col).alias("_gsubj"), F.col(scope_col).alias("_gscope")
-        )
-        .agg(
-            F.max((~F.col("revoked")).cast("int")).alias("_live"),
-            F.min(F.when(~F.col("revoked"), F.col("token_sha256"))).alias("_token"),
-        )
+    per_subject = per_scope.groupBy("_subj").agg(
+        F.max("_act").alias("_has_active"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    (F.col("_act") == 1) & F.col("_scope").isNotNull(),
+                    F.struct(
+                        F.col("_scope").alias("k"),
+                        F.struct(
+                            F.col("_live").alias("live"),
+                            F.col("_token").alias("token"),
+                        ).alias("v"),
+                    ),
+                )
+            )
+        ).alias("_grants"),
     )
     j = writes.join(
         F.broadcast(per_subject), writes[subject_col] == F.col("_subj"), "left"
-    ).join(
-        F.broadcast(grant),
-        (writes[subject_col] == F.col("_gsubj"))
-        & (writes[scope_col] == F.col("_gscope")),
-        "left",
     )
+    g = F.try_element_at(F.col("_grants"), writes[scope_col])
     decision = (
         F.when(F.col("_subj").isNull(), F.lit("deny_no_consent"))
         .when(F.col("_has_active") == 0, F.lit("deny_expired"))
-        .when(F.col("_gscope").isNull(), F.lit("deny_scope"))
-        .when(F.col("_live") == 0, F.lit("deny_revoked"))
+        .when(g.isNull(), F.lit("deny_scope"))
+        .when(g["live"] == 0, F.lit("deny_revoked"))
         .otherwise(F.lit("allow"))
     )
     return j.select(
         *[writes[c] for c in writes.columns],
         decision.alias("decision"),
-        F.when(decision == "allow", F.col("_token")).alias("token_sha256"),
+        F.when(decision == "allow", g["token"]).alias("token_sha256"),
     )
 
 
