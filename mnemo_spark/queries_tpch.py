@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mnemo_spark.io import broadcast_if_small
 from mnemo_spark.registry import _t, query
 
 # q7/q8 nation pair — names exist in the synthetic data (NATION_n)
@@ -40,21 +41,35 @@ _Q8_NATION = "NATION_5"
     """,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS semi-join with a correlated date
-    predicate (late-shipped orders per priority). The semi-join keeps
-    the orders side small before the aggregate."""
+    """TPC-H Q4 shape: EXISTS over lineitem with a correlated date
+    predicate (late-shipped orders per priority).
+
+    r13 (guide §3.1 — broadcast the side that FITS): the naive
+    left-semi put lineitem on the build side, broadcasting the whole
+    fact table (600k rows at sf0.1, fatal at 100 TB). Reversed: the
+    3-month order slice is the small side — broadcast it into
+    lineitem, and EXISTS becomes countDistinct(o_orderkey), which
+    plans as map-side partial dedup over only the MATCHED rows. The
+    scan also gets the derivable bound l_shipdate > min(o_orderdate)
+    + 90d pushed into the parquet reader (guide §2.3/§6)."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        # implied by o_orderdate >= 1996-01-01 and the +90d condition:
+        # pushes into the scan, pruning lineitem before the join
+        F.col("l_shipdate") > F.lit("1996-03-31").cast("timestamp")
     )
-    l = _t(spark, sf_dir, "lineitem")
-    late = o.join(
-        l,
+    late = l.join(
+        broadcast_if_small(o),
         (l.l_orderkey == o.o_orderkey)
         & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAY")),
-        "left_semi",
+        "inner",
     )
-    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+    return late.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("order_count")
+    )
 
 
 @query(
