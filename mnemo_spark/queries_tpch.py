@@ -389,13 +389,20 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: order-count distribution over a filtered LEFT OUTER
-    join (customers with zero qualifying orders count as c_count=0)."""
+    join (customers with zero qualifying orders count as c_count=0).
+
+    r13 (guide §2.3 — aggregate before you shuffle): counting per
+    customer BEFORE the join shrinks the joined side from |orders|
+    rows to |customers-with-orders| via a map-side-combinable
+    aggregation, and the left join then attaches one pre-counted row
+    per customer instead of fanning out per order. count(o_orderkey)
+    over the old left join equals coalesce(cnt, 0) because o_orderkey
+    is never NULL in orders."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy(c.c_custkey)
-        .agg(F.count("o_orderkey").alias("c_count"))
+    cnt = o.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+    per_cust = c.join(cnt, c.c_custkey == cnt.o_custkey, "left").select(
+        F.coalesce(F.col("_n"), F.lit(0)).alias("c_count")
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
