@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mnemo_spark.functions.hashing import chain_head_agg
-from mnemo_spark.io import repartition_for_fold
+from mnemo_spark.io import fold_partitions
 
 
 def chain_heads(
@@ -126,13 +126,13 @@ def assign_chain(
             pdf[seq_col] = range(base + 1, base + 1 + len(pdf))
         return pdf
 
-    # pin the exchange feeding the fold at full reduce parallelism:
-    # AQE sizes post-shuffle partitions by bytes, and the hash rows
-    # look tiny while the per-row sha256 fold is CPU-bound (guide
-    # §2/§4; the session.py parallelismFirst note records the same
-    # failure). groupBy on the same keys reuses the pinned exchange.
-    df = repartition_for_fold(df, *part_cols)
-    return df.groupBy(*part_cols).applyInPandas(fold, schema=schema)
+    # ONE Arrow stream per partition instead of one per group (r13):
+    # the exchange stays pinned at full reduce parallelism inside
+    # fold_partitions (the repartition_for_fold rationale), and the
+    # per-group IPC round-trip — measured ~15 ms/group, 95% of the
+    # fold stage's executorRunTime — collapses to a vectorized
+    # boundary scan per partition batch.
+    return fold_partitions(df, part_cols, order_cols, fold, schema)
 
 
 def assign_chain_auto(

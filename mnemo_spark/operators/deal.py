@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mnemo_spark.io import repartition_for_fold
+from mnemo_spark.io import fold_partitions
 
 GENESIS = "0" * 64
 HALF_LIFE_SECS = 90.0 * 24.0 * 3600.0  # reputation.rs:41
@@ -103,11 +103,10 @@ def sign_deals(
         pdf["hmac"] = macs
         return pdf
 
-    # pinned at full reduce parallelism — the per-row HMAC fold is
-    # CPU-bound while its input rows look tiny to AQE's byte-based
-    # coalescing (guide §2/§4; same rationale as assign_chain)
-    deals = repartition_for_fold(deals, *ledger_cols)
-    return deals.groupBy(*ledger_cols).applyInPandas(fold, schema=schema)
+    # one Arrow stream per partition, not per ledger (r13 — the
+    # assign_chain per-group-IPC finding; exchange stays pinned at
+    # full reduce parallelism inside fold_partitions)
+    return fold_partitions(deals, ledger_cols, order_cols, fold, schema)
 
 
 def verify_deal_chain(
@@ -142,7 +141,8 @@ def verify_deal_chain(
         + " expected_hash string, actual_hash string, reason string"
     )
 
-    def walk(keys, pdf):
+    def walk(pdf):
+        keys = [pdf[c].iloc[0] for c in ledger_cols]
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         head = GENESIS
         report = (None, None, None, None)
@@ -173,8 +173,8 @@ def verify_deal_chain(
             }
         )
 
-    signed = repartition_for_fold(signed, *ledger_cols)
-    return signed.groupBy(*ledger_cols).applyInPandas(walk, schema=schema)
+    # one Arrow stream per partition, not per ledger (r13)
+    return fold_partitions(signed, ledger_cols, order_cols, walk, schema)
 
 
 def reputation(

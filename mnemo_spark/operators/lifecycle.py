@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mnemo_spark.functions.decay import effective_importance
-from mnemo_spark.io import repartition_for_fold
+from mnemo_spark.io import fold_partitions
 
 ROUND_DP = 6
 
@@ -114,13 +114,13 @@ def ewma_by_key(
         for f in df.schema.fields
         if f.name in set(out_fields)
     ) + ", ewma double"
-    # pinned at full reduce parallelism — the per-row recursive fold
-    # is CPU-bound while its (key, order, value) rows look tiny to
-    # AQE's byte-based coalescing (guide §2/§4; assign_chain rationale)
-    return (
-        repartition_for_fold(
-            df.select(*key_cols, *order_cols, value_col), *key_cols
-        )
-        .groupBy(*key_cols)
-        .applyInPandas(fold, schema)
+    # one Arrow stream per partition, not per key (r13 — the
+    # assign_chain per-group-IPC finding; exchange stays pinned at
+    # full reduce parallelism inside fold_partitions)
+    return fold_partitions(
+        df.select(*key_cols, *order_cols, value_col),
+        key_cols,
+        order_cols,
+        fold,
+        schema,
     )

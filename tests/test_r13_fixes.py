@@ -202,3 +202,36 @@ def test_track_pin_dedupes_plan_equal(spark):
         df.unpersist()
     assert len(cache._ONESHOT_PINS) == n0 + 1
     cache.clear()
+
+
+def test_fold_partitions_groups_span_arrow_batches(spark):
+    """The partition-stream fold (io.fold_partitions) must produce
+    byte-identical chains when a group spans multiple Arrow batches:
+    force 7-row batches against 40-row groups and compare with the
+    same fold run group-at-a-time."""
+    import hashlib
+
+    from mnemo_spark.operators.chain import assign_chain
+
+    rows = [
+        (f"agent-{i % 3}", i, f"h{i:04d}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "agent string, seq long, h string")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r["agent"], r["seq"]): (r["prev_hash"], r["chain_hash"])
+            for r in assign_chain(df, ["agent"], ["seq"], "h").collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # driver-side reference fold
+    prev: dict = {}
+    for agent, seq, h in sorted(rows):
+        p = prev.get(agent, "")
+        link = hashlib.sha256((h + p).encode()).hexdigest()
+        assert got[(agent, seq)] == (p, link), (agent, seq)
+        prev[agent] = link
