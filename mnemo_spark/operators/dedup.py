@@ -194,7 +194,7 @@ def band_keys(
     )
 
 
-def minhash_band_pairs(
+def pinned_band_table(
     docs: DataFrame,
     num_hashes: int = 12,
     bands: int = 4,
@@ -202,20 +202,13 @@ def minhash_band_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 band key. → (id_a, id_b,
-    n_bands) with id_a < id_b.
-
-    The ONLY shuffle is the equi-join on (band, band_key).
-    """
+    """The corpus LSH band table, pinned pre-partitioned on the join
+    key in serving sessions (r13, the ngram_capped_sh pattern, guide
+    §2.4) — the in-memory form of the stored signature table the
+    100-TB path reads. ONE cache key per (corpus, params), so every
+    band-join surface (pair self-join, incremental new-vs-corpus)
+    shares one materialization. One-shot callers get the lazy plan."""
     band = band_keys(docs, num_hashes, bands, shingle_k, id_col, text_col)
-    # both self-join sides reference the signature subtree under
-    # DIFFERENT aliases, so nothing reuses the exchange and the
-    # shingle→minhash pipeline ran twice per execution (r13, the
-    # ngram_capped_sh pattern, guide §2.4): pin the band table
-    # pre-partitioned on the join key in serving sessions — the
-    # in-memory form of the stored signature table the 100-TB path
-    # reads — so the join reads two co-partitioned sides of one
-    # materialization. One-shot callers keep the lazy double-scan.
     from mnemo_spark.cache import cached_persist, serving_enabled
 
     if serving_enabled():
@@ -229,6 +222,27 @@ def minhash_band_pairs(
             bands,
             shingle_k,
         )
+    return band
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band key. → (id_a, id_b,
+    n_bands) with id_a < id_b.
+
+    The ONLY shuffle is the equi-join on (band, band_key); both
+    self-join sides read the pinned band table (one materialization
+    of the shingle→minhash pipeline, co-partitioned on the key).
+    """
+    band = pinned_band_table(
+        docs, num_hashes, bands, shingle_k, id_col, text_col
+    )
     a = band.select(F.col("_id").alias("id_a"), "band", "band_key")
     b = band.select(F.col("_id").alias("id_b"), "band", "band_key")
     return (
@@ -259,8 +273,20 @@ def incremental_band_dedup(
     """
     nb = band_keys(new_docs, num_hashes, bands, shingle_k, id_col, text_col)
     cb = band_keys(corpus, num_hashes, bands, shingle_k, id_col, text_col)
-    hits = nb.join(
-        cb.withColumnRenamed("_id", "_corpus_id"), ["band", "band_key"]
+    return incremental_band_hits(nb, cb, id_col)
+
+
+def incremental_band_hits(
+    new_bands: DataFrame, corpus_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The join+report half of `incremental_band_dedup`, for callers
+    that already hold band tables — e.g. both sides sliced from ONE
+    pinned corpus band table (r13: the previous shape ran the
+    shingle→minhash pipeline once per side even when new ∪ corpus was
+    a single source; per-doc signatures commute with the id split, so
+    slicing one table is byte-identical)."""
+    hits = new_bands.join(
+        corpus_bands.withColumnRenamed("_id", "_corpus_id"), ["band", "band_key"]
     )
     return hits.groupBy("_id").agg(
         F.count("*").alias("n_band_hits"),

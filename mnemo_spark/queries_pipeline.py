@@ -267,15 +267,27 @@ _INC_NEW_MOD = 10  # every 10th doc plays the incoming crawl batch
 def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-crawl dedup: the new batch's LSH band keys equi-join a
     (at scale: precomputed) corpus signature table — corpus work never
-    repeats and the corpus never self-joins."""
-    from mnemo_spark.operators.dedup import incremental_band_dedup
+    repeats and the corpus never self-joins.
+
+    r13 (guide §2.4): both sides slice ONE band table instead of
+    running the shingle→minhash pipeline per side (per-doc signatures
+    commute with the id split), and in serving sessions that table is
+    the SAME pinned, join-key-partitioned artifact
+    minhash_near_dup_pairs reads — one signature materialization
+    serves every band-join surface, exactly like the stored signature
+    table both docstrings describe at 100 TB."""
+    from mnemo_spark.operators.dedup import (
+        incremental_band_hits,
+        pinned_band_table,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % _INC_NEW_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % _INC_NEW_MOD != 0)
-    return incremental_band_dedup(
-        new, corpus, P.MINHASH_NUM, P.MINHASH_BANDS, P.JACCARD_SHINGLE_K
+    band = pinned_band_table(
+        docs, P.MINHASH_NUM, P.MINHASH_BANDS, P.JACCARD_SHINGLE_K
     )
+    nb = band.filter(F.col("_id") % _INC_NEW_MOD == 0)
+    cb = band.filter(F.col("_id") % _INC_NEW_MOD != 0)
+    return incremental_band_hits(nb, cb)
 
 
 _STRAT_N = 20
