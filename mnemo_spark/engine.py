@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 
 from mnemo_spark.functions.embedder import token_bucket
 from mnemo_spark.functions.text import tokens
-from mnemo_spark.io import localize_small
+from mnemo_spark.io import local_frame, localize_small
 from mnemo_spark.operators.bm25 import bm25_score
 from mnemo_spark.operators.chain import (
     assign_chain,
@@ -1155,7 +1155,8 @@ class MnemoSparkEngine:
                         StructField("_qv", ArrayType(FloatType())),
                     ]
                 )
-                qvecs = self.spark.createDataFrame(
+                qvecs = local_frame(
+                    self.spark,
                     [
                         (r["_qid"], [float(v) for v in vec])
                         for r, vec in zip(qrows, vecs)
@@ -1418,7 +1419,11 @@ class MnemoSparkEngine:
         callers pass it ONLY where truncation provably cannot change
         their output."""
         if self._embedder_is_default():
-            qdf = self.spark.createDataFrame([(query,)], ["content"])
+            # local_frame, not createDataFrame(list): the one-row query
+            # frame's pickled-slice scan schedules 32 near-empty Python
+            # tasks every time a plan built on it executes (r13,
+            # guide §4)
+            qdf = local_frame(self.spark, [(query,)], "content string")
             qvec = qdf.select(self._embed(F.col("content")).alias("qv"))
         else:
             # one query string: embed driver-side through the configured
@@ -1595,7 +1600,8 @@ class MnemoSparkEngine:
                 key_plan=vecs,
             )
             if C is not None:
-                cents = self.spark.createDataFrame(
+                cents = local_frame(
+                    self.spark,
                     [(i, [float(x) for x in C[i]]) for i in range(len(C))],
                     "cent_id int, cent_vec array<double>",
                 )

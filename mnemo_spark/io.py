@@ -316,9 +316,16 @@ def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
     and coalesce(1) over those slices runs all 32 worker spin-ups
     SEQUENTIALLY in one task (~3.5 s for 180 rows). Routing through a
     pandas DataFrame keeps the data JVM-side via one Arrow batch —
-    count on the same frame: 0.06 s."""
+    count on the same frame: 0.06 s.
+
+    `schema` may be a StructType or a DDL string (r13 — the literal
+    query/window fixture frames in the registry pass DDL)."""
     import pandas as pd
 
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
     cols = [f.name for f in schema.fields]
     if not rows:
         return spark.createDataFrame([], schema)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mnemo_spark import params as P
-from mnemo_spark.io import localize_small
+from mnemo_spark.io import local_frame, localize_small
 from mnemo_spark.operators.bm25 import bm25_score
 from mnemo_spark.operators.recall_core import recall_scored
 from mnemo_spark.operators.rrf import rrf_fuse_wide
@@ -828,8 +828,8 @@ def recall_routed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.memories = cached_persist(
         eng.memories, "recall_routed_store", compact=True, max_parts=8
     )
-    queries = spark.createDataFrame(
-        _ROUTED_QUERIES, "query_id string, query string"
+    queries = local_frame(
+        spark, _ROUTED_QUERIES, "query_id string, query string"
     )
     got = eng.recall_batch(
         queries,

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from mnemo_spark import params as P
 from mnemo_spark.functions.decay import ebbinghaus_score, recency_score
-from mnemo_spark.io import load_table
+from mnemo_spark.io import load_table, local_frame
 from mnemo_spark.operators.bm25 import bm25_score, bm25_topk
 from mnemo_spark.operators.chain import chain_heads
 from mnemo_spark.operators.outlier import zscore_outliers
@@ -467,8 +467,11 @@ def batch_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mnemo_spark.operators.bm25 import batch_bm25
 
     docs = _t(spark, sf_dir, "documents")
-    queries_df = spark.createDataFrame(
-        _BATCH_QUERIES, "query_id string, terms array<string>"
+    # local_frame: a pickled-slice createDataFrame(list) costs ~32
+    # Python-worker tasks per scan; the batch collect at build pays it
+    # on every non-serving call (r13, guide §4)
+    queries_df = local_frame(
+        spark, _BATCH_QUERIES, "query_id string, terms array<string>"
     )
     return batch_bm25(docs, queries_df, k1=P.BM25_K1, b=P.BM25_B)
 
