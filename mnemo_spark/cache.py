@@ -295,8 +295,30 @@ def _size_coalesced(
         parts = max(1, math.ceil(est / target_bytes))
         if max_parts is not None:
             parts = min(parts, max_parts)
-        if parts < df.rdd.getNumPartitions():
-            return df.coalesce(parts)
+        # Cross-check the ESTIMATE against AQE's runtime answer (r13):
+        # Catalyst's sizeInBytes for explode/agg lineages inflates by
+        # orders of magnitude (the bm25 tf artifact: 85 KB true, ~274 GB
+        # estimated → parts=4380, a no-op coalesce over 32 near-empty
+        # blocks). df.rdd compiles the adaptive plan — running its
+        # shuffle stages, which the pin's first materialization would
+        # run anyway — and reports the AQE-coalesced final partition
+        # count, i.e. a partitioning sized to the TRUE bytes by the
+        # advisory partition size. Take the smaller of the two views.
+        try:
+            parts = min(parts, max(1, df.rdd.getNumPartitions()))
+        except Exception:  # noqa: BLE001 - probe is best-effort
+            pass
+        # ALWAYS apply the narrow coalesce: the old `parts < current`
+        # guard compared against the AQE view (often already 1) — but a
+        # PERSISTED plan materializes WITHOUT AQE's output-partitioning
+        # changes (canChangeCachedPlanOutputPartitioning=false default),
+        # so the guard skipped the coalesce exactly when it was needed
+        # and the pin kept shuffle.partitions near-empty blocks
+        # (measured: the 200-row consent subject universe pinned as 32
+        # blocks; its 3-lane union scheduled 96 near-empty tasks per
+        # execution). coalesce never increases partition count, so this
+        # is a no-op when the layout is already at or below `parts`.
+        return df.coalesce(parts)
     except Exception:  # noqa: BLE001 - layout tuning is best-effort
         pass
     return df

@@ -385,11 +385,17 @@ def _consent_tables(spark: SparkSession, sf_dir: str):
     # class). 200 rows: pin it.
     from mnemo_spark import cache
 
+    # max_parts=1: the universe is ≤200 rows BY CONSTRUCTION (user_id %
+    # 200), but compact's Catalyst estimate inherits the corpus-sized
+    # child plan, so the pin kept 32 near-empty blocks and the 3-lane
+    # union scheduled 96 near-empty tasks per execution (r13, REST
+    # stage audit). The narrow coalesce(1) collapses only the post-agg
+    # side — the distinct's partial aggregation keeps scan parallelism.
     subs = e.select((F.col("user_id") % 200).alias("s")).distinct()
     if cache.serving_enabled():
-        subs = cache.cached_persist(subs, "consent_subs", compact=True)
+        subs = cache.cached_persist(subs, "consent_subs", compact=True, max_parts=1)
     else:
-        subs = cache.track_pin(subs)
+        subs = cache.track_pin(subs.coalesce(1))
     writes = e.select(
         F.concat(F.lit("subj-"), (F.col("user_id") % 200).cast("string")).alias(
             "subject_id"

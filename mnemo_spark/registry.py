@@ -1352,9 +1352,14 @@ def assign_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row hash-chain assignment (SURVEY W7, remember.rs:100-111):
     the one inherently sequential operator — applyInPandas per user
     partition, parallel across users. Oracle: per-row prefix folds."""
+    from mnemo_spark.io import spread_table
     from mnemo_spark.operators.chain import assign_chain
 
-    e = _t(spark, sf_dir, "events").select(
+    # spread_table, not _t: the sha2+decimal-cast projection sits BELOW
+    # the fold's exchange, so over the 1-split cached scan it ran 100k
+    # rows on ONE core (r13, guide §2.5/§1.2 — the per-row-expensive-
+    # consumer pattern io.spread_table exists for)
+    e = spread_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
