@@ -80,6 +80,14 @@ def zscore_outliers(
     prof = base.groupBy(group_col).agg(
         F.array_sort(F.collect_list(F.struct("pos", "mu", "var"))).alias("_bp")
     )
+    # serving sessions pin the profile (r13): it is the stored
+    # embedding_baseline table of the reference — group-count-sized,
+    # corpus-derived — and without the pin every warm scoring pass
+    # re-ran the explode + (group, dim) aggregation subtree to rebuild
+    # the broadcast. Same doctrine as the bm25 stats artifacts.
+    from mnemo_spark.cache import cached_persist
+
+    prof = cached_persist(prof, "zscore_profile", group_col, dim, compact=True)
     v = F.col(vec_col).cast("array<double>")
     ssum = F.aggregate(
         F.zip_with(

@@ -296,6 +296,15 @@ def mesh_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("op"),
     )
+    # serving sessions pin the rules manifest (r13): it is the mesh's
+    # stored ACL table — manifest-sized by construction (distinct
+    # identities × scopes) — and without the pin every warm decision
+    # pass re-ran the per-(identity, namespace) aggregation to rebuild
+    # the broadcast. Same doctrine as the consent subject pin.
+    from mnemo_spark import cache
+
+    if cache.serving_enabled():
+        rules = cache.cached_persist(rules, "mesh_rules", compact=True)
     decided = authorize_ops(ops.drop("user_id"), rules)
     return decided.groupBy("op", "decision").agg(F.count("*").alias("n"))
 

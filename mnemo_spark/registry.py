@@ -319,8 +319,15 @@ def anti_join_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame
     """Left-anti join (NOT EXISTS) — orphan detection shape."""
     p = _t(spark, sf_dir, "part")
     l = _t(spark, sf_dir, "lineitem")
+    # distinct BEFORE the anti join (r13, guide §2.3 aggregate-first):
+    # the anti join needs key EXISTENCE only, and Catalyst was building
+    # the broadcast hash relation over the raw 600k-row l_partkey
+    # projection per execution; the distinct is map-side combinable and
+    # shrinks the build (and, at scale, the shuffle) to unique keys.
+    # NOT EXISTS semantics are distinct-invariant.
+    sold = l.select("l_partkey").distinct()
     return (
-        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        p.join(sold, p.p_partkey == sold.l_partkey, "left_anti")
         .agg(
             F.count("*").alias("n_unsold"),
             F.round(F.sum("p_retailprice"), 2).alias("locked_value"),

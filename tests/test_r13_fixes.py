@@ -235,3 +235,42 @@ def test_fold_partitions_groups_span_arrow_batches(spark):
         link = hashlib.sha256((h + p).encode()).hexdigest()
         assert got[(agent, seq)] == (p, link), (agent, seq)
         prev[agent] = link
+
+
+def test_compact_pin_sizes_to_true_bytes(spark):
+    """_size_coalesced must size a compact pin to the frame's TRUE
+    bytes even when (a) Catalyst's estimate inflates on explode/agg
+    lineage (orders of magnitude: the bm25 tf artifact estimated ~274
+    GB at 85 KB true) and (b) df.rdd.getNumPartitions() reports the
+    AQE-coalesced view that a persisted plan does NOT inherit
+    (canChangeCachedPlanOutputPartitioning=false) — the two failure
+    modes that left small artifacts pinned as shuffle.partitions
+    near-empty blocks (r13)."""
+    from mnemo_spark import cache
+
+    cache.clear()
+    with cache.serving():
+        # explode/agg lineage: tiny true size, inflated estimate
+        df = (
+            spark.range(2000)
+            .select(F.explode(F.sequence(F.lit(0), F.lit(4))).alias("e"), "id")
+            .groupBy((F.col("id") % 50).alias("k"))
+            .agg(F.count("*").alias("n"))
+        )
+        pinned = cache.cached_persist(df, "r13_true_size_pin", compact=True)
+        pinned.count()  # materialize the cached layout
+        sc = spark.sparkContext
+        infos = {i.id(): i for i in sc._jsc.sc().getRDDStorageInfo()}
+        # find the pin: a just-cached RDD whose block count must track
+        # the ~50-row true size, not the estimate or shuffle.partitions
+        pin_parts = [
+            i.numPartitions()
+            for i in infos.values()
+            if i.numCachedPartitions() > 0 and i.memSize() < (1 << 20)
+        ]
+        assert pin_parts, "compact pin did not materialize"
+        assert min(pin_parts) <= 2, (
+            f"50-row compact pin materialized at {min(pin_parts)} blocks "
+            "- the true-size coalesce did not reach the cached plan"
+        )
+    cache.clear(force=True)

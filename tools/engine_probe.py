@@ -182,11 +182,20 @@ def main() -> None:
         .select("id")
         .collect()
     ]
+    # consolidate's `now` becomes the topic document's created_at, and
+    # remember refuses backdated writes (they would make
+    # verify_integrity report a spurious tamper break). The replica
+    # time offsets grow with --n (copy * 7919 min), so past ~10 copies
+    # the legacy T0+60d lands BEFORE the chain heads — floor it at the
+    # store's max created_at + 1 day. Unchanged for the 5k/50k probes
+    # (max offset < 60 d), so those stay comparable with r12 artifacts.
+    head_max = rows.agg(F.max("created_at")).first()[0]
+    cons_now = max(T0 + dt.timedelta(days=60), head_max + dt.timedelta(days=1))
     timed(
         "consolidate_topic",
         lambda: eng.consolidate(
             members, "probe-topic", agent_id=None,
-            now=T0 + dt.timedelta(days=60),
+            now=cons_now,
         )[0].memories.count(),
     )
 
