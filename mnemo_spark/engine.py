@@ -175,6 +175,18 @@ class MnemoSparkEngine:
         self.events = (
             events if events is not None else spark.createDataFrame([], AUDIT_SCHEMA)
         )
+        # structural emptiness for the state frames (r14, the acls
+        # pattern applied to the write path): a FRESH engine provably
+        # has no chain heads and no logical-clock base, so the first
+        # remember_batch skips the head aggregation + broadcast guard
+        # join over provably-empty frames — Catalyst cannot elide them
+        # itself (the empty defaults are RDD-backed). The property
+        # setters below conservatively clear the flags on ANY direct
+        # assignment (`eng.memories = ...`, the queries_recall idiom);
+        # the constructor re-asserts the provable value here, after
+        # the setter ran.
+        self._memories_known_empty = memories is None
+        self._events_known_empty = events is None
         # guards the per-store ANN index memo (ADVICE r10): without it
         # two concurrent first routed queries each pay the full
         # codebook build (count, md5 sort, Lloyd passes, cell persist)
@@ -197,6 +209,54 @@ class MnemoSparkEngine:
         # re-assert the provable flag immediately after it runs.
         self._acls = df
         self._acls_known_empty = False
+
+    @property
+    def memories(self) -> DataFrame:
+        return self._memories
+
+    @memories.setter
+    def memories(self, df: DataFrame) -> None:
+        # same contract as the acls setter: direct assignment must
+        # never leave a stale known-empty flag (a stale True would
+        # make remember_batch skip the chain-head handoff and restart
+        # chains at genesis). The constructor re-asserts the provable
+        # value after this runs.
+        self._memories = df
+        self._memories_known_empty = False
+
+    @property
+    def events(self) -> DataFrame:
+        return self._events
+
+    @events.setter
+    def events(self, df: DataFrame) -> None:
+        self._events = df
+        self._events_known_empty = False
+
+    def materialized(self) -> "MnemoSparkEngine":
+        """Eagerly materialize the state frames and truncate their
+        lineage (localCheckpoint) — the in-memory analog of a verb
+        committing its output table to storage before the next verb
+        reads it (DESIGN.md maps every verb output to a Delta write).
+
+        A chain of verbs otherwise re-executes every upstream verb on
+        each action, and Catalyst's analysis time grows super-linearly
+        with the nested plan (measured: optimizedPlan() alone 0.5 s →
+        15 s across five chained forget/sweep verbs; the five-verb
+        event collect 85 s vs 0.04 s materialized). Long verb sequences
+        (agent loops, test scenarios) call this at step boundaries to
+        keep each action O(current verb). Results are identical —
+        only physical lineage is cut; the known-empty flags carry
+        because truncation preserves emptiness."""
+        mem_empty = self._memories_known_empty
+        ev_empty = self._events_known_empty
+        out = self._clone(
+            memories=self.memories.localCheckpoint(eager=True),
+            events=self.events.localCheckpoint(eager=True),
+        )
+        out._memories_known_empty = mem_empty
+        out._events_known_empty = ev_empty
+        return out
 
     # -- write path (remember.rs:67-270) --------------------------------
 
@@ -332,7 +392,16 @@ class MnemoSparkEngine:
         # tamper break on untampered data. Fail loud in-plan instead
         # of silently chaining it. (Equal timestamps are fine: the
         # carried chain_seq breaks the tie in append order.)
-        heads = (
+        # structural emptiness (r14): a provably-empty store has no
+        # chain heads — the head aggregation, the backdated guard's
+        # broadcast join and the strict probe are all no-ops by
+        # construction, so skip building them (Catalyst cannot prove
+        # the RDD-backed empty default empty itself; measured 13 → 8
+        # jobs per fresh-store write action, and every per-call
+        # store-building query — recall_routed, the oracle fixtures —
+        # pays this plan on each execution)
+        store_empty = self._memories_known_empty
+        heads = None if store_empty else (
             self.memories.filter(F.col("chain_hash").isNotNull())
             .groupBy("agent_id")
             .agg(
@@ -346,7 +415,7 @@ class MnemoSparkEngine:
         backdated = F.col("_head_ts").isNotNull() & (
             F.col("created_at") < F.col("_head_ts")
         )
-        if strict:
+        if strict and not store_empty:
             first_backdated = (
                 with_defaults.join(
                     F.broadcast(
@@ -368,7 +437,7 @@ class MnemoSparkEngine:
                     " verify_integrity report a spurious tamper break; use a"
                     " created_at at or after the head"
                 )
-        guarded = (
+        guarded = with_defaults if store_empty else (
             with_defaults.join(
                 F.broadcast(
                     heads.select(
@@ -410,7 +479,11 @@ class MnemoSparkEngine:
             ["agent_id"],
             ["created_at", "id"],
             "content_hash",
-            prev_head=heads.select("agent_id", "chain_head", "head_seq"),
+            prev_head=(
+                None
+                if store_empty
+                else heads.select("agent_id", "chain_head", "head_seq")
+            ),
             seq_col="chain_seq",
             stats=chain_stats,
         )
@@ -486,10 +559,25 @@ class MnemoSparkEngine:
         # several verbs share a wall-clock ts across batches
         from pyspark.sql import Window
 
+        wclk = Window.partitionBy("agent_id").orderBy("ts", "event_id")
+        # structural emptiness (r14, the remember_batch elision): a
+        # provably-empty log has no clock base and no chain heads —
+        # the first append's clock starts at row_number and its chains
+        # at genesis, with no aggregation/join over the RDD-backed
+        # empty default (which Catalyst cannot prove empty)
+        if self._events_known_empty:
+            clocked = hashed.withColumn(
+                "logical_clock", F.row_number().over(wclk).cast("long")
+            )
+            chained = assign_chain(
+                clocked, ["agent_id"], ["logical_clock"], "content_hash"
+            )
+            return self.events.unionByName(
+                chained.select(*[f.name for f in AUDIT_SCHEMA.fields])
+            )
         base = self.events.groupBy("agent_id").agg(
             F.max("logical_clock").alias("_base")
         )
-        wclk = Window.partitionBy("agent_id").orderBy("ts", "event_id")
         clocked = (
             hashed.join(F.broadcast(base), "agent_id", "left")
             .withColumn(

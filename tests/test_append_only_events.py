@@ -31,8 +31,14 @@ def _event_set(engine) -> set[tuple]:
     }
 
 
-@pytest.fixture()
+@pytest.fixture(scope="module")
 def base(spark):
+    # module-scoped + materialized (r14): every test reads this state,
+    # never mutates it (verbs return NEW engines), and materializing
+    # once stops each test's collects from replaying the write path —
+    # the un-truncated 5-verb chain below measured 517 s of Catalyst
+    # re-analysis + re-execution vs ~8 s materialized, identical
+    # assertions (guide §7.3: plan growth; engine.materialized()).
     rows = _mk_rows(
         spark,
         [
@@ -43,7 +49,7 @@ def base(spark):
             ("b1", "bob", "bob fact", "semantic", "private", 0.7, ["y"], T0),
         ],
     )
-    return MnemoSparkEngine(spark).remember_batch(rows)
+    return MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
 
 def test_every_verb_strictly_appends(base):
@@ -63,7 +69,11 @@ def test_every_verb_strictly_appends(base):
     prev = _event_set(engine)
     assert prev  # remember itself audited
     for step in steps:
-        engine = step(engine)
+        # materialize each verb's output before asserting on it — the
+        # delta engine's analog of the verb committing its table; the
+        # assertions are identical, the O(steps²) lazy re-execution
+        # (and super-linear Catalyst re-analysis) is not paid
+        engine = step(engine).materialized()
         cur = _event_set(engine)
         assert prev <= cur, "an existing event row was rewritten or dropped"
         prev = cur

@@ -29,6 +29,11 @@ def _mk_rows(spark, rows):
 
 @pytest.fixture(scope="module")
 def engine(spark):
+    # materialized once (r14): a dozen tests collect from this state;
+    # truncating the write-path lineage stops each collect replaying
+    # validate→embed→chain→append (guide §7.3, engine.materialized()).
+    # Every assertion is unchanged — verbs return new engines, so the
+    # fixture state is read-only.
     rows = _mk_rows(
         spark,
         [
@@ -44,7 +49,7 @@ def engine(spark):
              [], T0),
         ],
     )
-    return MnemoSparkEngine(spark).remember_batch(rows)
+    return MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
 
 def test_write_assigns_hashes_and_chains(engine):
@@ -282,8 +287,8 @@ def test_repeated_verb_event_ids_unique(spark):
     )
     t1 = T0 + dt.timedelta(hours=1)
     t2 = T0 + dt.timedelta(hours=2)
-    eng = eng.forget(["m1"], strategy="soft", now=t1)
-    eng = eng.forget(["m1"], strategy="soft", now=t2)
+    eng = eng.forget(["m1"], strategy="soft", now=t1).materialized()
+    eng = eng.forget(["m1"], strategy="soft", now=t2).materialized()
     ev = eng.events.filter(F.col("event_type") == "MemoryDelete")
     ids = [r["event_id"] for r in ev.collect()]
     assert len(ids) == 2 and len(set(ids)) == 2
@@ -291,8 +296,13 @@ def test_repeated_verb_event_ids_unique(spark):
     assert report.filter(F.col("n_breaks") > 0).count() == 0
 
 
+@pytest.fixture(scope="module", name="conflict_eng")
 def _conflict_fixture(spark):
-    """Two very similar memories + one unrelated, same agent."""
+    """Two very similar memories + one unrelated, same agent.
+
+    Module-scoped + materialized (r14): seven tests each paid the
+    write-path replay on every action; they only READ this engine
+    (verbs return new engines), so one materialized build serves all."""
     rows = _mk_rows(
         spark,
         [
@@ -303,26 +313,26 @@ def _conflict_fixture(spark):
              0.5, [], T0),
         ],
     )
-    return MnemoSparkEngine(spark).remember_batch(rows)
+    return MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
 
-def test_detect_conflicts_same_agent_similar_content(spark):
-    eng = _conflict_fixture(spark)
+def test_detect_conflicts_same_agent_similar_content(conflict_eng):
+    eng = conflict_eng
     pairs = eng.detect_conflicts(threshold=0.5).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {("c1", "c2")}
     assert pairs[0].similarity >= 0.5
 
 
-def test_resolve_keep_newest_soft_deletes_older(spark):
-    eng = _conflict_fixture(spark)
+def test_resolve_keep_newest_soft_deletes_older(conflict_eng):
+    eng = conflict_eng
     out = eng.resolve_conflicts(eng.detect_conflicts(0.5), "keep_newest", now=T0)
     gone = {r.id for r in out.memories.filter(F.col("deleted_at").isNotNull()).collect()}
     assert gone == {"c1"}  # c2 is newer
     assert out.events.filter(F.col("event_type") == "MemoryDelete").count() == 1
 
 
-def test_resolve_keep_highest_importance(spark):
-    eng = _conflict_fixture(spark)
+def test_resolve_keep_highest_importance(conflict_eng):
+    eng = conflict_eng
     out = eng.resolve_conflicts(
         eng.detect_conflicts(0.5), "keep_highest_importance", now=T0
     )
@@ -330,8 +340,8 @@ def test_resolve_keep_highest_importance(spark):
     assert gone == {"c1"}  # c2 importance 0.9 > 0.3
 
 
-def test_resolve_merge_into_semantic(spark):
-    eng = _conflict_fixture(spark)
+def test_resolve_merge_into_semantic(conflict_eng):
+    eng = conflict_eng
     t_res = T0 + dt.timedelta(days=1)
     out = eng.resolve_conflicts(eng.detect_conflicts(0.5), "merge_into_semantic", now=t_res)
     live = {r.id: r for r in out.memories.filter(F.col("deleted_at").isNull()).collect()}
@@ -349,21 +359,21 @@ def test_resolve_merge_into_semantic(spark):
     assert "c3" in live
 
 
-def test_resolve_manual_is_noop(spark):
-    eng = _conflict_fixture(spark)
+def test_resolve_manual_is_noop(conflict_eng):
+    eng = conflict_eng
     out = eng.resolve_conflicts(eng.detect_conflicts(0.5), "manual")
     assert out.memories.filter(F.col("deleted_at").isNotNull()).count() == 0
 
 
-def test_forget_decay_and_consolidate_strategies(spark):
-    eng = _conflict_fixture(spark)
+def test_forget_decay_and_consolidate_strategies(conflict_eng):
+    eng = conflict_eng
     # decay: importance -= 0.1 floored at 0 (forget.rs:205-210)
-    dec = eng.forget(["c1"], strategy="decay", now=T0)
+    dec = eng.forget(["c1"], strategy="decay", now=T0).materialized()
     imp = {r.id: r.importance for r in dec.memories.collect()}
     assert abs(imp["c1"] - 0.2) < 1e-6 and abs(imp["c2"] - 0.9) < 1e-6
     # repeated decay floors at 0
     for _ in range(4):
-        dec = dec.forget(["c1"], strategy="decay", now=T0)
+        dec = dec.forget(["c1"], strategy="decay", now=T0).materialized()
     assert {r.id: r.importance for r in dec.memories.collect()}["c1"] == 0.0
     assert dec.events.filter(F.col("event_type") == "MemoryDecay").count() == 5
     # consolidate: state flip only, row stays
@@ -373,8 +383,8 @@ def test_forget_decay_and_consolidate_strategies(spark):
     assert con.events.filter(F.col("event_type") == "MemoryConsolidate").count() == 1
 
 
-def test_forget_by_criteria_predicates(spark):
-    eng = _conflict_fixture(spark)
+def test_forget_by_criteria_predicates(conflict_eng):
+    eng = conflict_eng
     t_now = T0 + dt.timedelta(hours=2)
     # age >= 2h AND importance < 0.4 -> only c1 (c2 is 1h old, c3 imp 0.5)
     out = eng.forget_by_criteria(
@@ -403,7 +413,7 @@ def test_domain_scoped_recall_prevents_dilution(spark):
         ],
         _ROW_SCHEMA,
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     unscoped = {r.id for r in eng.recall(
         "postgres connection pool", "a1", strategy="lexical").collect()}
     assert unscoped == {"d1", "d2"}  # dilution without a scope
@@ -435,7 +445,7 @@ def test_graph_recall_expands_and_respects_permissions(spark):
              0.5, [], T0),
         ],
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     edges = spark.createDataFrame(
         [("g1", "g2"), ("g2", "g3"), ("g1", "g4")], "src_id string, dst_id string"
     )
@@ -469,7 +479,7 @@ def test_forget_null_predicate_rows_survive_hard_delete(spark):
         ],
         _ROW_SCHEMA,
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     out = eng.forget_by_criteria(agent_id="a1", tags=["x"], strategy="hard", now=T0)
     assert {r.id for r in out.memories.collect()} == {"t2", "t3"}
     # NULL content under a subject pattern: t3 must survive redaction
@@ -496,7 +506,7 @@ def test_recall_reconstruct_belief_node(spark):
              "semantic", "private", 0.5, [], t0),
         ],
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     edges = spark.createDataFrame(
         [("h1", "ctx1"), ("secret", "h2")], "src_id string, dst_id string"
     )
@@ -543,7 +553,7 @@ def test_forged_reasoning_defense(spark):
         ],
         _ROW_SCHEMA + ", metadata string",
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
     # no policy: read path unchanged, all three surface
     nop = {r["id"]: r["score"]
@@ -596,10 +606,11 @@ def test_topic_document_consolidate_and_revise(spark):
              0.5, [], t0),
         ],
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
     eng2, resp = eng.consolidate(["e1", "e2"], "gateway",
                                  now=t0 + dt.timedelta(hours=2), new_id="td1")
+    eng2 = eng2.materialized()
     assert resp == {
         "topic_document_id": "td1",
         "topic_name": "gateway",
@@ -632,6 +643,7 @@ def test_topic_document_consolidate_and_revise(spark):
         ["e1", "e2"], "gateway", summary="gateway: fronts services, 30s timeouts",
         supersede="td1", now=t0 + dt.timedelta(hours=3), new_id="td2",
     )
+    eng3 = eng3.materialized()
     assert resp2["version"] == 2 and resp2["superseded_id"] == "td1"
     old = eng3.memories.filter(F.col("id") == "td1").collect()[0]
     assert old["consolidation_state"] == "consolidated"
@@ -667,7 +679,7 @@ def test_consolidate_member_order_is_caller_independent(spark):
              t0 + dt.timedelta(hours=1)),
         ],
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     now = t0 + dt.timedelta(hours=2)
     eng_f, fwd = eng.consolidate(["e1", "e2"], "t", now=now, new_id="td")
     eng_r, rev = eng.consolidate(["e2", "e1"], "t", now=now, new_id="td")
@@ -702,7 +714,7 @@ def test_reconstruct_linked_context_respects_domain_scope(spark):
         ],
         _ROW_SCHEMA + ", metadata string",
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     edges = spark.createDataFrame(
         [("h1", "in_ns"), ("h1", "out_ns")], "src_id string, dst_id string"
     )
@@ -730,6 +742,7 @@ def test_backdated_cross_batch_write_fails_loud(spark):
                           0.5, [], T0 + dt.timedelta(hours=1))])
     )
     assert eng.memories.count() == 1
+    eng = eng.materialized()
     backdated = eng.remember_batch(
         _mk_rows(spark, [("m0", "a1", "backdated", "semantic", "private",
                           0.5, [], T0)])
@@ -767,7 +780,7 @@ def test_legacy_strategy_string_aliases(spark):
              "private", 0.5, ["security"], t0),
         ],
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     auto = [(r["id"], r["score"]) for r in
             eng.recall("ingest uploads", "a1", strategy="auto", k=2).collect()]
     hyb = [(r["id"], r["score"]) for r in
@@ -844,6 +857,7 @@ def test_chain_seq_continues_across_batches(spark):
             ("c2", "a1", "second", "semantic", "private", 0.5, [], t0),
         ])
     )
+    eng = eng.materialized()
     # same created_at in a LATER batch: allowed, seq breaks the tie
     eng = eng.remember_batch(
         _mk_rows(spark, [
