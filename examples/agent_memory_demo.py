@@ -49,7 +49,7 @@ def main() -> None:
     # remember: validate → hash → chain → append (audit log grows)
     eng = MnemoSparkEngine(spark).remember_batch(
         spark.createDataFrame(ROWS, SCHEMA)
-    )
+    ).materialized()  # commit the write before the read verbs walk it
     out["remembered"] = eng.memories.count()
 
     # recall: hybrid retrieval scoped to what alice may see
@@ -63,7 +63,7 @@ def main() -> None:
     )
 
     # forget with redaction: content is destroyed, the chain survives
-    eng2 = eng.forget(["m2"], strategy="redact")
+    eng2 = eng.forget(["m2"], strategy="redact").materialized()
     redacted = eng2.memories.filter(F.col("id") == "m2").collect()[0]
     out["redacted_content_gone"] = "hunter2" not in (redacted["content"] or "")
     out["chain_intact_after_redact"] = (
@@ -85,7 +85,7 @@ def main() -> None:
 
     # poisoning defense: quarantine hides from recall but stays
     # replayable; the review verb lists it for the operator
-    q = back.quarantine(["m1"], reason="suspicious provenance", now=T0)
+    q = back.quarantine(["m1"], reason="suspicious provenance", now=T0).materialized()
     out["quarantined_hidden"] = not any(
         r["id"] == "m1"
         for r in q.recall("deploy pipeline key", principal="alice", k=5).collect()

@@ -65,12 +65,16 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — the gate refuses, by design
         out["amp_rejected_secret"] = True
     out["amp_stored"] = bool(ok["ids"])
-    eng = amp.engine
+    # commit each protocol stage before the next reads it (lineage
+    # truncation — keeps every later action O(its own stage))
+    eng = amp.engine.materialized()
 
     # -- Letta: same engine hosts a Letta-shaped agent -----------------
     eng, aid = create_agent(eng, T0, persona="terse", human="likes fridays")
+    eng = eng.materialized()
     eng, reply = send_message(eng, aid, "when do deploys happen?",
                               T0 + dt.timedelta(seconds=1))
+    eng = eng.materialized()
     out["letta_blocks"] = core_memory(eng, aid).count()
     out["letta_reply_recalled"] = reply.startswith("Recalled")
 

@@ -3499,6 +3499,9 @@ class VersionedEngine(MnemoSparkEngine):
         super().__init__(spark, memories, acls, embedding_dim, events, embedder)
         if memories is None:
             self.memories = self.memories.withColumn("branch", F.lit("main"))
+            # the setter conservatively cleared the flag; the frame is
+            # still the provably-empty default, just branch-tagged
+            self._memories_known_empty = True
         self.checkpoints = (
             checkpoints
             if checkpoints is not None

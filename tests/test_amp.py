@@ -23,8 +23,19 @@ T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
 
 
 def _store(spark, hook=None):
-    return AmpStore(MnemoSparkEngine(spark), default_agent="agent-a",
-                    approval_hook=hook)
+    # materialize after each op (r14): these tests walk sequences of
+    # dispatches and assert on collected state after each; without
+    # truncation every assertion re-executes the whole op history and
+    # Catalyst re-analysis grows super-linearly (engine.materialized()
+    # rationale). Dispatch semantics and all assertions are unchanged.
+    class _MaterializingStore(AmpStore):
+        def dispatch(self, env, now=None):
+            out = super().dispatch(env, now=now)
+            self.engine = self.engine.materialized()
+            return out
+
+    return _MaterializingStore(MnemoSparkEngine(spark), default_agent="agent-a",
+                               approval_hook=hook)
 
 
 def test_envelope_validation():
@@ -182,6 +193,7 @@ def test_letta_agent_lifecycle(spark):
     eng, aid = create_agent(
         eng, T0, persona="terse and helpful", human="prefers bullet lists"
     )
+    eng = eng.materialized()
     assert aid.startswith("letta-")
     blocks = {r["block"]: r["content"] for r in core_memory(eng, aid).collect()}
     assert blocks == {
@@ -193,16 +205,18 @@ def test_letta_agent_lifecycle(spark):
         eng, aid, "remember that the deploy window is friday",
         T0 + dt.timedelta(seconds=1),
     )
+    eng = eng.materialized()
     assert reply.startswith("Recalled") or "starting fresh" in reply
     eng, reply2 = send_message(
         eng, aid, "when is the deploy window?", T0 + dt.timedelta(seconds=2)
     )
+    eng = eng.materialized()
     assert "deploy window is friday" in reply2
     # updating a block supersedes, never duplicates (current-fact)
     from mnemo_spark.functions.letta import _store_block
 
     eng = _store_block(eng, aid, "persona", "now verbose",
-                       T0 + dt.timedelta(seconds=3))
+                       T0 + dt.timedelta(seconds=3)).materialized()
     blocks2 = {r["block"]: r["content"] for r in core_memory(eng, aid).collect()}
     assert blocks2["persona"] == "now verbose" and len(blocks2) == 2
     with pytest.raises(ValueError, match="content is required"):

@@ -46,7 +46,7 @@ def _engine(spark, n=400, dim=64):
         "scope string, importance float, tags array<string>, "
         "created_at timestamp",
     )
-    return MnemoSparkEngine(spark, embedding_dim=dim).remember_batch(rows)
+    return MnemoSparkEngine(spark, embedding_dim=dim).remember_batch(rows).materialized()
 
 
 def _pairs(df):

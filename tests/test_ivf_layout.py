@@ -75,9 +75,9 @@ def test_quarantine_hides_from_recall_and_is_reversible(spark):
         "id string, agent_id string, content string, memory_type string,"
         " scope string, importance float, tags array<string>, created_at timestamp",
     )
-    eng = eng.remember_batch(rows)
+    eng = eng.remember_batch(rows).materialized()
     assert {r["id"] for r in eng.recall("blue sky", "a1", k=5).collect()} >= {"m1"}
-    q = eng.quarantine(["m1"], reason="poisoning suspected", now=t0)
+    q = eng.quarantine(["m1"], reason="poisoning suspected", now=t0).materialized()
     # invisible to recall, but never deleted (replayable)
     assert "m1" not in {r["id"] for r in q.recall("blue sky", "a1", k=5).collect()}
     kept = q.memories.filter(F.col("id") == "m1").collect()[0]
@@ -104,8 +104,8 @@ def test_replay_quarantine_ordering_cutoff_and_deleted_visibility(spark):
         "id string, agent_id string, content string, memory_type string,"
         " scope string, importance float, tags array<string>, created_at timestamp",
     )
-    eng = eng.remember_batch(rows)
-    q = eng.quarantine(["m1", "m3", "other"], reason="test-trigger", now=t0)
+    eng = eng.remember_batch(rows).materialized()
+    q = eng.quarantine(["m1", "m3", "other"], reason="test-trigger", now=t0).materialized()
 
     listed = q.replay_quarantine(agent_id="q-agent").collect()
     assert [r["id"] for r in listed] == ["m1", "m3"]  # created_at order
@@ -138,7 +138,7 @@ def test_admin_stats_exact_counts(spark):
         "id string, agent_id string, content string, memory_type string,"
         " scope string, importance float, tags array<string>, created_at timestamp",
     )
-    eng = eng.remember_batch(rows)
+    eng = eng.remember_batch(rows).materialized()
     stats = eng.admin_stats()
     assert stats["memory_count"] == 7
     assert stats["agent_ids"] == ["a0", "a1", "a2"]

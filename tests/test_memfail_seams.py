@@ -23,9 +23,11 @@ SCHEMA = (
 
 
 def _remember(spark, rows):
+    # materialized (r14): each test runs several read verbs over this
+    # store; truncate the write-path lineage once (same assertions)
     return MnemoSparkEngine(spark).remember_batch(
         spark.createDataFrame(rows, SCHEMA)
-    )
+    ).materialized()
 
 
 def test_store_seam_roundtrip(spark):
@@ -64,7 +66,7 @@ def test_summarize_seam_keeps_cluster_retrievable(spark):
              "private", 0.5, ["memfail"], T0),
         ],
     )
-    cons = eng.run_consolidation(similarity_threshold=0.95)
+    cons = eng.run_consolidation(similarity_threshold=0.95).materialized()
     states = {
         r["id"]: r["consolidation_state"] for r in cons.memories.collect()
     }

@@ -46,7 +46,9 @@ def engine(spark):
         ],
         _ROW_SCHEMA,
     )
-    return MnemoSparkEngine(spark).remember_batch(rows)
+    # materialized once (r14): all tests read this store; truncating
+    # the write-path lineage keeps each recall action O(the recall)
+    return MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
 
 def _qdf(spark, queries):

@@ -51,12 +51,13 @@ def _engine(spark):
         ],
         _ROW_SCHEMA,
     )
-    return MnemoSparkEngine(spark).remember_batch(rows)
+    return MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
 
 def test_reflection_pass_all_stages(spark):
     eng = _engine(spark)
     out, report = eng.run_reflection_pass("a1", now=NOW)
+    out = out.materialized()
     mems = {r.id: r for r in out.memories.collect()}
 
     # stage 1: "3 days ago" -> ISO date anchored at created_at (T0)
@@ -105,8 +106,9 @@ def test_reflection_scoped_to_agent(spark):
         ],
         _ROW_SCHEMA,
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     out, report = eng.run_reflection_pass("a1", now=NOW)
+    out = out.materialized()
     mems = {r.id: r for r in out.memories.collect()}
     assert report["total_scanned"] == 1
     assert "2023-12-30" in mems["x1"].content  # a1 rewritten
@@ -124,7 +126,7 @@ def test_coordinated_mode_gates_and_force(spark):
           T0 + dt.timedelta(minutes=i)) for i in range(3)],
         _ROW_SCHEMA,
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
 
     # 3 records < floor of 5 -> skip, nothing mutated
     out, rep = eng.run_reflection_pass_with_mode("a1", now=NOW)
@@ -136,6 +138,7 @@ def test_coordinated_mode_gates_and_force(spark):
 
     # force overrides the floor and the pass actually runs
     out2, rep2 = eng.run_reflection_pass_with_mode("a1", force=True, now=NOW)
+    out2 = out2.materialized()
     assert rep2["skipped"] is None and rep2["total_scanned"] == 3
     assert out2.events.filter(
         F.col("event_type") == "ReflectionCompleted"
@@ -147,7 +150,7 @@ def test_coordinated_mode_gates_and_force(spark):
           NOW + dt.timedelta(minutes=i + 1)) for i in range(5)],
         _ROW_SCHEMA,
     )
-    eng3 = out2.remember_batch(more)
+    eng3 = out2.remember_batch(more).materialized()
     _, rep3 = eng3.run_reflection_pass_with_mode(
         "a1", now=NOW + dt.timedelta(hours=1)
     )
@@ -171,8 +174,9 @@ def test_dream_report_trailer_ingested_once(spark):
             T0 + dt.timedelta(minutes=i)) for i in range(5)],
         _ROW_SCHEMA,
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     out, rep = eng.run_reflection_pass_with_mode("a1", now=NOW)
+    out = out.materialized()
     assert rep["skipped"] is None and rep["dream_report_ingested"] == 1
     assert out.events.filter(
         F.col("event_type") == "DreamReportIngested"
@@ -219,8 +223,9 @@ def test_dream_report_marker_survives_non_object_metadata(spark):
             T0 + dt.timedelta(minutes=i), None) for i in range(5)],
         _ROW_SCHEMA + ", metadata string",
     )
-    eng = MnemoSparkEngine(spark).remember_batch(rows)
+    eng = MnemoSparkEngine(spark).remember_batch(rows).materialized()
     out, rep = eng.run_reflection_pass_with_mode("a1", now=NOW)
+    out = out.materialized()
     assert rep["dream_report_ingested"] == 7
     metas = {
         r["id"]: r["metadata"]

@@ -27,13 +27,18 @@ def _rows(agent, n, prefix):
     ]
 
 
-@pytest.fixture()
+@pytest.fixture(scope="module")
 def eng(spark):
+    # module-scoped + materialized (r14): five tests read this state
+    # (trajectory_audit/doctor are read verbs); one truncated build
+    # replaces a per-test write+forget replay
     e = MnemoSparkEngine(spark).remember_batch(
         spark.createDataFrame(_rows("alice", 6, "a") + _rows("bob", 2, "b"), SCHEMA)
     )
     # alice retires two memories (labelled strategies)
-    return e.forget(["a0", "a1"], strategy="soft", now=T0 + dt.timedelta(hours=1))
+    return e.forget(
+        ["a0", "a1"], strategy="soft", now=T0 + dt.timedelta(hours=1)
+    ).materialized()
 
 
 def test_growth_signal_and_severities(eng):

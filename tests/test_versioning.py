@@ -36,7 +36,7 @@ def versioned(spark):
             ],
         ),
         branch="main",
-    )
+    ).materialized()
     eng = eng.checkpoint("thread-1", "main", T1)
     cp1 = eng.latest_checkpoints().collect()[0]["checkpoint_id"]
     eng = eng.branch(cp1, "feature")
@@ -49,7 +49,7 @@ def versioned(spark):
             ],
         ),
         branch="feature",
-    )
+    ).materialized()
     return eng, cp1
 
 
