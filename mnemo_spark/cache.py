@@ -299,13 +299,24 @@ def _size_coalesced(
         # Catalyst's sizeInBytes for explode/agg lineages inflates by
         # orders of magnitude (the bm25 tf artifact: 85 KB true, ~274 GB
         # estimated → parts=4380, a no-op coalesce over 32 near-empty
-        # blocks). df.rdd compiles the adaptive plan — running its
-        # shuffle stages, which the pin's first materialization would
-        # run anyway — and reports the AQE-coalesced final partition
-        # count, i.e. a partitioning sized to the TRUE bytes by the
-        # advisory partition size. Take the smaller of the two views.
+        # blocks). df.rdd compiles the adaptive plan AND EXECUTES its
+        # upstream shuffle stages — work the persisted df.coalesce()
+        # plan does NOT reuse (exchange reuse never spans separate
+        # executions; ADVICE r13), so every compact-pin miss pays the
+        # upstream stages twice. Accepted once-per-pin cost for a
+        # partitioning sized to the TRUE bytes by the advisory size.
+        # Skipped when the plan is a bare scan/local relation (no
+        # shuffle stage exists for AQE to re-size — the estimate is
+        # file-size-based and already honest there).
         try:
-            parts = min(parts, max(1, df.rdd.getNumPartitions()))
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            has_stage = any(
+                k in plan
+                for k in ("Aggregate", "Join", "Window", "Sort",
+                          "Repartition", "Generate", "Distinct")
+            )
+            if has_stage:
+                parts = min(parts, max(1, df.rdd.getNumPartitions()))
         except Exception:  # noqa: BLE001 - probe is best-effort
             pass
         # ALWAYS apply the narrow coalesce: the old `parts < current`

@@ -1618,6 +1618,20 @@ class MnemoSparkEngine:
         nprobe = min(
             len(C), ann_nprobe if ann_nprobe is not None else P.ANN_ROUTE_NPROBE
         )
+        # nprobe == n_cells probes EVERY cell: routed is definitionally
+        # the exact scan (scores are exact on every emitted candidate —
+        # the ann_route contract, gated byte-for-byte by
+        # test_routed_scores_are_exact_on_candidates), so short-circuit
+        # to the exact dense kernel and skip the probe-map/cell-join
+        # bookkeeping that buys nothing in this regime (r14, VERDICT
+        # r13 #3: the oracle-pinned recall_routed_docs configuration
+        # paid full routing machinery for zero pruning — its DuckDB
+        # twin computes exact directly and ran 2.56x faster). The
+        # index artifacts above are still built and memoized, so a
+        # later sub-full-probe query reuses them, and a forced 'ivf'
+        # on a vectorless store still refuses loudly above.
+        if nprobe >= len(C):
+            return None
         order = np.argsort(-cosine_matrix(Q, C), axis=1, kind="stable")
         cell_queries: dict[int, list[int]] = {}
         for qi in range(Q.shape[0]):

@@ -323,9 +323,11 @@ def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
     import pandas as pd
 
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
+        # public API (ADVICE r13: _parse_datatype_string is private and
+        # has moved across PySpark versions)
+        from pyspark.sql.types import StructType
 
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     cols = [f.name for f in schema.fields]
     if not rows:
         return spark.createDataFrame([], schema)

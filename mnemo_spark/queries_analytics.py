@@ -720,6 +720,40 @@ def event_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_ab"))
     )
+    # serving mode: the marginals and the user count are corpus-only
+    # scalars over the PINNED ut_sets (a constant-vocabulary map and
+    # one long) — inline them as literals instead of paying three
+    # broadcast-build jobs per warm execution (r14, the r13 BM25
+    # idf/avgdl and mad_outliers precedent; guide §2.4). 4 → 1 jobs.
+    from mnemo_spark.cache import cached_value, serving_enabled
+
+    if serving_enabled():
+        scal = cached_value(
+            lambda: (
+                {r["event_type"]: r["n_t"] for r in marg.collect()},
+                n.first()["n_users"],
+            ),
+            "event_pair_lift_scalars",
+            key_plan=ut_sets,
+        )
+        marg_map, n_users = scal
+        nt = F.create_map(
+            *[F.lit(x) for kv in sorted(marg_map.items()) for x in kv]
+        )
+        return pairs.select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_both"),
+            F.round(
+                F.lit(float(n_users))
+                * F.col("n_ab")
+                / (
+                    F.element_at(nt, F.col("type_a"))
+                    * F.element_at(nt, F.col("type_b"))
+                ),
+                6,
+            ).alias("lift"),
+        )
     ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
     mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
     return (

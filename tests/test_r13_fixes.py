@@ -259,18 +259,13 @@ def test_compact_pin_sizes_to_true_bytes(spark):
         )
         pinned = cache.cached_persist(df, "r13_true_size_pin", compact=True)
         pinned.count()  # materialize the cached layout
-        sc = spark.sparkContext
-        infos = {i.id(): i for i in sc._jsc.sc().getRDDStorageInfo()}
-        # find the pin: a just-cached RDD whose block count must track
-        # the ~50-row true size, not the estimate or shuffle.partitions
-        pin_parts = [
-            i.numPartitions()
-            for i in infos.values()
-            if i.numCachedPartitions() > 0 and i.memSize() < (1 << 20)
-        ]
-        assert pin_parts, "compact pin did not materialize"
-        assert min(pin_parts) <= 2, (
-            f"50-row compact pin materialized at {min(pin_parts)} blocks "
+        # assert on the pinned frame DIRECTLY (ADVICE r13: the old
+        # storage-info scan matched ANY small cached RDD, so the gate
+        # could pass vacuously off an unrelated pin). The persisted
+        # plan's own partitioning is what the coalesce must reach.
+        pin_parts = pinned.rdd.getNumPartitions()
+        assert pin_parts <= 2, (
+            f"50-row compact pin materialized at {pin_parts} blocks "
             "- the true-size coalesce did not reach the cached plan"
         )
     cache.clear(force=True)

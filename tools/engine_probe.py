@@ -190,7 +190,14 @@ def main() -> None:
     # store's max created_at + 1 day. Unchanged for the 5k/50k probes
     # (max offset < 60 d), so those stay comparable with r12 artifacts.
     head_max = rows.agg(F.max("created_at")).first()[0]
-    cons_now = max(T0 + dt.timedelta(days=60), head_max + dt.timedelta(days=1))
+    # head_max is None when the derived rows frame is empty (ADVICE
+    # r13: None + timedelta raises TypeError) — fall back to the
+    # legacy T0+60d the 5k/50k probes always used
+    cons_now = (
+        max(T0 + dt.timedelta(days=60), head_max + dt.timedelta(days=1))
+        if head_max is not None
+        else T0 + dt.timedelta(days=60)
+    )
     timed(
         "consolidate_topic",
         lambda: eng.consolidate(

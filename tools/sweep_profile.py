@@ -31,12 +31,21 @@ def main() -> int:
     names = []
     i = 0
     while i < len(args):
-        if args[i] == "--n":
-            n = int(args[i + 1]); i += 2
-        elif args[i] == "--out":
-            out = args[i + 1]; i += 2
+        if args[i] in ("--n", "--out"):
+            if i + 1 >= len(args):  # ADVICE r13: trailing flag w/o value
+                print(f"sweep_profile: {args[i]} requires a value", file=sys.stderr)
+                return 2
+            if args[i] == "--n":
+                n = int(args[i + 1])
+            else:
+                out = args[i + 1]
+            i += 2
         else:
             names.append(args[i]); i += 1
+    unknown = [q for q in names if q not in QUERIES]
+    if unknown:  # ADVICE r13: a typo must not silently shrink the sweep
+        print(f"sweep_profile: unknown queries: {unknown}", file=sys.stderr)
+        return 2
     if not names:
         names = sorted(QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
