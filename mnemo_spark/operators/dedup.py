@@ -380,6 +380,16 @@ def ngram_jaccard_pairs(
 
 SIMHASH_BITS = 16  # one bit per md5 hex digit's high bit
 
+# hot-bucket threshold for the grid-salted band self-join (r14): salt
+# engages when ONE bucket's pair count (max_bucket^2) exceeds this —
+# ~16M pairs is roughly a second of one-core popcount+filter work, the
+# point where a single unsplittable join key dominates the stage wall.
+# Env-overridable for cluster-measured values (same convention as
+# MNEMO_CHAIN_EPOCH_CROSSOVER).
+import os as _os
+
+_SALT_PAIRS = int(_os.environ.get("MNEMO_SIMHASH_SALT_PAIRS", str(16_000_000)))
+
 
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -498,14 +508,73 @@ def simhash_near_dup_pairs(
             max_hamming,
             bands,
         )
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("sim_int").alias("_sa"), "_b", "_band"
+    # grid-salted self-join, engaged ADAPTIVELY (r14, guide §2.5):
+    # near-dup corpora CLUMP — every member of a duplicate cluster
+    # lands in the same (band, bits) bucket, and a single hot bucket
+    # is one join key that neither hash partitioning nor AQE
+    # skew-splitting can divide (measured on the 10x sf1x corpus: max
+    # bucket 9,051 docs = ~82M candidate pairs evaluated in ONE task;
+    # the query ran 2.5 s FLAT across 8 vs 32 cores). When the
+    # hottest bucket's pair count crosses _SALT_PAIRS, decompose each
+    # bucket into an s x s grid on a deterministic id hash: side A
+    # replicates each row to cells (g(id), j) for all j, side B to
+    # (i, g(id)), so every unordered pair meets at exactly ONE cell
+    # and a hot bucket spreads over s^2 tasks; the probe side is then
+    # physically repartitioned on the grid key (under the broadcast
+    # plan there is no shuffle, so stream parallelism would otherwise
+    # stay the pin's bucket layout). Below the threshold the grid
+    # degenerates (salt=1) to the original zero-replication plan —
+    # the sf0.1 corpus (max bucket 932 = 0.9M pairs) measured 2x
+    # SLOWER under an unconditional salt, exactly the local-constant
+    # trap the round rules exclude. g is xxhash64-derived
+    # (deterministic under retries — not the rand() hazard).
+    from mnemo_spark.cache import cached_value
+
+    max_bucket = cached_value(
+        lambda: (
+            banded.groupBy("_b", "_band")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+            or 0
+        ),
+        "simhash_max_bucket",
+        max_hamming,
+        bands,
+        key_plan=banded,
     )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("sim_int").alias("_sb"), "_b", "_band"
-    )
+    salt = 8 if max_bucket * max_bucket > _SALT_PAIRS else 1
+    if salt > 1:
+        grid = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        a = banded.select(
+            F.col("_id").alias("id_a"), F.col("sim_int").alias("_sa"),
+            "_b", "_band",
+            F.pmod(F.xxhash64("_id"), F.lit(salt)).alias("_s1"),
+            grid.alias("_s2"),
+        )
+        b = banded.select(
+            F.col("_id").alias("id_b"), F.col("sim_int").alias("_sb"),
+            "_b", "_band",
+            grid.alias("_s1"),
+            F.pmod(F.xxhash64("_id"), F.lit(salt)).alias("_s2"),
+        )
+        n_part = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        a = a.repartition(n_part, "_b", "_band", "_s1", "_s2")
+        join_keys = ["_b", "_band", "_s1", "_s2"]
+    else:
+        a = banded.select(
+            F.col("_id").alias("id_a"), F.col("sim_int").alias("_sa"),
+            "_b", "_band",
+        )
+        b = banded.select(
+            F.col("_id").alias("id_b"), F.col("sim_int").alias("_sb"),
+            "_b", "_band",
+        )
+        join_keys = ["_b", "_band"]
     cand = (
-        a.join(b, ["_b", "_band"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()
